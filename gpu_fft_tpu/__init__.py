@@ -1,0 +1,56 @@
+"""gpu_fft_tpu — a TPU-native FFT library built from scratch on JAX/Pallas.
+
+Re-creates the full capability surface of the reference GPU library
+(eugenehp/gpu-fft: ``src/lib.rs``): forward/inverse FFT of real f32 signals
+with automatic next-power-of-two zero padding, single-pass batched transforms,
+PSD and dominant-frequency analysis, and runtime backend selection — designed
+TPU-first: transforms are MXU matmuls against precomputed f64-accurate tables
+fused into single Pallas kernels, not translated butterfly stages.
+
+Public facade (parity map to reference ``src/lib.rs``):
+  fft / ifft                     <- lib.rs:137 / lib.rs:191
+  fft_batch / ifft_batch         <- lib.rs:163 / lib.rs:214
+  fft_with / ifft_with           <- lib.rs:73  / lib.rs:89
+  Backend / available_backends   <- lib.rs:33  / lib.rs:57
+  psd                            <- psd.rs:28
+  utils.*                        <- utils.rs
+  fft_device / ifft_device / power_spectrum_device — device-resident extras
+  parallel.*                     — multi-chip sharding (TPU extension, SURVEY §2.4)
+"""
+
+from .backends import Backend, available_backends, default_backend
+from .ops.spectral import power_spectrum_device, psd, psd_device
+from .ops.transform import (
+    fft,
+    fft_batch,
+    fft_device,
+    fft_with,
+    ifft,
+    ifft_batch,
+    ifft_device,
+    ifft_with,
+    next_power_of_two,
+)
+from . import utils
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "fft",
+    "ifft",
+    "fft_batch",
+    "ifft_batch",
+    "fft_with",
+    "ifft_with",
+    "fft_device",
+    "ifft_device",
+    "next_power_of_two",
+    "psd",
+    "psd_device",
+    "power_spectrum_device",
+    "Backend",
+    "available_backends",
+    "default_backend",
+    "utils",
+    "__version__",
+]

@@ -1,0 +1,243 @@
+"""Fused single-dispatch FFT kernels (Pallas, TPU).
+
+This file is the TPU-native replacement for the reference's six CubeCL
+butterfly kernels (reference ``src/butterfly.rs:32-511``).  The design is a
+deliberate departure, per the repo north star:
+
+* The reference runs log2(N) radix-2/4 *butterfly stages* over global memory,
+  fusing only the first 10 stages into shared memory (``butterfly_inner``,
+  ``src/butterfly.rs:84-147``) because GPU workgroups cap the tile at 1024
+  elements.  A TPU core has ~16 MiB of VMEM, so we fuse the ENTIRE transform
+  (N <= 65536) into one kernel — the logical conclusion of the reference's own
+  "fewer dispatches" strategy (``README.md:397-405``).
+
+* Butterfly stages are strided scalar ops — hostile to the TPU's (8, 128)
+  vector layout and idle MXU.  Instead the transform is cast as MATRIX
+  MULTIPLICATION, where TPU FLOPs actually live:
+
+    - ``direct``:   X = x @ F_n                      (one complex matmul)
+    - ``fourstep``: n = n1*n2 Cooley-Tukey factorization
+
+  Four-step derivation (flat index n = a*n2 + b, output k = k1 + n1*k2):
+
+      X[k1 + n1*k2] = sum_b W_n2^(b*k2) * W_n^(b*k1) * sum_a x[a,b] W_n1^(a*k1)
+
+  realized as:  transpose -> (rows @ F1) -> twiddle -> transpose -> (rows @ F2)
+  -> transpose, with the batch dimension folded into the matmul rows so one
+  kernel serves both a single long signal and a large batch of short ones.
+  All three transposes are minor-two-dim VMEM transposes.  The final
+  transpose also performs the Cooley-Tukey output digit reversal, replacing
+  the reference's CPU-side bit-reverse permutation pass (``src/fft.rs:54-59``,
+  ``src/butterfly.rs:521-528``) — there is no bit-reversal anywhere.
+
+* Twiddles/DFT matrices are precomputed in f64 and live in VMEM for the whole
+  kernel (see kernels/tables.py), instead of per-thread cos/sin
+  (``src/butterfly.rs:45-48``).
+
+Batching: the grid iterates over row-tiles of the (B, n) batch, the analog of
+the reference's flat batched dispatches (``butterfly_inner_batch``,
+``src/butterfly.rs:238-298``) — launch count stays independent of B, which is
+the reference's central batching win (``README.md:451-455``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..plan import FusedPlan, batch_tile
+
+__all__ = ["fused_fft"]
+
+
+def _dot(a, b):
+    """f32 matmul on the MXU at full (HIGHEST) precision.
+
+    HIGHEST forces the 6-pass bf16 decomposition of f32 matmuls, which is what
+    lets the matmul formulation meet the reference's 5*log2(N)*eps roundtrip
+    accuracy gate (``tests/roundtrip.rs:62-71``).
+    """
+    return jnp.dot(a, b, precision=lax.Precision.HIGHEST, preferred_element_type=jnp.float32)
+
+
+def _cmul(ar, ai, br, bi):
+    """Split-complex elementwise multiply."""
+    return ar * br - ai * bi, ar * bi + ai * br
+
+
+def _cmatmul(ar, ai, br, bi):
+    """Split-complex matmul via 4 real MXU matmuls (no Karatsuba: the 3-matmul
+    trick introduces cancellation error that threatens the accuracy gate)."""
+    return _dot(ar, br) - _dot(ai, bi), _dot(ar, bi) + _dot(ai, br)
+
+
+# ── Kernel bodies ────────────────────────────────────────────────────────────
+
+
+def _direct_real_kernel(x_ref, fr_ref, fi_ref, yr_ref, yi_ref):
+    x = x_ref[...]
+    yr_ref[...] = _dot(x, fr_ref[...])
+    yi_ref[...] = _dot(x, fi_ref[...])
+
+
+def _direct_complex_kernel(xr_ref, xi_ref, fr_ref, fi_ref, yr_ref, yi_ref):
+    xr, xi = xr_ref[...], xi_ref[...]
+    fr, fi = fr_ref[...], fi_ref[...]
+    yr, yi = _cmatmul(xr, xi, fr, fi)
+    yr_ref[...] = yr
+    yi_ref[...] = yi
+
+
+def _fourstep_core(pr, pi, bt, n1, n2, twr, twi, f2r, f2i, yr_ref, yi_ref):
+    """Steps shared by the real/complex four-step kernels.
+
+    ``pr, pi``: column-DFT output, shape (bt*n2, n1), row index (batch, b),
+    column index k1.  Applies twiddle, row DFT, and the output digit-reversal
+    transpose, writing (bt, n2, n1) blocks whose row-major flattening is the
+    naturally ordered spectrum.
+    """
+    p3r = pr.reshape(bt, n2, n1)
+    p3i = pi.reshape(bt, n2, n1)
+    zr, zi = _cmul(p3r, p3i, twr[None], twi[None])  # twiddle W_n^(b*k1), (n2, n1)
+    qr = jnp.swapaxes(zr, 1, 2).reshape(bt * n1, n2)
+    qi = jnp.swapaxes(zi, 1, 2).reshape(bt * n1, n2)
+    rr, ri = _cmatmul(qr, qi, f2r, f2i)  # rows (batch, k1), cols k2
+    yr_ref[...] = jnp.swapaxes(rr.reshape(bt, n1, n2), 1, 2)
+    yi_ref[...] = jnp.swapaxes(ri.reshape(bt, n1, n2), 1, 2)
+
+
+def _fourstep_real_kernel(
+    x_ref, f1r_ref, f1i_ref, twr_ref, twi_ref, f2r_ref, f2i_ref, yr_ref, yi_ref
+):
+    bt, n1, n2 = x_ref.shape
+    xt = jnp.swapaxes(x_ref[...], 1, 2).reshape(bt * n2, n1)
+    # Column DFT of a REAL signal: 2 matmuls instead of 4 — the forward public
+    # API always takes real input, so the fast path is structural.
+    pr = _dot(xt, f1r_ref[...])
+    pi = _dot(xt, f1i_ref[...])
+    _fourstep_core(
+        pr, pi, bt, n1, n2, twr_ref[...], twi_ref[...], f2r_ref[...], f2i_ref[...], yr_ref, yi_ref
+    )
+
+
+def _fourstep_complex_kernel(
+    xr_ref, xi_ref, f1r_ref, f1i_ref, twr_ref, twi_ref, f2r_ref, f2i_ref, yr_ref, yi_ref
+):
+    bt, n1, n2 = xr_ref.shape
+    xtr = jnp.swapaxes(xr_ref[...], 1, 2).reshape(bt * n2, n1)
+    xti = jnp.swapaxes(xi_ref[...], 1, 2).reshape(bt * n2, n1)
+    pr, pi = _cmatmul(xtr, xti, f1r_ref[...], f1i_ref[...])
+    _fourstep_core(
+        pr, pi, bt, n1, n2, twr_ref[...], twi_ref[...], f2r_ref[...], f2i_ref[...], yr_ref, yi_ref
+    )
+
+
+# ── Host-side dispatch ───────────────────────────────────────────────────────
+
+
+def _interpret() -> bool:
+    # On non-TPU platforms (the CPU test mesh) kernels run in interpreter
+    # mode; on TPU they compile through Mosaic.
+    return jax.default_backend() != "tpu"
+
+
+def _const_spec(shape):
+    # Table blocks: same block for every grid step; Pallas skips the re-DMA
+    # when the block index does not change.
+    return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+
+def _vmem_spec(shape, index_map):
+    return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
+
+
+def fused_fft(xr, xi, plan: FusedPlan):
+    """Run one fused transform over a (B, n) batch.
+
+    ``xi`` may be None (real input — forward transforms from the public API).
+    Returns split-complex (yr, yi), each (B, n), in natural spectral order.
+    No normalization is applied (the inverse 1/N scale is the caller's job,
+    mirroring reference ``src/ifft.rs:140-146``).
+    """
+    b, n = xr.shape
+    assert n == plan.n, (n, plan.n)
+    t = plan.tables
+    bt = batch_tile(n, complex_input=xi is not None)
+    bpad = -b % bt
+    if bpad:
+        xr = jnp.pad(xr, ((0, bpad), (0, 0)))
+        if xi is not None:
+            xi = jnp.pad(xi, ((0, bpad), (0, 0)))
+    bp = b + bpad
+    grid = (bp // bt,)
+    out_shape = [
+        jax.ShapeDtypeStruct((bp, n), jnp.float32),
+        jax.ShapeDtypeStruct((bp, n), jnp.float32),
+    ]
+
+    if plan.kind == "direct":
+        data_spec = _vmem_spec((bt, n), lambda i: (i, 0))
+        table_specs = [_const_spec((n, n))] * 2
+        if xi is None:
+            yr, yi = pl.pallas_call(
+                _direct_real_kernel,
+                grid=grid,
+                in_specs=[data_spec] + table_specs,
+                out_specs=[data_spec] * 2,
+                out_shape=out_shape,
+                interpret=_interpret(),
+            )(xr, t["fr"], t["fi"])
+        else:
+            yr, yi = pl.pallas_call(
+                _direct_complex_kernel,
+                grid=grid,
+                in_specs=[data_spec] * 2 + table_specs,
+                out_specs=[data_spec] * 2,
+                out_shape=out_shape,
+                interpret=_interpret(),
+            )(xr, xi, t["fr"], t["fi"])
+        return yr[:b], yi[:b]
+
+    n1, n2 = plan.n1, plan.n2
+    in_spec = _vmem_spec((bt, n1, n2), lambda i: (i, 0, 0))
+    out_spec = _vmem_spec((bt, n2, n1), lambda i: (i, 0, 0))
+    table_specs = [
+        _const_spec((n1, n1)),
+        _const_spec((n1, n1)),
+        _const_spec((n2, n1)),
+        _const_spec((n2, n1)),
+        _const_spec((n2, n2)),
+        _const_spec((n2, n2)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((bp, n2, n1), jnp.float32),
+        jax.ShapeDtypeStruct((bp, n2, n1), jnp.float32),
+    ]
+    tables = (t["f1r"], t["f1i"], t["twr"], t["twi"], t["f2r"], t["f2i"])
+    x3r = xr.reshape(bp, n1, n2)
+    if xi is None:
+        yr, yi = pl.pallas_call(
+            _fourstep_real_kernel,
+            grid=grid,
+            in_specs=[in_spec] + table_specs,
+            out_specs=[out_spec, out_spec],
+            out_shape=out_shape,
+            interpret=_interpret(),
+        )(x3r, *tables)
+    else:
+        x3i = xi.reshape(bp, n1, n2)
+        yr, yi = pl.pallas_call(
+            _fourstep_complex_kernel,
+            grid=grid,
+            in_specs=[in_spec, in_spec] + table_specs,
+            out_specs=[out_spec, out_spec],
+            out_shape=out_shape,
+            interpret=_interpret(),
+        )(x3r, x3i, *tables)
+    # (bp, n2, n1) row-major flattening is already the natural order k1 + n1*k2.
+    return yr.reshape(bp, n)[:b], yi.reshape(bp, n)[:b]

@@ -1,0 +1,273 @@
+"""Forward/inverse FFT orchestration — the public transform semantics.
+
+API parity with the reference facade (``src/lib.rs:119-232``) and
+orchestrators (``src/fft.rs``, ``src/ifft.rs``):
+
+* ``fft(x)``: real f32 signal, zero-padded to the next power of two
+  (``src/fft.rs:40-41``); returns split-complex (real, imag) of padded length.
+  Length 0/1 edge cases return trivially (``src/fft.rs:44-50``).
+* ``ifft(re, im)``: requires equal power-of-two lengths
+  (``src/ifft.rs:44-53``); returns ONE array of length 2N laid out
+  [real | imag] with 1/N normalization (``src/ifft.rs:140-150``).
+* ``fft_batch`` / ``ifft_batch``: all signals padded to the longest signal's
+  power of two and processed in a single device pass (``src/fft.rs:165-284``),
+  the launch-amortization that gives the reference its 13.5x batch win
+  (``README.md:250-262``).
+
+The host API accepts lists/NumPy arrays and returns NumPy arrays (the analog
+of the reference's Vec<f32> host buffers).  The ``*_device`` functions are the
+jit-composable device-resident path for power users and benchmarks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..backends import Backend, resolve_backend
+from ..config import MAX_N
+
+__all__ = [
+    "fft",
+    "ifft",
+    "fft_batch",
+    "ifft_batch",
+    "fft_with",
+    "ifft_with",
+    "fft_device",
+    "ifft_device",
+    "next_power_of_two",
+]
+
+
+def next_power_of_two(n: int) -> int:
+    """Rust ``usize::next_power_of_two`` semantics: 0 -> 1."""
+    if n <= 1:
+        return 1
+    return 1 << (n - 1).bit_length()
+
+
+def _check_n(n: int) -> None:
+    if n > MAX_N:
+        raise ValueError(f"transform length {n} exceeds the supported maximum {MAX_N}")
+
+
+def _dispatch_forward(x2d, backend: Backend):
+    """x2d: (B, n) f32 ndarray -> split-complex (re, im) numpy arrays."""
+    if backend is Backend.NATIVE:
+        from . import transform as _  # noqa: F401  (keep import graph flat)
+        from ..backends import native
+
+        return native.forward(x2d)
+    import jax.numpy as jnp
+
+    xj = jnp.asarray(x2d, dtype=jnp.float32)
+    if backend is Backend.XLA:
+        from ..backends import xla
+
+        yr, yi = xla.forward(xj)
+    else:
+        from ..backends import pallas
+
+        yr, yi = pallas.forward(xj)
+    return np.asarray(yr), np.asarray(yi)
+
+
+def _dispatch_inverse(xr2d, xi2d, backend: Backend):
+    if backend is Backend.NATIVE:
+        from ..backends import native
+
+        return native.inverse(xr2d, xi2d)
+    import jax.numpy as jnp
+
+    xr = jnp.asarray(xr2d, dtype=jnp.float32)
+    xi = jnp.asarray(xi2d, dtype=jnp.float32)
+    if backend is Backend.XLA:
+        from ..backends import xla
+
+        yr, yi = xla.inverse(xr, xi)
+    else:
+        from ..backends import pallas
+
+        yr, yi = pallas.inverse(xr, xi)
+    return np.asarray(yr), np.asarray(yi)
+
+
+# ── Scalar API ───────────────────────────────────────────────────────────────
+
+
+def fft(input, backend=None):
+    """Forward FFT of a real signal; zero-pads to the next power of two.
+
+    Returns ``(real, imag)`` NumPy arrays, each of length
+    ``next_power_of_two(len(input))`` (reference ``src/lib.rs:119-139``).
+    """
+    x = np.asarray(input, dtype=np.float32)
+    if x.ndim != 1:
+        raise ValueError(f"fft expects a 1-D signal, got shape {x.shape}")
+    n_orig = x.shape[0]
+    n = next_power_of_two(n_orig)
+    if n <= 1:
+        real = np.zeros(n, dtype=np.float32)
+        if n == 1 and n_orig == 1:
+            real[0] = x[0]
+        return real, np.zeros(n, dtype=np.float32)
+    _check_n(n)
+    padded = np.zeros((1, n), dtype=np.float32)
+    padded[0, :n_orig] = x
+    yr, yi = _dispatch_forward(padded, resolve_backend(backend))
+    return np.asarray(yr[0]), np.asarray(yi[0])
+
+
+def ifft(input_real, input_imag, backend=None):
+    """Inverse FFT of a split-complex spectrum.
+
+    Both inputs must share the same power-of-two length (pass ``fft`` output
+    unchanged — reference ``src/ifft.rs:44-53``).  Returns ONE array of length
+    2N: ``out[:N]`` is the reconstructed real signal, ``out[N:]`` the
+    imaginary part (~0 for real-valued signals).
+    """
+    xr = np.asarray(input_real, dtype=np.float32)
+    xi = np.asarray(input_imag, dtype=np.float32)
+    if xr.shape != xi.shape or xr.ndim != 1:
+        raise ValueError(
+            f"ifft: real and imag must be equal-length 1-D arrays, got {xr.shape} vs {xi.shape}"
+        )
+    n = xr.shape[0]
+    if n == 0 or n & (n - 1):
+        raise ValueError(f"ifft: input length {n} is not a power of two (pass fft output)")
+    if n <= 1:
+        return np.concatenate([xr, xi])
+    _check_n(n)
+    yr, yi = _dispatch_inverse(xr[None], xi[None], resolve_backend(backend))
+    return np.concatenate([np.asarray(yr[0]), np.asarray(yi[0])])
+
+
+# ── Batch API ────────────────────────────────────────────────────────────────
+
+
+def fft_batch(signals, backend=None):
+    """Forward FFT of a batch of real signals in one device pass.
+
+    All signals are zero-padded to the next power of two of the LONGEST
+    signal (reference ``src/fft.rs:170-174``).  Returns one ``(real, imag)``
+    pair per signal.  An empty batch returns an empty list.
+    """
+    if len(signals) == 0:
+        return []
+    arrays = [np.asarray(s, dtype=np.float32) for s in signals]
+    for a in arrays:
+        if a.ndim != 1:
+            raise ValueError(f"fft_batch expects 1-D signals, got shape {a.shape}")
+    max_len = max(a.shape[0] for a in arrays)
+    n = max(1, next_power_of_two(max_len))
+    if n <= 1:
+        out = []
+        for a in arrays:
+            real = np.zeros(n, dtype=np.float32)
+            if n == 1 and a.shape[0] > 0:
+                real[0] = a[0]
+            out.append((real, np.zeros(n, dtype=np.float32)))
+        return out
+    _check_n(n)
+    batch = np.zeros((len(arrays), n), dtype=np.float32)
+    for b, a in enumerate(arrays):
+        batch[b, : a.shape[0]] = a
+    yr, yi = _dispatch_forward(batch, resolve_backend(backend))
+    yr = np.asarray(yr)
+    yi = np.asarray(yi)
+    return [(yr[b].copy(), yi[b].copy()) for b in range(len(arrays))]
+
+
+def ifft_batch(signals, backend=None):
+    """Inverse FFT of a batch of split-complex spectra in one device pass.
+
+    Each element is a ``(real, imag)`` pair (the direct output of
+    ``fft_batch``); all pairs must share the same power-of-two length
+    (reference ``src/ifft.rs:181-206``).  Returns one length-2N
+    ``[real | imag]`` array per spectrum.
+    """
+    if len(signals) == 0:
+        return []
+    res = [np.asarray(r, dtype=np.float32) for r, _ in signals]
+    ims = [np.asarray(i, dtype=np.float32) for _, i in signals]
+    n = res[0].shape[0]
+    for r, i in zip(res, ims):
+        if r.ndim != 1 or r.shape != i.shape or r.shape[0] != n:
+            raise ValueError("ifft_batch: all (real, imag) pairs must share one 1-D length")
+    if n == 0 or n & (n - 1):
+        raise ValueError(f"ifft_batch: length {n} is not a power of two (pass fft_batch output)")
+    if n <= 1:
+        return [np.concatenate([r, i]) for r, i in zip(res, ims)]
+    _check_n(n)
+    yr, yi = _dispatch_inverse(np.stack(res), np.stack(ims), resolve_backend(backend))
+    yr = np.asarray(yr)
+    yi = np.asarray(yi)
+    return [np.concatenate([yr[b], yi[b]]) for b in range(len(res))]
+
+
+# ── Backend-explicit entry points (reference ``src/lib.rs:68-98``) ───────────
+
+
+def fft_with(input, backend):
+    """Forward FFT via an explicit backend (reference ``fft_with``)."""
+    return fft(input, backend=backend)
+
+
+def ifft_with(input_real, input_imag, backend):
+    """Inverse FFT via an explicit backend (reference ``ifft_with``)."""
+    return ifft(input_real, input_imag, backend=backend)
+
+
+# ── Device-resident API (jit-composable; for pipelines and benchmarks) ───────
+
+
+def fft_device(x, backend=None):
+    """Forward FFT of a device array (rows = signals), staying on device.
+
+    ``x``: (n,) or (B, n) f32 with power-of-two n.  Returns jax arrays.
+    """
+    import jax.numpy as jnp
+
+    x = jnp.asarray(x, dtype=jnp.float32)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[None]
+    n = x.shape[-1]
+    if n & (n - 1) or n < 2:
+        raise ValueError(f"fft_device requires power-of-two n >= 2, got {n}")
+    _check_n(n)
+    backend = resolve_backend(backend)
+    if backend is Backend.XLA:
+        from ..backends import xla
+
+        yr, yi = xla.forward(x)
+    else:
+        from ..backends import pallas
+
+        yr, yi = pallas.forward(x)
+    return (yr[0], yi[0]) if squeeze else (yr, yi)
+
+
+def ifft_device(xr, xi, backend=None):
+    """Inverse FFT of device arrays, staying on device. Returns (real, imag)."""
+    import jax.numpy as jnp
+
+    xr = jnp.asarray(xr, dtype=jnp.float32)
+    xi = jnp.asarray(xi, dtype=jnp.float32)
+    squeeze = xr.ndim == 1
+    if squeeze:
+        xr, xi = xr[None], xi[None]
+    n = xr.shape[-1]
+    if n & (n - 1) or n < 2:
+        raise ValueError(f"ifft_device requires power-of-two n >= 2, got {n}")
+    _check_n(n)
+    backend = resolve_backend(backend)
+    if backend is Backend.XLA:
+        from ..backends import xla
+
+        yr, yi = xla.inverse(xr, xi)
+    else:
+        from ..backends import pallas
+
+        yr, yi = pallas.inverse(xr, xi)
+    return (yr[0], yi[0]) if squeeze else (yr, yi)

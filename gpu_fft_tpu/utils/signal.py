@@ -1,0 +1,60 @@
+"""Signal utilities, matching the reference's ``src/utils.rs`` semantics.
+
+All functions are pure host-side NumPy — they sit beside the transforms, not
+inside them, exactly like the reference's CPU-only utils layer (SURVEY §1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "generate_sine_wave",
+    "calculate_frequencies",
+    "calculate_one_sided_frequencies",
+    "find_dominant_frequencies",
+]
+
+
+def generate_sine_wave(frequency: float, sample_rate: float, duration: float) -> np.ndarray:
+    """sin(2π f n / sr) for n in [0, sample_rate * duration) samples
+    (reference ``src/utils.rs:26-31``)."""
+    num_samples = int(sample_rate * duration)
+    n = np.arange(num_samples, dtype=np.float32)
+    return np.sin(2.0 * np.pi * frequency * n / sample_rate).astype(np.float32)
+
+
+def calculate_frequencies(n: int, sample_rate: float) -> np.ndarray:
+    """Two-sided bin -> Hz map: bin k is k * sample_rate / n
+    (reference ``src/utils.rs:50-52``)."""
+    return (np.arange(n, dtype=np.float32) * np.float32(sample_rate) / np.float32(n)).astype(
+        np.float32
+    )
+
+
+def calculate_one_sided_frequencies(n_total: int, sample_rate: float) -> np.ndarray:
+    """The n_total // 2 + 1 unique non-negative frequencies, 0 Hz ... Nyquist
+    (reference ``src/utils.rs:71-75``)."""
+    k = np.arange(n_total // 2 + 1, dtype=np.float32)
+    return (k * np.float32(sample_rate) / np.float32(n_total)).astype(np.float32)
+
+
+def find_dominant_frequencies(psd, frequencies, threshold: float) -> list[tuple[float, float]]:
+    """Local peaks above threshold; endpoints excluded
+    (reference ``src/utils.rs:100-110``).
+
+    A peak strictly exceeds both neighbors and the threshold.  Returns
+    (frequency, power) pairs in ascending bin order.
+    """
+    p = np.asarray(psd, dtype=np.float32)
+    f = np.asarray(frequencies, dtype=np.float32)
+    if p.shape != f.shape:
+        raise ValueError(
+            f"psd and frequencies must have the same length, got {p.shape} vs {f.shape}"
+        )
+    if p.shape[0] < 3:
+        return []
+    mid = p[1:-1]
+    mask = (mid > p[:-2]) & (mid > p[2:]) & (mid > threshold)
+    idx = np.nonzero(mask)[0] + 1
+    return [(float(f[i]), float(p[i])) for i in idx]

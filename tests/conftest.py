@@ -1,0 +1,53 @@
+"""Test harness configuration.
+
+Tests run on an 8-device virtual CPU mesh (TPU hardware is not assumed in
+CI): Pallas kernels execute in interpreter mode, sharding tests get 8 real
+XLA devices.  The same code paths compile natively on TPU — `bench.py` and
+`scripts/tpu_check.py` exercise them on hardware.
+
+Mirrors the reference's test fixture (`tests/common/mod.rs`): EPSILON = 1e-3
+absolute tolerance, labeled approx asserts.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+# The axon TPU plugin force-registers itself regardless of JAX_PLATFORMS, so
+# the platform override must go through jax.config before first backend use.
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+# Reference tolerance: tests/common/mod.rs:6.
+EPSILON = 1e-3
+
+
+def assert_approx(actual, expected, eps=EPSILON, label=""):
+    actual = float(actual)
+    expected = float(expected)
+    assert abs(actual - expected) <= eps, (
+        f"{label}: {actual} != {expected} (diff {abs(actual - expected):.3e} > {eps})"
+    )
+
+
+def assert_slice_approx(actual, expected, eps=EPSILON, label=""):
+    a = np.asarray(actual, dtype=np.float64)
+    e = np.asarray(expected, dtype=np.float64)
+    assert a.shape == e.shape, f"{label}: shape {a.shape} != {e.shape}"
+    diff = np.abs(a - e)
+    idx = int(np.argmax(diff)) if diff.size else 0
+    assert diff.size == 0 or diff.max() <= eps, (
+        f"{label}: max diff {diff.max():.3e} > {eps} at index {idx} "
+        f"({a.flat[idx]} vs {e.flat[idx]})"
+    )
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
