@@ -24,6 +24,13 @@ DIRECT_MAX = 512
 #   the whole transform fuses, not just the first 10 stages.
 FUSED_MAX = 65536
 
+# Minimum length at which the forward REAL-input transform switches to the
+# fused half-length packed transform + untangle ("rfft kernel"), halving the
+# dominant matmul work.  The kernel's layout-forced factorization
+# (n/256, 128) is only balanced from 32768 up; below that the plain real
+# four-step path is faster (measured on v5e).
+RFFT_MIN = 32768
+
 # Maximum supported transform length.  Above FUSED_MAX the transform is
 # factored recursively at the JAX level (kernels/large.py); two balanced
 # levels cover up to FUSED_MAX**2, far beyond the 2**20 target.

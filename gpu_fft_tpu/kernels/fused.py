@@ -137,6 +137,103 @@ def _fourstep_complex_kernel(
     )
 
 
+def _rfft_kernel_factory(n, h1, h2):
+    """Fully-fused real-input forward FFT kernel for length n = 2 * h1 * h2.
+
+    Pipeline, entirely in VMEM: even/odd selection matmul -> half-length
+    complex four-step -> conjugate-symmetric untangle (index reversal via
+    exact permutation matmuls, see plan.get_rfft_plan) -> full n-bin
+    spectrum.  Roughly halves the full-precision MXU work of the forward
+    path versus transforming the zero-padded complex signal.
+    """
+    t = 2 * h2  # PACK_TILE; h1 = n // t by construction (see get_rfft_plan)
+    assert h1 == n // t
+
+    def kernel(
+        x_ref, sel, f1r, f1i, twr, twi, f2r, f2i, pc, q1, q0, ur, ui, yr_ref, yi_ref
+    ):
+        bt = x_ref.shape[0]  # input block is (bt, h1, t), pre-shaped by caller
+        # Step 0: even/odd deinterleave on the MXU.  The (n/t, t/2)-tiled
+        # halves are exactly the (h1, h2) four-step view — no reshape.
+        packed = _dot(x_ref[...].reshape(bt * h1, t), sel[...])
+        p3 = packed.reshape(bt, h1, t)
+        zr = p3[:, :, : t // 2]
+        zi = p3[:, :, t // 2 :]
+        # Half-length complex four-step.
+        xtr = jnp.swapaxes(zr, 1, 2).reshape(bt * h2, h1)
+        xti = jnp.swapaxes(zi, 1, 2).reshape(bt * h2, h1)
+        pr, pi = _cmatmul(xtr, xti, f1r[...], f1i[...])
+        p3r = pr.reshape(bt, h2, h1)
+        p3i = pi.reshape(bt, h2, h1)
+        wr, wi = _cmul(p3r, p3i, twr[...][None], twi[...][None])
+        qr_ = jnp.swapaxes(wr, 1, 2).reshape(bt * h1, h2)
+        qi_ = jnp.swapaxes(wi, 1, 2).reshape(bt * h1, h2)
+        rr, ri = _cmatmul(qr_, qi_, f2r[...], f2i[...])
+        # Natural-order half spectrum A[k2, k1] = Z[k1 + h1*k2].
+        ar = jnp.swapaxes(rr.reshape(bt, h1, h2), 1, 2)
+        ai = jnp.swapaxes(ri.reshape(bt, h1, h2), 1, 2)
+        # Index reversal Z[(h-k) % h] via permutation matmuls.
+        b1r = _dot(ar.reshape(bt * h2, h1), pc[...]).reshape(bt, h2, h1)
+        b1i = _dot(ai.reshape(bt * h2, h1), pc[...]).reshape(bt, h2, h1)
+        b1r_sw = jnp.swapaxes(b1r, 1, 2).reshape(bt * h1, h2)
+        b1i_sw = jnp.swapaxes(b1i, 1, 2).reshape(bt * h1, h2)
+
+        def row_perm(q):
+            dr = jnp.swapaxes(_dot(b1r_sw, q[...]).reshape(bt, h1, h2), 1, 2)
+            di = jnp.swapaxes(_dot(b1i_sw, q[...]).reshape(bt, h1, h2), 1, 2)
+            return dr, di
+
+        d1r, d1i = row_perm(q1)
+        d0r, d0i = row_perm(q0)
+        col0 = jax.lax.broadcasted_iota(jnp.int32, (bt, h2, h1), 2) == 0
+        revr = jnp.where(col0, d0r, d1r)
+        revi = jnp.where(col0, d0i, d1i)
+        # Untangle: E + u*O (first half), E - u*O (second half).
+        er = 0.5 * (ar + revr)
+        ei = 0.5 * (ai - revi)
+        o_r = 0.5 * (ai + revi)
+        o_i = -0.5 * (ar - revr)
+        tr, ti = _cmul(o_r, o_i, ur[...][None], ui[...][None])
+        yr_ref[...] = jnp.stack([er + tr, er - tr], axis=1)
+        yi_ref[...] = jnp.stack([ei + ti, ei - ti], axis=1)
+
+    return kernel
+
+
+def fused_rfft(x, plan):
+    """Real-input forward transform via the fused rfft kernel.
+
+    ``x``: (B, n) real f32.  Returns split-complex (B, n) natural order.
+    """
+    b, n = x.shape
+    assert n == 2 * plan.n1 * plan.n2, (n, plan.n1, plan.n2)
+    h1, h2 = plan.n1, plan.n2
+    t = plan.tables
+    bt = batch_tile(n, complex_input=True)
+    bpad = -b % bt
+    if bpad:
+        x = jnp.pad(x, ((0, bpad), (0, 0)))
+    bp = b + bpad
+    grid = (bp // bt,)
+    pack_t = 2 * h2
+    # 3-D input blocks keep the last two dims tile-aligned even at bt=1.
+    in_spec = _vmem_spec((bt, h1, pack_t), lambda i: (i, 0, 0))
+    out_spec = _vmem_spec((bt, 2, h2, h1), lambda i: (i, 0, 0, 0))
+    names = ("sel", "f1r", "f1i", "twr", "twi", "f2r", "f2i", "pc", "q1", "q0", "ur", "ui")
+    table_specs = [_const_spec(t[k].shape) for k in names]
+    out_shape = [jax.ShapeDtypeStruct((bp, 2, h2, h1), jnp.float32)] * 2
+    yr, yi = pl.pallas_call(
+        _rfft_kernel_factory(n, h1, h2),
+        grid=grid,
+        in_specs=[in_spec] + table_specs,
+        out_specs=[out_spec, out_spec],
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(x.reshape(bp, h1, pack_t), *(t[k] for k in names))
+    # (bt, 2, h2, h1) flattens to [half*h + k2*h1 + k1] = the natural k order.
+    return yr.reshape(bp, n)[:b], yi.reshape(bp, n)[:b]
+
+
 # ── Host-side dispatch ───────────────────────────────────────────────────────
 
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["dft_matrix", "twiddle_table"]
+__all__ = ["dft_matrix", "twiddle_table", "untangle_twiddle"]
 
 
 def _split_exp(num: np.ndarray, denom: int, sign: int) -> tuple[np.ndarray, np.ndarray]:
@@ -49,3 +49,16 @@ def twiddle_table(rows: int, cols: int, n: int, sign: int) -> tuple[np.ndarray, 
     a = np.arange(rows, dtype=np.int64)
     b = np.arange(cols, dtype=np.int64)
     return _split_exp(np.outer(a, b), n, sign)
+
+
+def untangle_twiddle(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """u[k] = exp(-2πi * k / n) for k < n/2, shape (n/2,) f32.
+
+    The post-processing twiddle of the real-input half-length FFT
+    ("rfft trick"): a real signal of length n packs even/odd samples into a
+    complex signal of length n/2, transforms once, and untangles the
+    conjugate-symmetric halves with this table — halving the dominant matmul
+    work of the forward path.
+    """
+    k = np.arange(n // 2, dtype=np.int64)
+    return _split_exp(k, n, -1)

@@ -101,6 +101,99 @@ def get_fused_plan(n: int, sign: int) -> FusedPlan:
 
 
 @functools.lru_cache(maxsize=None)
+def get_untangle(n: int) -> tuple[Any, Any]:
+    """Cached (n/2,) split-complex rfft untangle table for real-input length n."""
+    from .kernels.tables import untangle_twiddle
+
+    return untangle_twiddle(n)
+
+
+# Tile width for the even/odd deinterleave selection matmul (see
+# kernels/large.py::_rfft_real).  256 divides every supported rfft length.
+PACK_TILE = 256
+
+
+@functools.lru_cache(maxsize=None)
+def get_pack_matrix() -> Any:
+    """(PACK_TILE, PACK_TILE) selection matrix D with D[2j, j] = D[2j+1, t/2+j] = 1.
+
+    ``x_tiles @ D`` deinterleaves even/odd samples on the MXU: lane-strided
+    slicing is a slow gather on TPU (~150 us for a 4 MiB batch), while a 0/1
+    selection matmul at HIGHEST precision is exact and runs at memory speed.
+    """
+    import numpy as np
+
+    t = PACK_TILE
+    d = np.zeros((t, t), dtype=np.float32)
+    j = np.arange(t // 2)
+    d[2 * j, j] = 1.0
+    d[2 * j + 1, t // 2 + j] = 1.0
+    return d
+
+
+@functools.lru_cache(maxsize=None)
+def get_rfft_plan(n: int) -> FusedPlan:
+    """Plan for the fully-fused real-input forward transform ("rfft kernel").
+
+    The kernel packs even/odd samples with a selection matmul, runs the
+    half-length complex four-step, and untangles the conjugate-symmetric
+    spectrum in VMEM.  The untangle needs Z[(h-k) % h]; Mosaic has no flip
+    primitive, so the index reversal is done with exact 0/1 permutation
+    matmuls in digit space:
+
+      rev(k1 + h1*k2) digits: (h1-k1 mod h1, h2-1-k2) for k1 >= 1,
+                              (0,            h2-k2 mod h2) for k1 == 0.
+
+    ``pc`` permutes the k1 (lane) axis; ``q1``/``q0`` permute the k2 axis via
+    right-matmul on the swapped layout; the k1 == 0 column selects the q0
+    variant.  ``u`` is the untangle twiddle exp(-2pi*i*k/n) laid out
+    [k2, k1].
+    """
+    import numpy as np
+
+    from .kernels.tables import _split_exp
+
+    if n < 2048 or n & (n - 1):
+        raise ValueError(f"rfft plan requires power-of-two n >= 2048, got {n}")
+    h = n // 2
+    if h > FUSED_MAX:
+        raise ValueError(f"rfft plan half-length {h} exceeds FUSED_MAX")
+    # Split chosen so the packed even/odd tile layout IS the (h1, h2) view:
+    # the selection matmul yields (n / PACK_TILE, PACK_TILE/2)-tiled halves,
+    # i.e. exactly (h1, h2) = (n/256, 128) — Mosaic cannot reshape across
+    # lane boundaries, so the factorization must follow the layout.
+    h1, h2 = n // PACK_TILE, PACK_TILE // 2
+    f1r, f1i = dft_matrix(h1, -1)
+    f2r, f2i = dft_matrix(h2, -1)
+    twr, twi = twiddle_table(h2, h1, h, -1)
+    pc = np.zeros((h1, h1), dtype=np.float32)
+    k1 = np.arange(h1)
+    pc[(h1 - k1) % h1, k1] = 1.0
+    q1 = np.zeros((h2, h2), dtype=np.float32)
+    q0 = np.zeros((h2, h2), dtype=np.float32)
+    k2 = np.arange(h2)
+    q1[h2 - 1 - k2, k2] = 1.0
+    q0[(h2 - k2) % h2, k2] = 1.0
+    flat_k = np.add.outer(h1 * np.arange(h2, dtype=np.int64), np.arange(h1, dtype=np.int64))
+    ur, ui = _split_exp(flat_k, n, -1)
+    tables = {
+        "sel": get_pack_matrix(),
+        "f1r": f1r,
+        "f1i": f1i,
+        "twr": twr,
+        "twi": twi,
+        "f2r": f2r,
+        "f2i": f2i,
+        "pc": pc,
+        "q1": q1,
+        "q0": q0,
+        "ur": ur,
+        "ui": ui,
+    }
+    return FusedPlan(n=n, sign=-1, kind="rfft", n1=h1, n2=h2, tables=tables)
+
+
+@functools.lru_cache(maxsize=None)
 def get_large_twiddle(n: int, sign: int) -> tuple[Any, Any, int, int]:
     """Twiddle table and (n1, n2) split for the JAX-level large-N recursion."""
     if n <= FUSED_MAX:
