@@ -2,16 +2,21 @@
 BENCH_DETAILS.json.
 
 Configs mirror the reference benchmark suite (``benches/fft_bench.rs``):
-scalar fwd/inv sweep over N, batched transforms, batch-vs-sequential speedup,
-roundtrip, backend comparison (PALLAS vs the XLA vendor FFT — the analog of
-``benches/compare_bench.rs``'s WGPU-vs-MLX groups), plus the accuracy gate
-(roundtrip error vs 5*log2(N)*eps, ``tests/roundtrip.rs:63``).
+scalar fwd/inv sweep over N, batched transforms, batch-vs-sequential
+speedup, roundtrip, backend comparison (PALLAS vs the XLA vendor FFT — the
+analog of ``benches/compare_bench.rs``'s WGPU-vs-MLX groups), plus the
+accuracy gate (roundtrip error vs 5*log2(N)*eps, ``tests/roundtrip.rs:63``).
 
-Timing methodology: device-resident arrays, per-call ``block_until_ready``
-(the analog of the reference's synchronous ``client.read_one`` per call),
-warm-up excluded like Criterion's warm-up phase (``fft_bench.rs:71-72``).
-Throughput = elements/second, matching ``Throughput::Elements``
-(``fft_bench.rs:76``).
+Timing methodology — chained on-device iteration:
+    In this environment the TPU sits behind an async tunnel where
+    ``block_until_ready`` returns before execution completes and a host
+    readback costs ~28 ms, so naive per-call timing measures dispatch, not
+    compute.  Instead each config runs x = step(x) inside ``lax.fori_loop``
+    for k1 and k2 iterations (data-dependent chain — no elision possible for
+    FFT custom calls), syncs with a scalar readback, and reports
+    (T(k2) - T(k1)) / (k2 - k1): pure steady-state per-transform device time.
+    Throughput = elements/second, matching Criterion's
+    ``Throughput::Elements`` (``fft_bench.rs:76``).
 """
 
 from __future__ import annotations
@@ -26,31 +31,36 @@ import numpy as np
 BASELINE_FFT_65536_MELEM_S = 69.73
 
 RNG = np.random.default_rng(42)
+K1, K2, REPS = 50, 1050, 4
 
 
-def _time_call(fn, *args, min_time=0.6, warmup=3):
+def _chained_time(step, x0, k1=K1, k2=K2, reps=REPS):
+    """Median steady-state seconds per step(x) on device (see module doc)."""
     import jax
+    from jax import lax
 
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    # Estimate, then run for ~min_time seconds.
-    t0 = time.perf_counter()
-    jax.block_until_ready(fn(*args))
-    est = time.perf_counter() - t0
-    iters = max(5, int(min_time / max(est, 1e-6)))
-    iters = min(iters, 2000)
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        times.append(time.perf_counter() - t0)
-    times = np.array(times)
-    return {
-        "mean_s": float(times.mean()),
-        "median_s": float(np.median(times)),
-        "std_s": float(times.std()),
-        "iters": int(iters),
-    }
+    def make(k):
+        @jax.jit
+        def run(x):
+            return lax.fori_loop(0, k, lambda i, x: step(x), x)
+
+        return run
+
+    r1, r2 = make(k1), make(k2)
+    # Warm-up compiles (the analog of Criterion's warm-up + the reference's
+    # documented first-call shader compile, README.md:87-89).
+    _ = np.asarray(r1(x0).ravel()[0:1])
+    _ = np.asarray(r2(x0).ravel()[0:1])
+
+    def t(run):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _ = np.asarray(run(x0).ravel()[0:1])
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    return (t(r2) - t(r1)) / (k2 - k1)
 
 
 def main() -> None:
@@ -58,63 +68,81 @@ def main() -> None:
     import jax.numpy as jnp
 
     import gpu_fft_tpu as gf
-    from gpu_fft_tpu.backends import xla
+    from gpu_fft_tpu.kernels.large import transform_any
 
+    start = time.time()
     platform = jax.default_backend()
-    details: dict = {"platform": platform, "device": str(jax.devices()[0]), "configs": {}}
-
-    def record(name, stats, elems):
-        stats = dict(stats)
-        stats["melem_per_s"] = elems / stats["median_s"] / 1e6
-        details["configs"][name] = stats
-        return stats["melem_per_s"]
+    details: dict = {
+        "platform": platform,
+        "device": str(jax.devices()[0]),
+        "method": "chained fori_loop, (T(k2)-T(k1))/(k2-k1), scalar-readback sync",
+        "configs": {},
+    }
 
     def dev(shape):
         return jnp.asarray(RNG.standard_normal(shape).astype(np.float32))
 
-    # ── Scalar forward sweep (fft_bench.rs SIZES) ───────────────────────────
-    for n in (256, 1024, 4096, 16384, 65536):
-        x = dev((1, n))
-        record(f"fft_n{n}", _time_call(gf.fft_device, x), n)
+    def record(name, step, x0, elems):
+        try:
+            sec = _chained_time(step, x0)
+            melem = elems / sec / 1e6
+            details["configs"][name] = {"per_call_s": sec, "melem_per_s": melem}
+            return melem
+        except Exception as e:  # keep the harness robust on odd platforms
+            details["configs"][name] = {"error": str(e)[:300]}
+            return None
 
-    # ── Scalar inverse + roundtrip at 65536 ─────────────────────────────────
-    n = 65536
-    x = dev((1, n))
-    yr, yi = gf.fft_device(x)
-    record(f"ifft_n{n}", _time_call(gf.ifft_device, yr, yi), n)
+    def fwd_step(n):
+        s = np.float32(1.0 / np.sqrt(n))
+        def step(x):
+            yr, yi = transform_any(x, None, n, -1)
+            return yr * s
+        return step
 
-    def roundtrip(x):
-        r, i = gf.fft_device(x)
-        return gf.ifft_device(r, i)
+    def xla_step(n):
+        s = np.float32(1.0 / np.sqrt(n))
+        def step(x):
+            return jnp.real(jnp.fft.fft(x.astype(jnp.complex64))) * s
+        return step
 
-    record(f"roundtrip_n{n}", _time_call(roundtrip, x), n)
+    def inv_step(n):
+        s = np.float32(np.sqrt(n))
+        def step(x):
+            yr, yi = transform_any(x, x * np.float32(0.5), n, +1)
+            return yr * (s / n)
+        return step
+
+    def roundtrip_step(n):
+        def step(x):
+            yr, yi = transform_any(x, None, n, -1)
+            rr, ri = transform_any(yr, yi, n, +1)
+            return rr * np.float32(1.0 / n)
+        return step
+
+    # ── Scalar forward sweep (fft_bench.rs SIZES + large-N extension) ───────
+    for n in (1024, 4096, 16384, 65536, 1 << 20):
+        record(f"fft_n{n}", fwd_step(n), dev((1, n)), n)
+
+    # ── Inverse + roundtrip at the headline size ────────────────────────────
+    record("ifft_n65536", inv_step(65536), dev((1, 65536)), 65536)
+    record("roundtrip_n65536", roundtrip_step(65536), dev((1, 65536)), 65536)
 
     # ── Batched (fft_bench.rs BATCH_SIZES x BATCH_N) ────────────────────────
-    for b, nn in ((16, 65536), (64, 4096), (16, 16384)):
-        xb = dev((b, nn))
-        record(f"fft_batch_b{b}_n{nn}", _time_call(gf.fft_device, xb), b * nn)
+    record("fft_batch_b16_n65536", fwd_step(65536), dev((16, 65536)), 16 * 65536)
+    record("fft_batch_b64_n4096", fwd_step(4096), dev((64, 4096)), 64 * 4096)
 
-    # Batch-vs-sequential speedup (README.md:250-262 pattern), B=64 N=4096.
-    xb = dev((64, 4096))
-    batch_t = details["configs"]["fft_batch_b64_n4096"]["median_s"]
-    xs = dev((1, 4096))
+    # ── Backend comparison: XLA vendor FFT (compare_bench.rs analog) ────────
+    record("xla_fft_n65536", xla_step(65536), dev((1, 65536)), 65536)
+    record("xla_fft_batch_b16_n65536", xla_step(65536), dev((16, 65536)), 16 * 65536)
 
-    def seq64(x):
-        outs = [gf.fft_device(x) for _ in range(64)]
-        return outs[-1]
-
-    seq = _time_call(seq64, xs, min_time=0.4)
-    details["configs"]["fft_sequential_64_n4096"] = seq
-    details["batch_vs_sequential_speedup"] = seq["median_s"] / batch_t
-
-    # ── Large-N (beyond the reference's max benchmarked size) ───────────────
-    x = dev((1, 1 << 20))
-    record("fft_n1048576", _time_call(gf.fft_device, x), 1 << 20)
-
-    # ── Backend comparison: PALLAS vs XLA vendor FFT (compare_bench.rs) ─────
-    for n in (4096, 65536):
-        x = dev((1, n))
-        record(f"xla_fft_n{n}", _time_call(xla.forward, x), n)
+    # Batch-vs-sequential speedup (README.md:250-262): B back-to-back scalar
+    # transforms vs one batched pass.
+    c = details["configs"]
+    try:
+        seq = 64 * c["fft_n4096"]["per_call_s"]
+        details["batch_vs_sequential_speedup_b64_n4096"] = seq / c["fft_batch_b64_n4096"]["per_call_s"]
+    except KeyError:
+        pass
 
     # ── Accuracy gate: roundtrip err <= 5*log2(N)*eps ───────────────────────
     eps32 = float(np.finfo(np.float32).eps)
@@ -128,8 +156,9 @@ def main() -> None:
         acc[f"n{n}"] = {"max_err": err, "bound": bound, "pass": bool(err <= bound)}
     details["accuracy"] = acc
     details["accuracy_all_pass"] = all(v["pass"] for v in acc.values())
+    details["wall_s"] = time.time() - start
 
-    headline = details["configs"]["fft_n65536"]["melem_per_s"]
+    headline = (details["configs"].get("fft_n65536") or {}).get("melem_per_s", 0.0) or 0.0
     details["headline"] = {
         "metric": "fft_n65536_device_melem_per_s",
         "value": headline,

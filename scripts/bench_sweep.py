@@ -1,0 +1,141 @@
+"""Full benchmark sweep -> raw JSON for the report generator.
+
+The exhaustive analog of the reference's Criterion suite
+(``benches/fft_bench.rs``: scalar/batch/radix sweeps; ``compare_bench.rs``:
+backend comparison).  ``bench.py`` at the repo root is the driver's quick
+headline harness; this script runs the full matrix and writes
+``bench-results/raw_<timestamp>.json`` for ``export_report.py``.
+
+Usage: python scripts/bench_sweep.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+SIZES = [256, 1024, 4096, 16384, 65536, 262144]
+BATCHES = [(16, 65536), (64, 4096), (16, 16384), (4, 262144)]
+K1, K2, REPS = 50, 1050, 4
+
+
+def chained_time(step, x0, k1=K1, k2=K2, reps=REPS):
+    import jax
+    from jax import lax
+
+    def make(k):
+        @jax.jit
+        def run(x):
+            return lax.fori_loop(0, k, lambda i, x: step(x), x)
+
+        return run
+
+    r1, r2 = make(k1), make(k2)
+    _ = np.asarray(r1(x0).ravel()[0:1])
+    _ = np.asarray(r2(x0).ravel()[0:1])
+
+    def t(run):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _ = np.asarray(run(x0).ravel()[0:1])
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    return (t(r2) - t(r1)) / (k2 - k1)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true", help="fewer configs")
+    parser.add_argument("--out", default=None)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from gpu_fft_tpu.kernels.large import transform_any
+
+    rng = np.random.default_rng(7)
+    sizes = SIZES[:4] if args.quick else SIZES
+    batches = BATCHES[:2] if args.quick else BATCHES
+
+    def dev(shape):
+        return jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+
+    def fwd(n, backend):
+        s = np.float32(1.0 / np.sqrt(n))
+        if backend == "xla":
+            return lambda x: jnp.real(jnp.fft.fft(x.astype(jnp.complex64))) * s
+        return lambda x: transform_any(x, None, n, -1)[0] * s
+
+    def inv(n, backend):
+        s = np.float32(1.0 / np.sqrt(n))
+        if backend == "xla":
+            return lambda x: jnp.real(jnp.fft.ifft(x.astype(jnp.complex64))) * (s * n)
+        def step(x):
+            yr, yi = transform_any(x, x * np.float32(0.5), n, +1)
+            return yr * s
+        return step
+
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], capture_output=True, text=True
+        ).stdout.strip()
+    except OSError:
+        commit = "unknown"
+
+    results = {
+        "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+        "commit": commit,
+        "platform": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "entries": [],
+    }
+
+    def run(name, kind, backend, b, n, step):
+        try:
+            sec = chained_time(step, dev((b, n)))
+            melem = b * n / sec / 1e6
+            results["entries"].append(
+                {
+                    "name": name,
+                    "kind": kind,
+                    "backend": backend,
+                    "batch": b,
+                    "n": n,
+                    "per_call_us": sec * 1e6,
+                    "melem_per_s": melem,
+                }
+            )
+            print(f"{name:36s} {sec * 1e6:9.2f} us  {melem:10.0f} Melem/s", flush=True)
+        except Exception as e:
+            print(f"{name:36s} ERROR {str(e)[:80]}", flush=True)
+
+    for n in sizes:
+        for backend in ("pallas", "xla"):
+            run(f"fft/{backend}/n{n}", "fft", backend, 1, n, fwd(n, backend))
+    for n in ([4096, 65536] if not args.quick else [4096]):
+        for backend in ("pallas", "xla"):
+            run(f"ifft/{backend}/n{n}", "ifft", backend, 1, n, inv(n, backend))
+    for b, n in batches:
+        for backend in ("pallas", "xla"):
+            run(f"fft_batch/{backend}/b{b}_n{n}", "fft_batch", backend, b, n, fwd(n, backend))
+
+    out = args.out or f"bench-results/raw_{time.strftime('%Y%m%d_%H%M%S')}.json"
+    pathlib.Path(out).parent.mkdir(parents=True, exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

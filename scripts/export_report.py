@@ -1,0 +1,265 @@
+"""Render a benchmark report (markdown + SVG charts) from sweep JSON.
+
+The analog of the reference's ``scripts/export_bench.py``: parses raw results,
+renders SVG charts with a fixed, CVD-validated palette, and emits a markdown
+report with a date/commit header, chart embeds, a full summary table, and the
+raw data in a collapsible block (``export_bench.py:610-744`` structure).
+
+Chart design follows the repo's dataviz conventions: <=3 fixed-order series
+(PALLAS blue #2a78d6, XLA orange #eb6834, reference baseline aqua #1baf7a —
+an all-pairs-validated triple), one axis per chart, thin marks, recessive
+grid, direct end-labels plus a legend, and the full data table in the report
+as the accessible view.
+
+Usage: python scripts/export_report.py [raw.json] [--out bench-results]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+# Fixed series colors (validated all-pairs triple; see .claude dataviz notes).
+C_PALLAS = "#2a78d6"
+C_XLA = "#eb6834"
+C_REF = "#1baf7a"
+SURFACE = "#fcfcfb"
+TEXT = "#0b0b0b"
+TEXT_2 = "#52514e"
+GRID = "#e7e6e2"
+
+# Reference (eugenehp/gpu-fft) published scalar fft throughput, M4 Mini wgpu
+# (BASELINE.md): N -> Melem/s.
+REFERENCE_SCALAR = {256: 0.654, 1024: 2.54, 4096: 9.16, 16384: 29.63, 65536: 69.73}
+REFERENCE_MLX_65536 = 313.0
+
+
+def _style(ax):
+    ax.set_facecolor(SURFACE)
+    for side in ("top", "right"):
+        ax.spines[side].set_visible(False)
+    for side in ("left", "bottom"):
+        ax.spines[side].set_color(GRID)
+    ax.tick_params(colors=TEXT_2, labelsize=9)
+    ax.grid(True, color=GRID, linewidth=0.6, zorder=0)
+    ax.set_axisbelow(True)
+
+
+def chart_scalar_throughput(entries, path):
+    import matplotlib
+
+    matplotlib.use("svg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(7.2, 4.2), facecolor=SURFACE)
+    _style(ax)
+    series = {"pallas": (C_PALLAS, "PALLAS (this library)"), "xla": (C_XLA, "XLA jnp.fft")}
+    for backend, (color, label) in series.items():
+        pts = sorted(
+            (e["n"], e["melem_per_s"])
+            for e in entries
+            if e["kind"] == "fft" and e["backend"] == backend and e["batch"] == 1
+        )
+        if not pts:
+            continue
+        xs, ys = zip(*pts)
+        ax.plot(xs, ys, color=color, linewidth=2, marker="o", markersize=6, label=label, zorder=3)
+        ax.annotate(
+            label.split(" ")[0],
+            (xs[-1], ys[-1]),
+            textcoords="offset points",
+            xytext=(6, 0),
+            fontsize=9,
+            color=color,
+        )
+    rx, ry = zip(*sorted(REFERENCE_SCALAR.items()))
+    ax.plot(
+        rx,
+        ry,
+        color=C_REF,
+        linewidth=2,
+        linestyle="--",
+        marker="s",
+        markersize=6,
+        label="reference gpu-fft (M4 wgpu)",
+        zorder=3,
+    )
+    ax.set_xscale("log", base=2)
+    ax.set_yscale("log", base=10)
+    ax.set_xlabel("transform length N", color=TEXT_2)
+    ax.set_ylabel("throughput (Melem/s, log)", color=TEXT_2)
+    ax.set_title("Scalar forward FFT throughput", color=TEXT, fontsize=12)
+    ax.legend(frameon=False, fontsize=9, labelcolor=TEXT_2)
+    fig.tight_layout()
+    fig.savefig(path, facecolor=SURFACE)
+    plt.close(fig)
+
+
+def chart_batch_throughput(entries, path):
+    import matplotlib
+
+    matplotlib.use("svg")
+    import matplotlib.pyplot as plt
+
+    configs = sorted(
+        {(e["batch"], e["n"]) for e in entries if e["kind"] == "fft_batch"}
+    )
+    if not configs:
+        return False
+    fig, ax = plt.subplots(figsize=(7.2, 4.2), facecolor=SURFACE)
+    _style(ax)
+    width = 0.38
+    labels = [f"B={b}\nN={n}" for b, n in configs]
+    for off, backend, color, label in (
+        (-width / 2, "pallas", C_PALLAS, "PALLAS"),
+        (width / 2, "xla", C_XLA, "XLA"),
+    ):
+        vals = []
+        for b, n in configs:
+            v = [
+                e["melem_per_s"]
+                for e in entries
+                if e["kind"] == "fft_batch" and e["backend"] == backend
+                and e["batch"] == b and e["n"] == n
+            ]
+            vals.append(v[0] / 1e3 if v else 0.0)
+        xs = [i + off for i in range(len(configs))]
+        bars = ax.bar(xs, vals, width=width - 0.04, color=color, label=label, zorder=3)
+        for rect, v in zip(bars, vals):
+            ax.annotate(
+                f"{v:.1f}",
+                (rect.get_x() + rect.get_width() / 2, rect.get_height()),
+                textcoords="offset points",
+                xytext=(0, 3),
+                ha="center",
+                fontsize=8,
+                color=TEXT_2,
+            )
+    ax.set_xticks(range(len(configs)))
+    ax.set_xticklabels(labels)
+    ax.set_ylabel("throughput (Gelem/s)", color=TEXT_2)
+    ax.set_title("Batched forward FFT throughput", color=TEXT, fontsize=12)
+    ax.legend(frameon=False, fontsize=9, labelcolor=TEXT_2)
+    fig.tight_layout()
+    fig.savefig(path, facecolor=SURFACE)
+    plt.close(fig)
+    return True
+
+
+def chart_latency(entries, path):
+    import matplotlib
+
+    matplotlib.use("svg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(7.2, 4.2), facecolor=SURFACE)
+    _style(ax)
+    for backend, color, label in (
+        ("pallas", C_PALLAS, "PALLAS"),
+        ("xla", C_XLA, "XLA"),
+    ):
+        pts = sorted(
+            (e["n"], e["per_call_us"])
+            for e in entries
+            if e["kind"] == "fft" and e["backend"] == backend and e["batch"] == 1
+        )
+        if not pts:
+            continue
+        xs, ys = zip(*pts)
+        ax.plot(xs, ys, color=color, linewidth=2, marker="o", markersize=6, label=label, zorder=3)
+    ax.set_xscale("log", base=2)
+    ax.set_yscale("log", base=10)
+    ax.set_xlabel("transform length N", color=TEXT_2)
+    ax.set_ylabel("device time per transform (µs, log)", color=TEXT_2)
+    ax.set_title("Scalar forward FFT latency", color=TEXT, fontsize=12)
+    ax.legend(frameon=False, fontsize=9, labelcolor=TEXT_2)
+    fig.tight_layout()
+    fig.savefig(path, facecolor=SURFACE)
+    plt.close(fig)
+
+
+def render_markdown(raw, charts, out_md):
+    lines = [
+        "# gpu_fft_tpu benchmark report",
+        "",
+        f"- **Date:** {raw.get('timestamp', time.strftime('%Y-%m-%d %H:%M:%S'))}",
+        f"- **Commit:** {raw.get('commit', 'unknown')}",
+        f"- **Platform:** {raw.get('platform', '?')} — {raw.get('device', '?')}",
+        "- **Method:** chained on-device iteration (steady-state per-transform time);"
+        " throughput = elements/second",
+        f"- **Reference baseline:** eugenehp/gpu-fft on Apple M4 Mini (wgpu):"
+        f" scalar fft N=65,536 at {REFERENCE_SCALAR[65536]} Melem/s; MLX best"
+        f" {REFERENCE_MLX_65536} Melem/s",
+        "",
+    ]
+    for title, rel in charts:
+        lines += [f"## {title}", "", f"![{title}]({rel})", ""]
+    lines += [
+        "## Summary",
+        "",
+        "| Benchmark | Backend | B | N | per-transform | Melem/s |",
+        "|---|---|---:|---:|---:|---:|",
+    ]
+    for e in raw["entries"]:
+        us = e["per_call_us"]
+        t = f"{us:.2f} µs" if us < 1000 else f"{us / 1000:.3f} ms"
+        lines.append(
+            f"| {e['kind']} | {e['backend']} | {e['batch']} | {e['n']} | {t} |"
+            f" {e['melem_per_s']:.0f} |"
+        )
+    lines += [
+        "",
+        "<details><summary>Raw data (JSON)</summary>",
+        "",
+        "```json",
+        json.dumps(raw, indent=2),
+        "```",
+        "",
+        "</details>",
+        "",
+    ]
+    out_md.write_text("\n".join(lines))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("raw", nargs="?", default=None, help="raw sweep JSON")
+    parser.add_argument("--out", default="bench-results")
+    args = parser.parse_args()
+
+    out = pathlib.Path(args.out)
+    (out / "charts").mkdir(parents=True, exist_ok=True)
+
+    if args.raw:
+        raw_path = pathlib.Path(args.raw)
+    else:
+        candidates = sorted(out.glob("raw_*.json"))
+        if not candidates:
+            sys.exit("no raw_*.json found; run scripts/bench_sweep.py first")
+        raw_path = candidates[-1]
+    raw = json.loads(raw_path.read_text())
+    entries = raw["entries"]
+
+    charts = []
+    chart_scalar_throughput(entries, out / "charts" / "scalar_throughput.svg")
+    charts.append(("Scalar throughput", "charts/scalar_throughput.svg"))
+    chart_latency(entries, out / "charts" / "scalar_latency.svg")
+    charts.append(("Scalar latency", "charts/scalar_latency.svg"))
+    if chart_batch_throughput(entries, out / "charts" / "batch_throughput.svg"):
+        charts.append(("Batched throughput", "charts/batch_throughput.svg"))
+
+    render_markdown(raw, charts, out / "latest.md")
+    # Timestamped archive (the reference's bench-results/archive layout,
+    # scripts/bench.sh:37).
+    archive = out / "archive"
+    archive.mkdir(exist_ok=True)
+    stamp = time.strftime("%Y%m%d_%H%M%S")
+    (archive / f"report_{stamp}.md").write_text((out / "latest.md").read_text())
+    print(f"wrote {out / 'latest.md'} (+{len(charts)} charts, archived as report_{stamp}.md)")
+
+
+if __name__ == "__main__":
+    main()
