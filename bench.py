@@ -31,36 +31,13 @@ import numpy as np
 BASELINE_FFT_65536_MELEM_S = 69.73
 
 RNG = np.random.default_rng(42)
-K1, K2, REPS = 50, 1050, 4
 
 
-def _chained_time(step, x0, k1=K1, k2=K2, reps=REPS):
+def _chained_time(step, x0):
     """Median steady-state seconds per step(x) on device (see module doc)."""
-    import jax
-    from jax import lax
+    from gpu_fft_tpu.utils.profiling import chained_step_time
 
-    def make(k):
-        @jax.jit
-        def run(x):
-            return lax.fori_loop(0, k, lambda i, x: step(x), x)
-
-        return run
-
-    r1, r2 = make(k1), make(k2)
-    # Warm-up compiles (the analog of Criterion's warm-up + the reference's
-    # documented first-call shader compile, README.md:87-89).
-    _ = np.asarray(r1(x0).ravel()[0:1])
-    _ = np.asarray(r2(x0).ravel()[0:1])
-
-    def t(run):
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            _ = np.asarray(run(x0).ravel()[0:1])
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
-
-    return (t(r2) - t(r1)) / (k2 - k1)
+    return chained_step_time(step, x0, k1=50, k2=1050, reps=4)
 
 
 def main() -> None:
@@ -83,13 +60,17 @@ def main() -> None:
         return jnp.asarray(RNG.standard_normal(shape).astype(np.float32))
 
     def record(name, step, x0, elems):
+        import sys
+
         try:
             sec = _chained_time(step, x0)
             melem = elems / sec / 1e6
             details["configs"][name] = {"per_call_s": sec, "melem_per_s": melem}
+            print(f"[bench] {name}: {sec * 1e6:.2f} us, {melem:.0f} Melem/s", file=sys.stderr, flush=True)
             return melem
         except Exception as e:  # keep the harness robust on odd platforms
             details["configs"][name] = {"error": str(e)[:300]}
+            print(f"[bench] {name}: ERROR {str(e)[:120]}", file=sys.stderr, flush=True)
             return None
 
     def fwd_step(n):

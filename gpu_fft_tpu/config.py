@@ -41,6 +41,12 @@ MAX_N = 1 << 24
 # within the ~16 MiB scoped-VMEM limit observed on v5e.
 VMEM_BUDGET_BYTES = 3 * 1024 * 1024
 
+# Use the Gauss/Karatsuba 3-multiplication complex matmul instead of the
+# 4-multiplication form.  Saves 25% of the full-precision MXU passes (the
+# dominant kernel cost); the extra additions introduce a small, bounded
+# cancellation error, validated against the 5*log2(N)*eps roundtrip gate.
+KARATSUBA = True
+
 # ── Environment ──────────────────────────────────────────────────────────────
 # Default backend override, mirroring the reference's feature-flag default
 # runtime selection (reference ``src/lib.rs:113-117``).

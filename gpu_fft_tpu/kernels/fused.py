@@ -17,6 +17,7 @@ deliberate departure, per the repo north star:
 
     - ``direct``:   X = x @ F_n                      (one complex matmul)
     - ``fourstep``: n = n1*n2 Cooley-Tukey factorization
+    - ``rfft``:     real-input forward via the fused half-length transform
 
   Four-step derivation (flat index n = a*n2 + b, output k = k1 + n1*k2):
 
@@ -34,6 +35,10 @@ deliberate departure, per the repo north star:
   kernel (see kernels/tables.py), instead of per-thread cos/sin
   (``src/butterfly.rs:45-48``).
 
+* Complex matmuls use the Gauss/Karatsuba 3-multiplication form by default
+  (``config.KARATSUBA``), with the sum/difference matrices precomputed in
+  f64 — 25% fewer full-precision MXU passes than the 4-multiplication form.
+
 Batching: the grid iterates over row-tiles of the (B, n) batch, the analog of
 the reference's flat batched dispatches (``butterfly_inner_batch``,
 ``src/butterfly.rs:238-298``) — launch count stays independent of B, which is
@@ -42,17 +47,16 @@ the reference's central batching win (``README.md:451-455``).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..config import KARATSUBA
 from ..plan import FusedPlan, batch_tile
 
-__all__ = ["fused_fft"]
+__all__ = ["fused_fft", "fused_rfft"]
 
 
 def _dot(a, b):
@@ -60,7 +64,8 @@ def _dot(a, b):
 
     HIGHEST forces the 6-pass bf16 decomposition of f32 matmuls, which is what
     lets the matmul formulation meet the reference's 5*log2(N)*eps roundtrip
-    accuracy gate (``tests/roundtrip.rs:62-71``).
+    accuracy gate (``tests/roundtrip.rs:62-71``).  DEFAULT (single-pass bf16)
+    measures ~3e-3 relative error — far outside the gate.
     """
     return jnp.dot(a, b, precision=lax.Precision.HIGHEST, preferred_element_type=jnp.float32)
 
@@ -70,10 +75,21 @@ def _cmul(ar, ai, br, bi):
     return ar * br - ai * bi, ar * bi + ai * br
 
 
-def _cmatmul(ar, ai, br, bi):
-    """Split-complex matmul via 4 real MXU matmuls (no Karatsuba: the 3-matmul
-    trick introduces cancellation error that threatens the accuracy gate)."""
-    return _dot(ar, br) - _dot(ai, bi), _dot(ar, bi) + _dot(ai, br)
+def _cmatmul(ar, ai, f):
+    """Split-complex matmul against a table group f = (fr, fi, fsum, fdif).
+
+    KARATSUBA=True: Gauss 3-multiplication form
+        k1 = (ar + ai) @ fr;  k2 = ar @ (fi - fr);  k3 = ai @ (fr + fi)
+        re = k1 - k3;         im = k1 + k2
+    (3 full-precision MXU passes); otherwise the plain 4-multiplication form.
+    """
+    fr, fi, fs, fd = f
+    if KARATSUBA:
+        k1 = _dot(ar + ai, fr)
+        k2 = _dot(ar, fd)
+        k3 = _dot(ai, fs)
+        return k1 - k3, k1 + k2
+    return _dot(ar, fr) - _dot(ai, fi), _dot(ar, fi) + _dot(ai, fr)
 
 
 # ── Kernel bodies ────────────────────────────────────────────────────────────
@@ -85,15 +101,15 @@ def _direct_real_kernel(x_ref, fr_ref, fi_ref, yr_ref, yi_ref):
     yi_ref[...] = _dot(x, fi_ref[...])
 
 
-def _direct_complex_kernel(xr_ref, xi_ref, fr_ref, fi_ref, yr_ref, yi_ref):
-    xr, xi = xr_ref[...], xi_ref[...]
-    fr, fi = fr_ref[...], fi_ref[...]
-    yr, yi = _cmatmul(xr, xi, fr, fi)
+def _direct_complex_kernel(xr_ref, xi_ref, fr_ref, fi_ref, fs_ref, fd_ref, yr_ref, yi_ref):
+    yr, yi = _cmatmul(
+        xr_ref[...], xi_ref[...], (fr_ref[...], fi_ref[...], fs_ref[...], fd_ref[...])
+    )
     yr_ref[...] = yr
     yi_ref[...] = yi
 
 
-def _fourstep_core(pr, pi, bt, n1, n2, twr, twi, f2r, f2i, yr_ref, yi_ref):
+def _fourstep_core(pr, pi, bt, n1, n2, twr, twi, f2, yr_ref, yi_ref):
     """Steps shared by the real/complex four-step kernels.
 
     ``pr, pi``: column-DFT output, shape (bt*n2, n1), row index (batch, b),
@@ -106,34 +122,36 @@ def _fourstep_core(pr, pi, bt, n1, n2, twr, twi, f2r, f2i, yr_ref, yi_ref):
     zr, zi = _cmul(p3r, p3i, twr[None], twi[None])  # twiddle W_n^(b*k1), (n2, n1)
     qr = jnp.swapaxes(zr, 1, 2).reshape(bt * n1, n2)
     qi = jnp.swapaxes(zi, 1, 2).reshape(bt * n1, n2)
-    rr, ri = _cmatmul(qr, qi, f2r, f2i)  # rows (batch, k1), cols k2
+    rr, ri = _cmatmul(qr, qi, f2)  # rows (batch, k1), cols k2
     yr_ref[...] = jnp.swapaxes(rr.reshape(bt, n1, n2), 1, 2)
     yi_ref[...] = jnp.swapaxes(ri.reshape(bt, n1, n2), 1, 2)
 
 
 def _fourstep_real_kernel(
-    x_ref, f1r_ref, f1i_ref, twr_ref, twi_ref, f2r_ref, f2i_ref, yr_ref, yi_ref
+    x_ref, f1r, f1i, twr, twi, f2r, f2i, f2s, f2d, yr_ref, yi_ref
 ):
     bt, n1, n2 = x_ref.shape
     xt = jnp.swapaxes(x_ref[...], 1, 2).reshape(bt * n2, n1)
-    # Column DFT of a REAL signal: 2 matmuls instead of 4 — the forward public
-    # API always takes real input, so the fast path is structural.
-    pr = _dot(xt, f1r_ref[...])
-    pi = _dot(xt, f1i_ref[...])
+    # Column DFT of a REAL signal: 2 matmuls instead of 3/4 — the forward
+    # public API always takes real input, so the fast path is structural.
+    pr = _dot(xt, f1r[...])
+    pi = _dot(xt, f1i[...])
     _fourstep_core(
-        pr, pi, bt, n1, n2, twr_ref[...], twi_ref[...], f2r_ref[...], f2i_ref[...], yr_ref, yi_ref
+        pr, pi, bt, n1, n2, twr[...], twi[...],
+        (f2r[...], f2i[...], f2s[...], f2d[...]), yr_ref, yi_ref,
     )
 
 
 def _fourstep_complex_kernel(
-    xr_ref, xi_ref, f1r_ref, f1i_ref, twr_ref, twi_ref, f2r_ref, f2i_ref, yr_ref, yi_ref
+    xr_ref, xi_ref, f1r, f1i, f1s, f1d, twr, twi, f2r, f2i, f2s, f2d, yr_ref, yi_ref
 ):
     bt, n1, n2 = xr_ref.shape
     xtr = jnp.swapaxes(xr_ref[...], 1, 2).reshape(bt * n2, n1)
     xti = jnp.swapaxes(xi_ref[...], 1, 2).reshape(bt * n2, n1)
-    pr, pi = _cmatmul(xtr, xti, f1r_ref[...], f1i_ref[...])
+    pr, pi = _cmatmul(xtr, xti, (f1r[...], f1i[...], f1s[...], f1d[...]))
     _fourstep_core(
-        pr, pi, bt, n1, n2, twr_ref[...], twi_ref[...], f2r_ref[...], f2i_ref[...], yr_ref, yi_ref
+        pr, pi, bt, n1, n2, twr[...], twi[...],
+        (f2r[...], f2i[...], f2s[...], f2d[...]), yr_ref, yi_ref,
     )
 
 
@@ -150,7 +168,8 @@ def _rfft_kernel_factory(n, h1, h2):
     assert h1 == n // t
 
     def kernel(
-        x_ref, sel, f1r, f1i, twr, twi, f2r, f2i, pc, q1, q0, ur, ui, yr_ref, yi_ref
+        x_ref, sel, f1r, f1i, f1s, f1d, twr, twi, f2r, f2i, f2s, f2d,
+        pc, q1, q0, ur, ui, yr_ref, yi_ref,
     ):
         bt = x_ref.shape[0]  # input block is (bt, h1, t), pre-shaped by caller
         # Step 0: even/odd deinterleave on the MXU.  The (n/t, t/2)-tiled
@@ -162,17 +181,17 @@ def _rfft_kernel_factory(n, h1, h2):
         # Half-length complex four-step.
         xtr = jnp.swapaxes(zr, 1, 2).reshape(bt * h2, h1)
         xti = jnp.swapaxes(zi, 1, 2).reshape(bt * h2, h1)
-        pr, pi = _cmatmul(xtr, xti, f1r[...], f1i[...])
+        pr, pi = _cmatmul(xtr, xti, (f1r[...], f1i[...], f1s[...], f1d[...]))
         p3r = pr.reshape(bt, h2, h1)
         p3i = pi.reshape(bt, h2, h1)
         wr, wi = _cmul(p3r, p3i, twr[...][None], twi[...][None])
         qr_ = jnp.swapaxes(wr, 1, 2).reshape(bt * h1, h2)
         qi_ = jnp.swapaxes(wi, 1, 2).reshape(bt * h1, h2)
-        rr, ri = _cmatmul(qr_, qi_, f2r[...], f2i[...])
+        rr, ri = _cmatmul(qr_, qi_, (f2r[...], f2i[...], f2s[...], f2d[...]))
         # Natural-order half spectrum A[k2, k1] = Z[k1 + h1*k2].
         ar = jnp.swapaxes(rr.reshape(bt, h1, h2), 1, 2)
         ai = jnp.swapaxes(ri.reshape(bt, h1, h2), 1, 2)
-        # Index reversal Z[(h-k) % h] via permutation matmuls.
+        # Index reversal Z[(h-k) % h] via permutation matmuls (exact 0/1).
         b1r = _dot(ar.reshape(bt * h2, h1), pc[...]).reshape(bt, h2, h1)
         b1i = _dot(ai.reshape(bt * h2, h1), pc[...]).reshape(bt, h2, h1)
         b1r_sw = jnp.swapaxes(b1r, 1, 2).reshape(bt * h1, h2)
@@ -198,40 +217,6 @@ def _rfft_kernel_factory(n, h1, h2):
         yi_ref[...] = jnp.stack([ei + ti, ei - ti], axis=1)
 
     return kernel
-
-
-def fused_rfft(x, plan):
-    """Real-input forward transform via the fused rfft kernel.
-
-    ``x``: (B, n) real f32.  Returns split-complex (B, n) natural order.
-    """
-    b, n = x.shape
-    assert n == 2 * plan.n1 * plan.n2, (n, plan.n1, plan.n2)
-    h1, h2 = plan.n1, plan.n2
-    t = plan.tables
-    bt = batch_tile(n, complex_input=True)
-    bpad = -b % bt
-    if bpad:
-        x = jnp.pad(x, ((0, bpad), (0, 0)))
-    bp = b + bpad
-    grid = (bp // bt,)
-    pack_t = 2 * h2
-    # 3-D input blocks keep the last two dims tile-aligned even at bt=1.
-    in_spec = _vmem_spec((bt, h1, pack_t), lambda i: (i, 0, 0))
-    out_spec = _vmem_spec((bt, 2, h2, h1), lambda i: (i, 0, 0, 0))
-    names = ("sel", "f1r", "f1i", "twr", "twi", "f2r", "f2i", "pc", "q1", "q0", "ur", "ui")
-    table_specs = [_const_spec(t[k].shape) for k in names]
-    out_shape = [jax.ShapeDtypeStruct((bp, 2, h2, h1), jnp.float32)] * 2
-    yr, yi = pl.pallas_call(
-        _rfft_kernel_factory(n, h1, h2),
-        grid=grid,
-        in_specs=[in_spec] + table_specs,
-        out_specs=[out_spec, out_spec],
-        out_shape=out_shape,
-        interpret=_interpret(),
-    )(x.reshape(bp, h1, pack_t), *(t[k] for k in names))
-    # (bt, 2, h2, h1) flattens to [half*h + k2*h1 + k1] = the natural k order.
-    return yr.reshape(bp, n)[:b], yi.reshape(bp, n)[:b]
 
 
 # ── Host-side dispatch ───────────────────────────────────────────────────────
@@ -279,62 +264,95 @@ def fused_fft(xr, xi, plan: FusedPlan):
 
     if plan.kind == "direct":
         data_spec = _vmem_spec((bt, n), lambda i: (i, 0))
-        table_specs = [_const_spec((n, n))] * 2
         if xi is None:
+            names = ("fr", "fi")
             yr, yi = pl.pallas_call(
                 _direct_real_kernel,
                 grid=grid,
-                in_specs=[data_spec] + table_specs,
+                in_specs=[data_spec] + [_const_spec(t[k].shape) for k in names],
                 out_specs=[data_spec] * 2,
                 out_shape=out_shape,
                 interpret=_interpret(),
-            )(xr, t["fr"], t["fi"])
+            )(xr, *(t[k] for k in names))
         else:
+            names = ("fr", "fi", "fs", "fd")
             yr, yi = pl.pallas_call(
                 _direct_complex_kernel,
                 grid=grid,
-                in_specs=[data_spec] * 2 + table_specs,
+                in_specs=[data_spec] * 2 + [_const_spec(t[k].shape) for k in names],
                 out_specs=[data_spec] * 2,
                 out_shape=out_shape,
                 interpret=_interpret(),
-            )(xr, xi, t["fr"], t["fi"])
+            )(xr, xi, *(t[k] for k in names))
         return yr[:b], yi[:b]
 
     n1, n2 = plan.n1, plan.n2
     in_spec = _vmem_spec((bt, n1, n2), lambda i: (i, 0, 0))
     out_spec = _vmem_spec((bt, n2, n1), lambda i: (i, 0, 0))
-    table_specs = [
-        _const_spec((n1, n1)),
-        _const_spec((n1, n1)),
-        _const_spec((n2, n1)),
-        _const_spec((n2, n1)),
-        _const_spec((n2, n2)),
-        _const_spec((n2, n2)),
-    ]
     out_shape = [
         jax.ShapeDtypeStruct((bp, n2, n1), jnp.float32),
         jax.ShapeDtypeStruct((bp, n2, n1), jnp.float32),
     ]
-    tables = (t["f1r"], t["f1i"], t["twr"], t["twi"], t["f2r"], t["f2i"])
     x3r = xr.reshape(bp, n1, n2)
     if xi is None:
+        names = ("f1r", "f1i", "twr", "twi", "f2r", "f2i", "f2s", "f2d")
         yr, yi = pl.pallas_call(
             _fourstep_real_kernel,
             grid=grid,
-            in_specs=[in_spec] + table_specs,
+            in_specs=[in_spec] + [_const_spec(t[k].shape) for k in names],
             out_specs=[out_spec, out_spec],
             out_shape=out_shape,
             interpret=_interpret(),
-        )(x3r, *tables)
+        )(x3r, *(t[k] for k in names))
     else:
         x3i = xi.reshape(bp, n1, n2)
+        names = (
+            "f1r", "f1i", "f1s", "f1d", "twr", "twi", "f2r", "f2i", "f2s", "f2d"
+        )
         yr, yi = pl.pallas_call(
             _fourstep_complex_kernel,
             grid=grid,
-            in_specs=[in_spec, in_spec] + table_specs,
+            in_specs=[in_spec, in_spec] + [_const_spec(t[k].shape) for k in names],
             out_specs=[out_spec, out_spec],
             out_shape=out_shape,
             interpret=_interpret(),
-        )(x3r, x3i, *tables)
+        )(x3r, x3i, *(t[k] for k in names))
     # (bp, n2, n1) row-major flattening is already the natural order k1 + n1*k2.
+    return yr.reshape(bp, n)[:b], yi.reshape(bp, n)[:b]
+
+
+def fused_rfft(x, plan):
+    """Real-input forward transform via the fused rfft kernel.
+
+    ``x``: (B, n) real f32.  Returns split-complex (B, n) natural order.
+    """
+    b, n = x.shape
+    assert n == 2 * plan.n1 * plan.n2, (n, plan.n1, plan.n2)
+    h1, h2 = plan.n1, plan.n2
+    t = plan.tables
+    bt = batch_tile(n, complex_input=True)
+    bpad = -b % bt
+    if bpad:
+        x = jnp.pad(x, ((0, bpad), (0, 0)))
+    bp = b + bpad
+    grid = (bp // bt,)
+    pack_t = 2 * h2
+    # 3-D input blocks keep the last two dims tile-aligned even at bt=1.
+    in_spec = _vmem_spec((bt, h1, pack_t), lambda i: (i, 0, 0))
+    out_spec = _vmem_spec((bt, 2, h2, h1), lambda i: (i, 0, 0, 0))
+    names = (
+        "sel", "f1r", "f1i", "f1s", "f1d", "twr", "twi",
+        "f2r", "f2i", "f2s", "f2d", "pc", "q1", "q0", "ur", "ui",
+    )
+    table_specs = [_const_spec(t[k].shape) for k in names]
+    out_shape = [jax.ShapeDtypeStruct((bp, 2, h2, h1), jnp.float32)] * 2
+    yr, yi = pl.pallas_call(
+        _rfft_kernel_factory(n, h1, h2),
+        grid=grid,
+        in_specs=[in_spec] + table_specs,
+        out_specs=[out_spec, out_spec],
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(x.reshape(bp, h1, pack_t), *(t[k] for k in names))
+    # (bt, 2, h2, h1) flattens to [half*h + k2*h1 + k1] = the natural k order.
     return yr.reshape(bp, n)[:b], yi.reshape(bp, n)[:b]

@@ -16,59 +16,10 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..config import FUSED_MAX, RFFT_MIN
-from ..plan import get_fused_plan, get_large_twiddle, get_untangle
+from ..plan import get_fused_plan, get_large_twiddle
 from .fused import fused_fft
 
 __all__ = ["transform_any"]
-
-
-def _rfft_real_large(x, n: int):
-    """Forward FFT of real rows via the half-length complex transform.
-
-    Packs even/odd samples into a complex signal of length h = n/2, runs ONE
-    complex transform, and untangles the conjugate-symmetric spectrum:
-
-        E[k] = (Z[k] + conj(Z[(h-k)%h])) / 2      (FFT of even samples)
-        O[k] = -i/2 * (Z[k] - conj(Z[(h-k)%h]))    (FFT of odd samples)
-        X[k]     = E[k] + W_n^k O[k]
-        X[k + h] = E[k] - W_n^k O[k]
-
-    This halves the dominant full-precision matmul work of the forward path —
-    an optimization the reference never had (it always runs the full complex
-    transform on zero imaginary input, ``src/fft.rs:59``).
-    """
-    from jax import lax
-
-    from ..plan import PACK_TILE, get_pack_matrix
-
-    b = x.shape[0]
-    h = n // 2
-    # Even/odd deinterleave via an exact 0/1 selection matmul (lane-strided
-    # slicing is a slow gather on TPU; the MXU does this at memory speed).
-    # Within each PACK_TILE lane tile: out[:, :t/2] = evens, out[:, t/2:] = odds,
-    # and tile-local even index j maps to global packed index i*(t/2)+j — the
-    # natural order of the packed signal.
-    t = PACK_TILE
-    sel = jnp.asarray(get_pack_matrix())
-    xm = x.reshape(b * (n // t), t)
-    packed = jnp.dot(xm, sel, precision=lax.Precision.HIGHEST, preferred_element_type=jnp.float32)
-    p3 = packed.reshape(b, n // t, t)
-    zr = p3[:, :, : t // 2].reshape(b, h)
-    zi = p3[:, :, t // 2 :].reshape(b, h)
-    zr, zi = transform_any(zr, zi, h, -1)
-    # Z[(h-k) % h]: flip then roll (free in XLA, fused into the untangle).
-    rr = jnp.roll(jnp.flip(zr, axis=1), 1, axis=1)
-    ri = jnp.roll(jnp.flip(zi, axis=1), 1, axis=1)
-    er = 0.5 * (zr + rr)
-    ei = 0.5 * (zi - ri)
-    o_r = 0.5 * (zi + ri)
-    o_i = -0.5 * (zr - rr)
-    ur, ui = get_untangle(n)
-    tr = o_r * ur[None] - o_i * ui[None]
-    ti = o_r * ui[None] + o_i * ur[None]
-    yr = jnp.concatenate([er + tr, er - tr], axis=1)
-    yi = jnp.concatenate([ei + ti, ei - ti], axis=1)
-    return yr.reshape(b, n), yi.reshape(b, n)
 
 
 def transform_any(xr, xi, n: int, sign: int):
@@ -76,13 +27,14 @@ def transform_any(xr, xi, n: int, sign: int):
 
     ``xi`` may be None (real input).  Unnormalized; natural output order.
     """
-    if xi is None and sign == -1 and n >= RFFT_MIN:
-        if n <= 2 * FUSED_MAX:
-            from ..plan import get_rfft_plan
-            from .fused import fused_rfft
+    if xi is None and sign == -1 and RFFT_MIN <= n <= 2 * FUSED_MAX:
+        # Above 2*FUSED_MAX the JAX-level rfft wrapper measures SLOWER than
+        # the plain real-first-stage recursion (extra pack/untangle HBM
+        # passes dominate), so it is not used there.
+        from ..plan import get_rfft_plan
+        from .fused import fused_rfft
 
-            return fused_rfft(xr, get_rfft_plan(n))
-        return _rfft_real_large(xr, n)
+        return fused_rfft(xr, get_rfft_plan(n))
     if n <= FUSED_MAX:
         return fused_fft(xr, xi, get_fused_plan(n, sign))
 

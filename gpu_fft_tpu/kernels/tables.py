@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["dft_matrix", "twiddle_table", "untangle_twiddle"]
+__all__ = ["dft_matrix", "dft_matrix_ext", "twiddle_table"]
 
 
 def _split_exp(num: np.ndarray, denom: int, sign: int) -> tuple[np.ndarray, np.ndarray]:
@@ -41,6 +41,26 @@ def dft_matrix(n: int, sign: int) -> tuple[np.ndarray, np.ndarray]:
     return _split_exp(np.outer(k, k), n, sign)
 
 
+def dft_matrix_ext(n: int, sign: int) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(fr, fi, fr+fi, fi-fr), the sum/difference computed in f64.
+
+    The extra two matrices feed the Gauss/Karatsuba 3-multiplication complex
+    matmul (see kernels/fused.py): precomputing cos+sin and sin-cos in f64
+    costs no accuracy, unlike deriving them from the rounded f32 tables.
+    """
+    k = np.arange(n, dtype=np.int64)
+    reduced = np.mod(np.outer(k, k), n).astype(np.float64)
+    ang = (2.0 * np.pi / n) * reduced
+    c = np.cos(ang)
+    s = np.sin(ang) if sign > 0 else -np.sin(ang)
+    return (
+        c.astype(np.float32),
+        s.astype(np.float32),
+        (c + s).astype(np.float32),
+        (s - c).astype(np.float32),
+    )
+
+
 def twiddle_table(rows: int, cols: int, n: int, sign: int) -> tuple[np.ndarray, np.ndarray]:
     """Split-complex twiddle T[a, b] = exp(sign * 2πi * a * b / n), (rows, cols) f32.
 
@@ -49,16 +69,3 @@ def twiddle_table(rows: int, cols: int, n: int, sign: int) -> tuple[np.ndarray, 
     a = np.arange(rows, dtype=np.int64)
     b = np.arange(cols, dtype=np.int64)
     return _split_exp(np.outer(a, b), n, sign)
-
-
-def untangle_twiddle(n: int) -> tuple[np.ndarray, np.ndarray]:
-    """u[k] = exp(-2πi * k / n) for k < n/2, shape (n/2,) f32.
-
-    The post-processing twiddle of the real-input half-length FFT
-    ("rfft trick"): a real signal of length n packs even/odd samples into a
-    complex signal of length n/2, transforms once, and untangles the
-    conjugate-symmetric halves with this table — halving the dominant matmul
-    work of the forward path.
-    """
-    k = np.arange(n // 2, dtype=np.int64)
-    return _split_exp(k, n, -1)

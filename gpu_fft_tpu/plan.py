@@ -18,7 +18,7 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from .config import DIRECT_MAX, FUSED_MAX, MAX_N, VMEM_BUDGET_BYTES
-from .kernels.tables import dft_matrix, twiddle_table
+from .kernels.tables import dft_matrix, dft_matrix_ext, twiddle_table
 
 __all__ = ["FusedPlan", "get_fused_plan", "balanced_split", "batch_tile"]
 
@@ -83,29 +83,26 @@ def get_fused_plan(n: int, sign: int) -> FusedPlan:
         raise ValueError(f"sign must be -1 or +1, got {sign}")
 
     if n <= DIRECT_MAX:
-        fr, fi = dft_matrix(n, sign)
+        fr, fi, fs, fd = dft_matrix_ext(n, sign)
         # Tables are cached as NumPy arrays: jit lifts them into the traced
         # program as device-resident constants, and caching device/tracer
-        # objects across traces would leak tracers.
-        tables = {"fr": fr, "fi": fi}
+        # objects across traces would leak tracers.  The sum/diff variants
+        # feed the 3-multiplication complex matmul (kernels/fused.py).
+        tables = {"fr": fr, "fi": fi, "fs": fs, "fd": fd}
         return FusedPlan(n=n, sign=sign, kind="direct", n1=n, n2=1, tables=tables)
 
     n1, n2 = balanced_split(n)
-    f1r, f1i = dft_matrix(n1, sign)
-    f2r, f2i = dft_matrix(n2, sign)
+    f1r, f1i, f1s, f1d = dft_matrix_ext(n1, sign)
+    f2r, f2i, f2s, f2d = dft_matrix_ext(n2, sign)
     # Twiddle oriented (n2, n1): applied to the intermediate indexed
     # [n2, k1] right after the column DFT (see kernels/fused.py).
     twr, twi = twiddle_table(n2, n1, n, sign)
-    tables = {"f1r": f1r, "f1i": f1i, "f2r": f2r, "f2i": f2i, "twr": twr, "twi": twi}
+    tables = {
+        "f1r": f1r, "f1i": f1i, "f1s": f1s, "f1d": f1d,
+        "f2r": f2r, "f2i": f2i, "f2s": f2s, "f2d": f2d,
+        "twr": twr, "twi": twi,
+    }
     return FusedPlan(n=n, sign=sign, kind="fourstep", n1=n1, n2=n2, tables=tables)
-
-
-@functools.lru_cache(maxsize=None)
-def get_untangle(n: int) -> tuple[Any, Any]:
-    """Cached (n/2,) split-complex rfft untangle table for real-input length n."""
-    from .kernels.tables import untangle_twiddle
-
-    return untangle_twiddle(n)
 
 
 # Tile width for the even/odd deinterleave selection matmul (see
@@ -163,8 +160,8 @@ def get_rfft_plan(n: int) -> FusedPlan:
     # i.e. exactly (h1, h2) = (n/256, 128) — Mosaic cannot reshape across
     # lane boundaries, so the factorization must follow the layout.
     h1, h2 = n // PACK_TILE, PACK_TILE // 2
-    f1r, f1i = dft_matrix(h1, -1)
-    f2r, f2i = dft_matrix(h2, -1)
+    f1r, f1i, f1s, f1d = dft_matrix_ext(h1, -1)
+    f2r, f2i, f2s, f2d = dft_matrix_ext(h2, -1)
     twr, twi = twiddle_table(h2, h1, h, -1)
     pc = np.zeros((h1, h1), dtype=np.float32)
     k1 = np.arange(h1)
@@ -178,17 +175,11 @@ def get_rfft_plan(n: int) -> FusedPlan:
     ur, ui = _split_exp(flat_k, n, -1)
     tables = {
         "sel": get_pack_matrix(),
-        "f1r": f1r,
-        "f1i": f1i,
-        "twr": twr,
-        "twi": twi,
-        "f2r": f2r,
-        "f2i": f2i,
-        "pc": pc,
-        "q1": q1,
-        "q0": q0,
-        "ur": ur,
-        "ui": ui,
+        "f1r": f1r, "f1i": f1i, "f1s": f1s, "f1d": f1d,
+        "f2r": f2r, "f2i": f2i, "f2s": f2s, "f2d": f2d,
+        "twr": twr, "twi": twi,
+        "pc": pc, "q1": q1, "q0": q0,
+        "ur": ur, "ui": ui,
     }
     return FusedPlan(n=n, sign=-1, kind="rfft", n1=h1, n2=h2, tables=tables)
 

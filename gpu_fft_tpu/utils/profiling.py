@@ -1,0 +1,109 @@
+"""Timing and tracing utilities — the library's observability layer.
+
+The reference has no in-library profiling; callers time with
+``std::time::Instant`` and Criterion handles benchmark statistics (SURVEY §5,
+reference ``examples/simple.rs:25-27``, ``benches/fft_bench.rs:71-83``).  The
+TPU equivalents live here:
+
+* ``chained_step_time`` — the honest device-timing primitive.  Behind an
+  async PJRT transport, ``block_until_ready`` can return before execution
+  completes and a host readback costs tens of milliseconds, so per-call
+  wall-clock timing measures dispatch, not compute.  This runs x = step(x)
+  inside ``lax.fori_loop`` for two iteration counts (a data-dependent chain —
+  custom calls cannot be elided or fused away) and differences them:
+  steady-state per-step device time, floor-free.
+* ``benchmark`` — convenience wrapper returning time + throughput.
+* ``trace`` — context manager around ``jax.profiler`` for xprof captures.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from dataclasses import dataclass
+
+import numpy as np
+
+__all__ = ["chained_step_time", "benchmark", "BenchResult", "trace"]
+
+
+def chained_step_time(step, x0, k1: int = 50, k2: int = 1050, reps: int = 4) -> float:
+    """Median steady-state seconds per ``step(x)`` on device.
+
+    ``step`` must be shape-preserving (its output feeds the next iteration).
+    Warm-up compiles are excluded, like Criterion's warm-up phase
+    (reference ``fft_bench.rs:71-72``).
+    """
+    import jax
+    from jax import lax
+
+    if k2 <= k1:
+        raise ValueError(f"k2 ({k2}) must exceed k1 ({k1})")
+
+    def make(k):
+        @jax.jit
+        def run(x):
+            return lax.fori_loop(0, k, lambda i, x: step(x), x)
+
+        return run
+
+    def measure(k1_, k2_):
+        r1, r2 = make(k1_), make(k2_)
+        _ = np.asarray(r1(x0).ravel()[0:1])
+        _ = np.asarray(r2(x0).ravel()[0:1])
+
+        def t(run):
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                _ = np.asarray(run(x0).ravel()[0:1])
+                ts.append(time.perf_counter() - t0)
+            return float(np.median(ts))
+
+        return (t(r2) - t(r1)) / (k2_ - k1_)
+
+    sec = measure(k1, k2)
+    # Sub-microsecond steps drown in readback-floor noise; re-measure with a
+    # 8x longer chain so the signal dominates.
+    if sec < 1e-6:
+        sec = measure(k1, k1 + 8 * (k2 - k1))
+    return sec
+
+
+@dataclass(frozen=True)
+class BenchResult:
+    seconds: float
+    elements: int
+
+    @property
+    def melem_per_s(self) -> float:
+        return self.elements / self.seconds / 1e6
+
+    @property
+    def microseconds(self) -> float:
+        return self.seconds * 1e6
+
+
+def benchmark(step, x0, elements: int | None = None, **kwargs) -> BenchResult:
+    """Time ``step`` with :func:`chained_step_time`; throughput if sized."""
+    sec = chained_step_time(step, x0, **kwargs)
+    n = elements if elements is not None else int(np.prod(x0.shape))
+    return BenchResult(seconds=sec, elements=n)
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """Capture a JAX profiler (xprof/TensorBoard) trace of the enclosed block.
+
+    Usage::
+
+        with profiling.trace("/tmp/fft-trace"):
+            gf.fft_device(x)[0].block_until_ready()
+    """
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

@@ -24,33 +24,12 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 SIZES = [256, 1024, 4096, 16384, 65536, 262144]
 BATCHES = [(16, 65536), (64, 4096), (16, 16384), (4, 262144)]
-K1, K2, REPS = 50, 1050, 4
 
 
-def chained_time(step, x0, k1=K1, k2=K2, reps=REPS):
-    import jax
-    from jax import lax
+def chained_time(step, x0):
+    from gpu_fft_tpu.utils.profiling import chained_step_time
 
-    def make(k):
-        @jax.jit
-        def run(x):
-            return lax.fori_loop(0, k, lambda i, x: step(x), x)
-
-        return run
-
-    r1, r2 = make(k1), make(k2)
-    _ = np.asarray(r1(x0).ravel()[0:1])
-    _ = np.asarray(r2(x0).ravel()[0:1])
-
-    def t(run):
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            _ = np.asarray(run(x0).ravel()[0:1])
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
-
-    return (t(r2) - t(r1)) / (k2 - k1)
+    return chained_step_time(step, x0, k1=50, k2=1050, reps=4)
 
 
 def main() -> None:

@@ -1,0 +1,64 @@
+"""Kernel-path selection coverage.
+
+The reference selects kernel paths by N (inner-only <=1024, trailing radix-2
+at 2048, pure radix-4 at 4096 — ``tests/fft.rs:112-118``).  The analog here:
+direct (N <= 512), fused four-step (1024..65536 complex / ..16384 real),
+fused rfft (real forward >= 32768), JAX-level recursion (> 65536 complex /
+> 131072 real).  Each boundary gets oracle coverage on both sides.
+"""
+
+import numpy as np
+import pytest
+from conftest import assert_slice_approx
+
+import gpu_fft_tpu as gf
+from gpu_fft_tpu.config import DIRECT_MAX, FUSED_MAX, RFFT_MIN
+
+
+def _oracle_check(n, rng, tol_scale=1.0):
+    x = rng.uniform(-1.0, 1.0, n).astype(np.float32)
+    re, im = gf.fft(x)
+    ref = np.fft.fft(x.astype(np.float64))
+    scale = max(1.0, float(np.abs(ref).max()))
+    assert np.abs(re - ref.real).max() / scale < 1e-5 * tol_scale, f"n={n} real"
+    assert np.abs(im - ref.imag).max() / scale < 1e-5 * tol_scale, f"n={n} imag"
+
+
+@pytest.mark.parametrize(
+    "n",
+    [
+        DIRECT_MAX,          # last direct size
+        DIRECT_MAX * 2,      # first fourstep size
+        RFFT_MIN // 2,       # last plain real-fourstep size
+        RFFT_MIN,            # first fused-rfft size
+        2 * FUSED_MAX,       # last fused-rfft size
+        4 * FUSED_MAX,       # first JAX-level rfft recursion size
+    ],
+)
+def test_boundary_sizes_vs_oracle(rng, n):
+    _oracle_check(n, rng)
+
+
+def test_rfft_matches_complex_path(rng):
+    # The real-input fast path must agree with the generic complex transform
+    # bit-for-tolerance: run the same signal as real input and as explicit
+    # zero-imag complex input.
+    from gpu_fft_tpu.kernels.large import transform_any
+    import jax.numpy as jnp
+
+    n = RFFT_MIN
+    x = rng.uniform(-1.0, 1.0, (2, n)).astype(np.float32)
+    xj = jnp.asarray(x)
+    rr, ri = transform_any(xj, None, n, -1)  # rfft kernel
+    cr, ci = transform_any(xj, jnp.zeros_like(xj), n, -1)  # complex fourstep
+    assert_slice_approx(np.asarray(rr), np.asarray(cr), eps=1e-2, label="rfft vs complex real")
+    assert_slice_approx(np.asarray(ri), np.asarray(ci), eps=1e-2, label="rfft vs complex imag")
+
+
+def test_inverse_boundaries(rng):
+    for n in (DIRECT_MAX, DIRECT_MAX * 2, FUSED_MAX, 2 * FUSED_MAX):
+        re = rng.uniform(-1.0, 1.0, n).astype(np.float32)
+        im = rng.uniform(-1.0, 1.0, n).astype(np.float32)
+        out = gf.ifft(re, im)
+        ref = np.fft.ifft(re.astype(np.float64) + 1j * im.astype(np.float64))
+        assert np.abs(out[:n] - ref.real).max() < 1e-4, f"ifft n={n}"
