@@ -219,6 +219,77 @@ def _rfft_kernel_factory(n, h1, h2):
     return kernel
 
 
+def _stage_a_real_kernel(x_ref, f1r, f1i, twr_ref, twi_ref, yr_ref, yi_ref):
+    """Column DFT + twiddle for the staged large-N path (real input).
+
+    Block: x (1, n1, ct) — ct columns of the (n1, n2) matrix view.  Computes
+    Y[k1, c] = sum_a F1[k1, a] * x[a, c], then multiplies by the large-N
+    twiddle W_n^(k1 * col) — a LEFT matmul, so no transpose is needed
+    anywhere in this stage (the column digit stays on the lane axis).
+    """
+    xb = x_ref[0]
+    pr = _dot(f1r[...], xb)
+    pi = _dot(f1i[...], xb)
+    yr, yi = _cmul(pr, pi, twr_ref[...], twi_ref[...])
+    yr_ref[0] = yr
+    yi_ref[0] = yi
+
+
+def _stage_a_complex_kernel(
+    xr_ref, xi_ref, f1r, f1i, f1s, f1d, twr_ref, twi_ref, yr_ref, yi_ref
+):
+    xbr = xr_ref[0]
+    xbi = xi_ref[0]
+    fr, fi, fs, fd = f1r[...], f1i[...], f1s[...], f1d[...]
+    if KARATSUBA:
+        k1 = _dot(fr, xbr + xbi)
+        k2 = _dot(fd, xbr)
+        k3 = _dot(fs, xbi)
+        pr, pi = k1 - k3, k1 + k2
+    else:
+        pr = _dot(fr, xbr) - _dot(fi, xbi)
+        pi = _dot(fr, xbi) + _dot(fi, xbr)
+    yr, yi = _cmul(pr, pi, twr_ref[...], twi_ref[...])
+    yr_ref[0] = yr
+    yi_ref[0] = yi
+
+
+def stage_a(xr, xi, n1: int, n2: int, tables, col_tile: int):
+    """Run the column-DFT+twiddle stage over a (B, n1, n2) view.
+
+    ``tables``: f1 group (n1 x n1, ext) + twiddle (n1, n2).  Returns
+    split-complex (B, n1, n2).
+    """
+    b = xr.shape[0]
+    grid = (b, n2 // col_tile)
+    x_spec = _vmem_spec((1, n1, col_tile), lambda i, j: (i, 0, j))
+    f_spec = lambda shape: pl.BlockSpec(shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    tw_spec = pl.BlockSpec((n1, col_tile), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((b, n1, n2), jnp.float32)] * 2
+    out_specs = [x_spec, x_spec]
+    if xi is None:
+        names = ("f1r", "f1i")
+        return pl.pallas_call(
+            _stage_a_real_kernel,
+            grid=grid,
+            in_specs=[x_spec] + [f_spec(tables[k].shape) for k in names] + [tw_spec] * 2,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=_interpret(),
+        )(xr, *(tables[k] for k in names), tables["twr"], tables["twi"])
+    names = ("f1r", "f1i", "f1s", "f1d")
+    return pl.pallas_call(
+        _stage_a_complex_kernel,
+        grid=grid,
+        in_specs=[x_spec, x_spec]
+        + [f_spec(tables[k].shape) for k in names]
+        + [tw_spec] * 2,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(xr, xi, *(tables[k] for k in names), tables["twr"], tables["twi"])
+
+
 # ── Host-side dispatch ───────────────────────────────────────────────────────
 
 

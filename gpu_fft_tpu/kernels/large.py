@@ -16,8 +16,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..config import FUSED_MAX, RFFT_MIN
-from ..plan import get_fused_plan, get_large_twiddle
-from .fused import fused_fft
+from ..plan import STAGE_A_COL_TILE, get_fused_plan, get_stage_a_plan
+from .fused import fused_fft, stage_a
 
 __all__ = ["transform_any"]
 
@@ -26,11 +26,15 @@ def transform_any(xr, xi, n: int, sign: int):
     """Split-complex transform of each row of a (B, n) batch, any pow2 n >= 2.
 
     ``xi`` may be None (real input).  Unnormalized; natural output order.
+
+    Above FUSED_MAX the transform runs STAGED: a column-DFT-plus-twiddle
+    Pallas kernel over the (n1, n2) matrix view (a LEFT matmul — no
+    transposes, the column digit never leaves the lane axis), then the fused
+    row transforms of length n2, then one output digit-reversal transpose.
+    Compared to a transpose-based recursion this eliminates two of the three
+    HBM transpose passes and the separate twiddle pass.
     """
     if xi is None and sign == -1 and RFFT_MIN <= n <= 2 * FUSED_MAX:
-        # Above 2*FUSED_MAX the JAX-level rfft wrapper measures SLOWER than
-        # the plain real-first-stage recursion (extra pack/untangle HBM
-        # passes dominate), so it is not used there.
         from ..plan import get_rfft_plan
         from .fused import fused_rfft
 
@@ -39,25 +43,18 @@ def transform_any(xr, xi, n: int, sign: int):
         return fused_fft(xr, xi, get_fused_plan(n, sign))
 
     b = xr.shape[0]
-    twr, twi, n1, n2 = get_large_twiddle(n, sign)
+    plan = get_stage_a_plan(n, sign)
+    n1, n2 = plan["n1"], plan["n2"]
 
-    # Column DFT: rows of x^T are the n2 columns, each of length n1.
-    xt_r = jnp.swapaxes(xr.reshape(b, n1, n2), 1, 2).reshape(b * n2, n1)
-    xt_i = (
-        None if xi is None else jnp.swapaxes(xi.reshape(b, n1, n2), 1, 2).reshape(b * n2, n1)
-    )
-    pr, pi = transform_any(xt_r, xt_i, n1, sign)
+    # Stage A: Y[k1, c] = sum_a F1[k1, a] x[a, c] * W_n^(k1*c), one kernel.
+    x3r = xr.reshape(b, n1, n2)
+    x3i = None if xi is None else xi.reshape(b, n1, n2)
+    yr, yi = stage_a(x3r, x3i, n1, n2, plan, STAGE_A_COL_TILE)
 
-    # Twiddle W_n^(b_digit * k1), then row DFT over the n2 axis.
-    p3r = pr.reshape(b, n2, n1)
-    p3i = pi.reshape(b, n2, n1)
-    zr = p3r * twr[None] - p3i * twi[None]
-    zi = p3r * twi[None] + p3i * twr[None]
-    qr = jnp.swapaxes(zr, 1, 2).reshape(b * n1, n2)
-    qi = jnp.swapaxes(zi, 1, 2).reshape(b * n1, n2)
-    rr, ri = transform_any(qr, qi, n2, sign)
+    # Stage B: row DFTs of length n2 (k1-major rows are already contiguous).
+    rr, ri = transform_any(yr.reshape(b * n1, n2), yi.reshape(b * n1, n2), n2, sign)
 
     # Output digit reversal: flat index k = k1 + n1*k2.
-    yr = jnp.swapaxes(rr.reshape(b, n1, n2), 1, 2).reshape(b, n)
-    yi = jnp.swapaxes(ri.reshape(b, n1, n2), 1, 2).reshape(b, n)
-    return yr, yi
+    out_r = jnp.swapaxes(rr.reshape(b, n1, n2), 1, 2).reshape(b, n)
+    out_i = jnp.swapaxes(ri.reshape(b, n1, n2), 1, 2).reshape(b, n)
+    return out_r, out_i

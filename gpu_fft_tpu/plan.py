@@ -184,13 +184,34 @@ def get_rfft_plan(n: int) -> FusedPlan:
     return FusedPlan(n=n, sign=-1, kind="rfft", n1=h1, n2=h2, tables=tables)
 
 
+# First-stage digit size for the staged large-N path: contraction dimension
+# of the column-DFT matmul.  256 = two full MXU passes, and keeps
+# n2 = n / 256 <= FUSED_MAX for every supported n.
+STAGE_A_N1 = 256
+
+# Lane width of one stage-A program's column block.
+STAGE_A_COL_TILE = 512
+
+
 @functools.lru_cache(maxsize=None)
-def get_large_twiddle(n: int, sign: int) -> tuple[Any, Any, int, int]:
-    """Twiddle table and (n1, n2) split for the JAX-level large-N recursion."""
+def get_stage_a_plan(n: int, sign: int) -> dict[str, Any]:
+    """Tables for the staged large-N path (see kernels/large.py).
+
+    ``f1``: the n1 x n1 column-DFT matrix (+ Karatsuba sum/diff variants);
+    ``tw``: the full (n1, n2) twiddle W_n^(k1 * col), block-fetched by the
+    kernel so only one column tile is VMEM-resident at a time.
+    """
     if n <= FUSED_MAX:
-        raise ValueError(f"n={n} fits a fused plan; large twiddles not needed")
+        raise ValueError(f"n={n} fits a fused plan; the staged path is not needed")
     if n > MAX_N:
         raise ValueError(f"n={n} exceeds MAX_N={MAX_N}")
-    n1, n2 = balanced_split(n)
-    twr, twi = twiddle_table(n2, n1, n, sign)
-    return twr, twi, n1, n2
+    n1 = STAGE_A_N1
+    n2 = n // n1
+    f1r, f1i, f1s, f1d = dft_matrix_ext(n1, sign)
+    twr, twi = twiddle_table(n1, n2, n, sign)
+    return {
+        "n1": n1,
+        "n2": n2,
+        "f1r": f1r, "f1i": f1i, "f1s": f1s, "f1d": f1d,
+        "twr": twr, "twi": twi,
+    }
