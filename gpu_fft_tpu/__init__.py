@@ -19,7 +19,13 @@ Public facade (parity map to reference ``src/lib.rs``):
 """
 
 from .backends import Backend, available_backends, default_backend
-from .ops.spectral import power_spectrum_device, psd, psd_device
+from .ops.spectral import (
+    power_spectrum_device,
+    psd,
+    psd_device,
+    spectrogram,
+    spectrogram_device,
+)
 from .ops.transform import (
     fft,
     fft_batch,
@@ -48,6 +54,8 @@ __all__ = [
     "psd",
     "psd_device",
     "power_spectrum_device",
+    "spectrogram",
+    "spectrogram_device",
     "Backend",
     "available_backends",
     "default_backend",

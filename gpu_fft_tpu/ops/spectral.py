@@ -14,7 +14,14 @@ import numpy as np
 
 from .transform import fft_device
 
-__all__ = ["psd", "psd_device", "power_spectrum_device", "one_sided_bins"]
+__all__ = [
+    "psd",
+    "psd_device",
+    "power_spectrum_device",
+    "one_sided_bins",
+    "spectrogram",
+    "spectrogram_device",
+]
 
 
 def psd(real, imag):
@@ -54,3 +61,40 @@ def power_spectrum_device(x, backend=None, one_sided: bool = True):
         n = p.shape[-1]
         p = p[..., : one_sided_bins(n)]
     return p
+
+
+def spectrogram_device(x, frame_size: int, hop: int | None = None, one_sided: bool = True):
+    """STFT-magnitude spectrogram via the single-pass batch transform.
+
+    An extension beyond the reference's API: frames a 1-D signal into
+    overlapping windows and runs ONE batched device FFT over all frames —
+    the batch-amortization pattern (reference ``src/fft.rs:191-205``) applied
+    to streaming spectral analysis.
+
+    ``x``: (n_samples,) real f32; ``frame_size``: power of two; ``hop``
+    defaults to frame_size (non-overlapping).  Returns a (num_frames, bins)
+    PSD array; frames that would run past the end of the signal are dropped.
+    """
+    import jax.numpy as jnp
+
+    if frame_size < 2 or frame_size & (frame_size - 1):
+        raise ValueError(f"frame_size must be a power of two >= 2, got {frame_size}")
+    hop = frame_size if hop is None else hop
+    if hop < 1:
+        raise ValueError(f"hop must be >= 1, got {hop}")
+    x = jnp.asarray(x, dtype=jnp.float32)
+    if x.ndim != 1:
+        raise ValueError(f"spectrogram expects a 1-D signal, got shape {x.shape}")
+    n = x.shape[0]
+    num_frames = (n - frame_size) // hop + 1
+    if num_frames < 1:
+        raise ValueError(f"signal of {n} samples is shorter than one {frame_size} frame")
+    starts = jnp.arange(num_frames) * hop
+    idx = starts[:, None] + jnp.arange(frame_size)[None, :]
+    frames = x[idx]  # (num_frames, frame_size), one gather
+    return power_spectrum_device(frames, one_sided=one_sided)
+
+
+def spectrogram(x, frame_size: int, hop: int | None = None, one_sided: bool = True):
+    """Host-convenience spectrogram; see :func:`spectrogram_device`."""
+    return np.asarray(spectrogram_device(np.asarray(x, dtype=np.float32), frame_size, hop, one_sided))

@@ -1,0 +1,51 @@
+"""Spectrogram op tests (batched-transform extension)."""
+
+import numpy as np
+import pytest
+from conftest import assert_slice_approx
+
+import gpu_fft_tpu as gf
+from gpu_fft_tpu.utils import generate_sine_wave
+
+
+def test_matches_per_frame_fft(rng):
+    x = rng.standard_normal(1024).astype(np.float32)
+    frame, hop = 256, 128
+    spec = gf.spectrogram(x, frame, hop)
+    num_frames = (1024 - frame) // hop + 1
+    assert spec.shape == (num_frames, frame // 2 + 1)
+    for f in range(num_frames):
+        seg = x[f * hop : f * hop + frame]
+        expected = gf.psd(*gf.fft(seg))[: frame // 2 + 1]
+        assert_slice_approx(spec[f], expected, eps=1e-3, label=f"frame {f}")
+
+
+def test_detects_tone():
+    # A 1 kHz tone at 8 kHz sample rate: peak at bin 1000/8000*256 = 32.
+    wave = generate_sine_wave(1000.0, 8000.0, 0.5)
+    spec = gf.spectrogram(wave, 256)
+    peak_bins = np.argmax(spec, axis=1)
+    assert np.all(peak_bins == 32)
+
+
+def test_nonoverlapping_default():
+    x = np.zeros(512, np.float32)
+    spec = gf.spectrogram(x, 128)
+    assert spec.shape == (4, 65)
+
+
+def test_two_sided():
+    x = np.zeros(256, np.float32)
+    spec = gf.spectrogram(x, 128, one_sided=False)
+    assert spec.shape == (2, 128)
+
+
+def test_errors():
+    with pytest.raises(ValueError):
+        gf.spectrogram(np.zeros(100, np.float32), 100)  # non-pow2 frame
+    with pytest.raises(ValueError):
+        gf.spectrogram(np.zeros(64, np.float32), 128)  # too short
+    with pytest.raises(ValueError):
+        gf.spectrogram(np.zeros(256, np.float32), 128, hop=0)
+    with pytest.raises(ValueError):
+        gf.spectrogram(np.zeros((2, 128), np.float32), 64)  # 2-D input
