@@ -1,0 +1,88 @@
+"""Command-line interface: ``python -m gpu_fft_tpu <command>``.
+
+The reference ships example binaries (``examples/simple.rs``,
+``examples/backends.rs``); this CLI exposes the same workloads plus a quick
+benchmark, so the library is driveable without writing code.
+
+Commands:
+  demo       the end-to-end sine -> FFT -> PSD -> peak -> IFFT workload
+  backends   enumerate available backends and roundtrip through each
+  bench      quick on-device benchmark of one (batch, n) configuration
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def cmd_demo(_args) -> int:
+    import gpu_fft_tpu as gf
+    from gpu_fft_tpu.utils import (
+        calculate_one_sided_frequencies,
+        find_dominant_frequencies,
+        generate_sine_wave,
+    )
+
+    wave = generate_sine_wave(15.0, 200.0, 5.0)
+    print(f"Generated {len(wave)} samples of a 15 Hz sine wave")
+    re, im = gf.fft(wave)
+    p = gf.psd(re, im)
+    n = len(re)
+    freqs = calculate_one_sided_frequencies(n, 200.0)
+    for f, power in find_dominant_frequencies(p[: n // 2 + 1], freqs, 100.0):
+        print(f"Dominant frequency: {f:.2f} Hz (power {power:.2f})")
+    out = gf.ifft(re, im)
+    err = float(np.abs(out[: len(wave)] - wave).max())
+    limit = 5.0 * np.log2(n) * float(np.finfo(np.float32).eps)
+    print(f"Roundtrip max error {err:.3e} vs limit {limit:.3e} "
+          f"[{'OK' if err <= limit else 'FAIL'}]")
+    return 0 if err <= limit else 1
+
+
+def cmd_backends(_args) -> int:
+    import gpu_fft_tpu as gf
+
+    x = np.array([0.0, 1.0, 2.0, 3.0, 2.0, 1.0, 0.0, -1.0], dtype=np.float32)
+    print("Available backends:", [b.name for b in gf.available_backends()])
+    for backend in gf.available_backends():
+        re, im = gf.fft_with(x, backend)
+        out = gf.ifft_with(re, im, backend)
+        err = float(np.abs(out[: len(x)] - x).max())
+        print(f"{backend.name:8s} roundtrip max error: {err:.3e}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import jax.numpy as jnp
+
+    from gpu_fft_tpu.kernels.large import transform_any
+    from gpu_fft_tpu.utils.profiling import benchmark
+
+    b, n = args.batch, args.n
+    if n & (n - 1) or n < 2:
+        print(f"n must be a power of two >= 2, got {n}", file=sys.stderr)
+        return 2
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((b, n)).astype(np.float32))
+    s = np.float32(1.0 / np.sqrt(n))
+    r = benchmark(lambda xx: transform_any(xx, None, n, -1)[0] * s, x, elements=b * n)
+    print(f"fft B={b} n={n}: {r.microseconds:.2f} us/transform, {r.melem_per_s:.0f} Melem/s")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="gpu_fft_tpu", description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+    sub.add_parser("demo", help="end-to-end signal-processing demo")
+    sub.add_parser("backends", help="enumerate + roundtrip every backend")
+    pb = sub.add_parser("bench", help="quick on-device benchmark")
+    pb.add_argument("--batch", type=int, default=1)
+    pb.add_argument("-n", type=int, default=65536)
+    args = parser.parse_args(argv)
+    return {"demo": cmd_demo, "backends": cmd_backends, "bench": cmd_bench}[args.command](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -36,6 +36,11 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true", help="fewer configs")
     parser.add_argument("--out", default=None)
+    # Criterion-style baselines (reference scripts/bench.sh:8-9,32):
+    parser.add_argument("--save-baseline", default=None, metavar="NAME",
+                        help="also store results as bench-results/baselines/NAME.json")
+    parser.add_argument("--baseline", default=None, metavar="NAME",
+                        help="compare against a stored baseline and print deltas")
     args = parser.parse_args()
 
     import jax
@@ -114,6 +119,26 @@ def main() -> None:
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     print(f"wrote {out}")
+
+    base_dir = pathlib.Path("bench-results/baselines")
+    if args.save_baseline:
+        base_dir.mkdir(parents=True, exist_ok=True)
+        (base_dir / f"{args.save_baseline}.json").write_text(json.dumps(results, indent=2))
+        print(f"saved baseline '{args.save_baseline}'")
+    if args.baseline:
+        path = base_dir / f"{args.baseline}.json"
+        if not path.is_file():
+            print(f"no baseline named '{args.baseline}'")
+        else:
+            old = {e["name"]: e for e in json.loads(path.read_text())["entries"]}
+            print(f"vs baseline '{args.baseline}':")
+            for e in results["entries"]:
+                o = old.get(e["name"])
+                if o:
+                    delta = (e["per_call_us"] - o["per_call_us"]) / o["per_call_us"] * 100
+                    marker = "+" if delta >= 0 else ""
+                    print(f"  {e['name']:36s} {marker}{delta:6.1f}% "
+                          f"({o['per_call_us']:.2f} -> {e['per_call_us']:.2f} us)")
 
 
 if __name__ == "__main__":
