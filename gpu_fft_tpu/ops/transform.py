@@ -54,7 +54,6 @@ def _check_n(n: int) -> None:
 def _dispatch_forward(x2d, backend: Backend):
     """x2d: (B, n) f32 ndarray -> split-complex (re, im) numpy arrays."""
     if backend is Backend.NATIVE:
-        from . import transform as _  # noqa: F401  (keep import graph flat)
         from ..backends import native
 
         return native.forward(x2d)

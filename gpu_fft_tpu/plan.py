@@ -41,11 +41,12 @@ def batch_tile(n: int, complex_input: bool) -> int:
     """Rows of the batch processed per Pallas program (the grid tile).
 
     Sized so the per-program working set stays inside the ~16 MiB scoped VMEM
-    limit.  Empirically the fused four-step kernel's footprint (double-buffered
+    limit: empirically the fused four-step kernel's footprint (double-buffered
     blocks + split-complex temporaries + matmul scratch) is ~160 bytes per
-    block element on v5e, so the tile is capped at 64Ki elements.  This plays
-    the role of the reference's workgroup sizing (``src/fft.rs:70-71``) but
-    measured in bytes, not threads.
+    block element on v5e.  Measured: larger tiles do NOT run faster (grid
+    steps pipeline compute behind DMA), so the budget only needs to avoid
+    OOM.  This plays the role of the reference's workgroup sizing
+    (``src/fft.rs:70-71``) but measured in bytes, not threads.
     """
     max_elems = VMEM_BUDGET_BYTES // 64 if complex_input else VMEM_BUDGET_BYTES // 48
     bt = max(1, max_elems // n)
@@ -62,6 +63,8 @@ class FusedPlan:
       * ``direct``   — X = x @ F_n, one complex matmul (n <= DIRECT_MAX).
       * ``fourstep`` — n = n1 * n2 factorization, two matmul passes plus a
         pointwise twiddle, all inside one Pallas kernel (n <= FUSED_MAX).
+      * ``rfft``     — real-input forward via the fused half-length kernel
+        (n1, n2 are the HALF-transform factors; see get_rfft_plan).
     ``sign`` is -1 for forward, +1 for inverse (unnormalized).
     """
 

@@ -1,9 +1,9 @@
 """Ablation study of the fused four-step kernel's per-program cost.
 
 Builds kernel variants with pieces removed (twiddle, transposes, second
-matmul) and an alternative formulation (per-batch-row LEFT matmuls for step 1
-instead of transpose + folded right matmul), then times them interleaved in
-one process.  Used to attribute the gap to HBM roofline; results feed the
+matmul) and times them interleaved in one process.  (A transpose-free
+per-batch-row LEFT-matmul formulation was also measured — identical time,
+so the transposes are not the bottleneck.)  Used to attribute the gap to HBM roofline; results feed the
 kernel-tuning decisions.  Not part of the library runtime.
 
 Usage: python scripts/ablate_fourstep.py [B] [n]
@@ -41,22 +41,6 @@ def build(n, variant):
     def kernel(x_ref, f1r, f1i, twr, twi, f2r, f2i, yr_ref, yi_ref):
         bt_ = x_ref.shape[0]
         x = x_ref[...]
-        if variant == "left":
-            # step1 as per-b LEFT matmuls, no input transpose
-            rs, is_ = [], []
-            for b in range(bt_):
-                rs.append(_dot(f1r[...], x[b]))
-                is_.append(_dot(f1i[...], x[b]))
-            pr = jnp.stack(rs)
-            pi = jnp.stack(is_)
-            # twiddle (n1, n2) orientation
-            zr = pr * tw1r[None]
-            zi = pi * tw1i[None]
-            rr = _dot(zr.reshape(bt_ * n1, n2), f2r[...]) - _dot(zi.reshape(bt_ * n1, n2), f2i[...])
-            ri = _dot(zr.reshape(bt_ * n1, n2), f2i[...]) + _dot(zi.reshape(bt_ * n1, n2), f2r[...])
-            yr_ref[...] = jnp.swapaxes(rr.reshape(bt_, n1, n2), 1, 2)
-            yi_ref[...] = jnp.swapaxes(ri.reshape(bt_, n1, n2), 1, 2)
-            return
         xt = jnp.swapaxes(x, 1, 2).reshape(bt_ * n2, n1)
         pr = _dot(xt, f1r[...])
         pi = _dot(xt, f1i[...])
@@ -86,13 +70,6 @@ def build(n, variant):
         yr_ref[...] = jnp.swapaxes(rr.reshape(bt_, n1, n2), 1, 2)
         yi_ref[...] = jnp.swapaxes(ri.reshape(bt_, n1, n2), 1, 2)
 
-    # twiddle tables in (n1, n2) orientation for the "left" variant
-    from gpu_fft_tpu.kernels.tables import twiddle_table
-
-    t1r, t1i = twiddle_table(n1, n2, n, -1)
-    tw1r = jnp.asarray(t1r)
-    tw1i = jnp.asarray(t1i)
-
     cs = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
 
     def call(x):
@@ -117,7 +94,7 @@ def main():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((B, n)).astype(np.float32))
     s = np.float32(1.0 / np.sqrt(n))
-    variants = ["full", "notwiddle", "step1only", "notranspose2", "left"]
+    variants = ["full", "notwiddle", "step1only", "notranspose2"]
     fns = {}
     for v in variants:
         try:
