@@ -63,7 +63,13 @@ def power_spectrum_device(x, backend=None, one_sided: bool = True):
     return p
 
 
-def spectrogram_device(x, frame_size: int, hop: int | None = None, one_sided: bool = True):
+def spectrogram_device(
+    x,
+    frame_size: int,
+    hop: int | None = None,
+    one_sided: bool = True,
+    window: str | None = None,
+):
     """STFT-magnitude spectrogram via the single-pass batch transform.
 
     An extension beyond the reference's API: frames a 1-D signal into
@@ -72,8 +78,9 @@ def spectrogram_device(x, frame_size: int, hop: int | None = None, one_sided: bo
     to streaming spectral analysis.
 
     ``x``: (n_samples,) real f32; ``frame_size``: power of two; ``hop``
-    defaults to frame_size (non-overlapping).  Returns a (num_frames, bins)
-    PSD array; frames that would run past the end of the signal are dropped.
+    defaults to frame_size (non-overlapping); ``window``: None (rectangular)
+    or "hann" to reduce spectral leakage.  Returns a (num_frames, bins) PSD
+    array; frames that would run past the end of the signal are dropped.
     """
     import jax.numpy as jnp
 
@@ -82,6 +89,8 @@ def spectrogram_device(x, frame_size: int, hop: int | None = None, one_sided: bo
     hop = frame_size if hop is None else hop
     if hop < 1:
         raise ValueError(f"hop must be >= 1, got {hop}")
+    if window not in (None, "hann"):
+        raise ValueError(f"window must be None or 'hann', got {window!r}")
     x = jnp.asarray(x, dtype=jnp.float32)
     if x.ndim != 1:
         raise ValueError(f"spectrogram expects a 1-D signal, got shape {x.shape}")
@@ -92,9 +101,21 @@ def spectrogram_device(x, frame_size: int, hop: int | None = None, one_sided: bo
     starts = jnp.arange(num_frames) * hop
     idx = starts[:, None] + jnp.arange(frame_size)[None, :]
     frames = x[idx]  # (num_frames, frame_size), one gather
+    if window == "hann":
+        m = np.arange(frame_size)
+        w = (0.5 - 0.5 * np.cos(2.0 * np.pi * m / frame_size)).astype(np.float32)
+        frames = frames * w[None]
     return power_spectrum_device(frames, one_sided=one_sided)
 
 
-def spectrogram(x, frame_size: int, hop: int | None = None, one_sided: bool = True):
+def spectrogram(
+    x,
+    frame_size: int,
+    hop: int | None = None,
+    one_sided: bool = True,
+    window: str | None = None,
+):
     """Host-convenience spectrogram; see :func:`spectrogram_device`."""
-    return np.asarray(spectrogram_device(np.asarray(x, dtype=np.float32), frame_size, hop, one_sided))
+    return np.asarray(
+        spectrogram_device(np.asarray(x, dtype=np.float32), frame_size, hop, one_sided, window)
+    )

@@ -236,6 +236,8 @@ def fft_device(x, backend=None):
         raise ValueError(f"fft_device requires power-of-two n >= 2, got {n}")
     _check_n(n)
     backend = resolve_backend(backend)
+    if backend is Backend.NATIVE:
+        raise ValueError("the NATIVE backend is host-side; use fft() / fft_batch()")
     if backend is Backend.XLA:
         from ..backends import xla
 
@@ -261,6 +263,8 @@ def ifft_device(xr, xi, backend=None):
         raise ValueError(f"ifft_device requires power-of-two n >= 2, got {n}")
     _check_n(n)
     backend = resolve_backend(backend)
+    if backend is Backend.NATIVE:
+        raise ValueError("the NATIVE backend is host-side; use ifft() / ifft_batch()")
     if backend is Backend.XLA:
         from ..backends import xla
 

@@ -35,32 +35,33 @@ def chained_step_time(step, x0, k1: int = 50, k2: int = 1050, reps: int = 4) -> 
     (reference ``fft_bench.rs:71-72``).
     """
     import jax
+    import jax.numpy as jnp
     from jax import lax
 
     if k2 <= k1:
         raise ValueError(f"k2 ({k2}) must exceed k1 ({k1})")
 
-    def make(k):
-        @jax.jit
-        def run(x):
-            return lax.fori_loop(0, k, lambda i, x: step(x), x)
+    # One compiled program serves every chain length: the trip count is a
+    # traced operand (fori_loop lowers to while_loop), which matters here
+    # because each compile costs tens of seconds through a remote-compile
+    # transport.
+    @jax.jit
+    def run(x, k):
+        return lax.fori_loop(0, k, lambda i, x: step(x), x)
 
-        return run
+    _ = np.asarray(run(x0, jnp.int32(2)).ravel()[0:1])  # warm-up compile
+
+    def t(k):
+        kk = jnp.int32(k)
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _ = np.asarray(run(x0, kk).ravel()[0:1])
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
 
     def measure(k1_, k2_):
-        r1, r2 = make(k1_), make(k2_)
-        _ = np.asarray(r1(x0).ravel()[0:1])
-        _ = np.asarray(r2(x0).ravel()[0:1])
-
-        def t(run):
-            ts = []
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                _ = np.asarray(run(x0).ravel()[0:1])
-                ts.append(time.perf_counter() - t0)
-            return float(np.median(ts))
-
-        return (t(r2) - t(r1)) / (k2_ - k1_)
+        return (t(k2_) - t(k1_)) / (k2_ - k1_)
 
     sec = measure(k1, k2)
     # Sub-microsecond steps drown in readback-floor noise; re-measure with a

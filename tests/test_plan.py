@@ -70,3 +70,16 @@ def test_batch_tile_bounds():
             bt = batch_tile(n, cx)
             assert 1 <= bt <= 512
             assert bt & (bt - 1) == 0  # power of two
+
+
+def test_device_api_rejects_native_backend():
+    import numpy as np
+    import pytest as _pytest
+
+    from gpu_fft_tpu import Backend, fft_device, ifft_device
+
+    x = np.zeros(16, np.float32)
+    with _pytest.raises(ValueError):
+        fft_device(x, backend=Backend.NATIVE)
+    with _pytest.raises(ValueError):
+        ifft_device(x, x, backend=Backend.NATIVE)

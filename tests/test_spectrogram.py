@@ -49,3 +49,21 @@ def test_errors():
         gf.spectrogram(np.zeros(256, np.float32), 128, hop=0)
     with pytest.raises(ValueError):
         gf.spectrogram(np.zeros((2, 128), np.float32), 64)  # 2-D input
+
+
+def test_hann_window_reduces_leakage():
+    # Off-bin tone: windowed spectrum concentrates energy near the tone.
+    n_frame = 256
+    t = np.arange(4 * n_frame)
+    x = np.sin(2 * np.pi * 10.5 * t / n_frame).astype(np.float32)  # between bins
+    rect = gf.spectrogram(x, n_frame)
+    hann = gf.spectrogram(x, n_frame, window="hann")
+    # Energy more than 3 bins from the tone should drop with the window.
+    far = np.ones(n_frame // 2 + 1, dtype=bool)
+    far[7:15] = False
+    assert hann[0][far].sum() < rect[0][far].sum()
+
+
+def test_bad_window_rejected():
+    with pytest.raises(ValueError):
+        gf.spectrogram(np.zeros(256, np.float32), 128, window="hamming")
