@@ -41,6 +41,15 @@ MAX_N = 1 << 24
 # within the ~16 MiB scoped-VMEM limit observed on v5e.
 VMEM_BUDGET_BYTES = 3 * 1024 * 1024
 
+# Kernel engine for the PALLAS backend's transforms:
+#   "auto"   — jnp-level fused transforms (XLA-scheduled; fastest measured)
+#              plus the Pallas stage-A kernel for large N.
+#   "jnp"    — jnp-level everywhere (including the large-N column stage).
+#   "pallas" — hand-written Pallas kernels everywhere (incl. the fused rfft
+#              kernel); slower on v5e but kept as the explicit kernel path.
+# Override with GPU_FFT_TPU_ENGINE.
+ENGINE = os.environ.get("GPU_FFT_TPU_ENGINE", "auto").strip().lower()
+
 # Use the Gauss/Karatsuba 3-multiplication complex matmul instead of the
 # 4-multiplication form.  Saves 25% of the full-precision MXU passes (the
 # dominant kernel cost); the extra additions introduce a small, bounded

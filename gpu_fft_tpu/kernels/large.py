@@ -15,9 +15,11 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .. import config
 from ..config import FUSED_MAX, RFFT_MIN
 from ..plan import STAGE_A_COL_TILE, get_fused_plan, get_stage_a_plan
 from .fused import fused_fft, stage_a
+from .fused_jnp import fused_fft_jnp, stage_a_jnp
 
 __all__ = ["transform_any"]
 
@@ -27,29 +29,39 @@ def transform_any(xr, xi, n: int, sign: int):
 
     ``xi`` may be None (real input).  Unnormalized; natural output order.
 
-    Above FUSED_MAX the transform runs STAGED: a column-DFT-plus-twiddle
-    Pallas kernel over the (n1, n2) matrix view (a LEFT matmul — no
-    transposes, the column digit never leaves the lane axis), then the fused
-    row transforms of length n2, then one output digit-reversal transpose.
-    Compared to a transpose-based recursion this eliminates two of the three
-    HBM transpose passes and the separate twiddle pass.
-    """
-    if xi is None and sign == -1 and RFFT_MIN <= n <= 2 * FUSED_MAX:
-        from ..plan import get_rfft_plan
-        from .fused import fused_rfft
+    Engine selection (``config.ENGINE``, measured on v5e — see
+    kernels/fused_jnp.py): the default "auto" runs the fused transforms as
+    XLA-scheduled jnp ops and keeps the Pallas kernel only for the large-N
+    column stage, where it wins.
 
-        return fused_rfft(xr, get_rfft_plan(n))
+    Above FUSED_MAX the transform runs STAGED: a column-DFT-plus-twiddle
+    stage over the (n1, n2) matrix view (a LEFT matmul — no transposes, the
+    column digit never leaves the lane axis), then the fused row transforms
+    of length n2, then one output digit-reversal transpose.  Compared to a
+    transpose-based recursion this eliminates two of the three HBM transpose
+    passes and the separate twiddle pass (measured 5.5x at 2^20).
+    """
     if n <= FUSED_MAX:
-        return fused_fft(xr, xi, get_fused_plan(n, sign))
+        if config.ENGINE == "pallas":
+            if xi is None and sign == -1 and n >= RFFT_MIN:
+                from ..plan import get_rfft_plan
+                from .fused import fused_rfft
+
+                return fused_rfft(xr, get_rfft_plan(n))
+            return fused_fft(xr, xi, get_fused_plan(n, sign))
+        return fused_fft_jnp(xr, xi, get_fused_plan(n, sign))
 
     b = xr.shape[0]
     plan = get_stage_a_plan(n, sign)
     n1, n2 = plan["n1"], plan["n2"]
 
-    # Stage A: Y[k1, c] = sum_a F1[k1, a] x[a, c] * W_n^(k1*c), one kernel.
+    # Stage A: Y[k1, c] = sum_a F1[k1, a] x[a, c] * W_n^(k1*c), one pass.
     x3r = xr.reshape(b, n1, n2)
     x3i = None if xi is None else xi.reshape(b, n1, n2)
-    yr, yi = stage_a(x3r, x3i, n1, n2, plan, STAGE_A_COL_TILE)
+    if config.ENGINE == "jnp":
+        yr, yi = stage_a_jnp(x3r, x3i, plan)
+    else:
+        yr, yi = stage_a(x3r, x3i, n1, n2, plan, STAGE_A_COL_TILE)
 
     # Stage B: row DFTs of length n2 (k1-major rows are already contiguous).
     rr, ri = transform_any(yr.reshape(b * n1, n2), yi.reshape(b * n1, n2), n2, sign)

@@ -104,6 +104,17 @@ def main() -> None:
         except Exception as e:
             print(f"{name:36s} ERROR {str(e)[:80]}", flush=True)
 
+    def roundtrip(n, backend):
+        if backend == "xla":
+            def step(x):
+                return jnp.real(jnp.fft.ifft(jnp.fft.fft(x.astype(jnp.complex64))))
+            return step
+        def step(x):
+            yr, yi = transform_any(x, None, n, -1)
+            rr, _ = transform_any(yr, yi, n, +1)
+            return rr * np.float32(1.0 / n)
+        return step
+
     for n in sizes:
         for backend in ("pallas", "xla"):
             run(f"fft/{backend}/n{n}", "fft", backend, 1, n, fwd(n, backend))
@@ -113,6 +124,14 @@ def main() -> None:
     for b, n in batches:
         for backend in ("pallas", "xla"):
             run(f"fft_batch/{backend}/b{b}_n{n}", "fft_batch", backend, b, n, fwd(n, backend))
+    # Batch-size sweep at fixed N (reference README.md:225-244 group).
+    if not args.quick:
+        for b in (1, 4, 16, 64):
+            run(f"fft_batchsize/pallas/b{b}_n4096", "fft_batchsize", "pallas", b, 4096, fwd(4096, "pallas"))
+        # Roundtrip groups (reference README.md:283-298).
+        for n in (4096, 65536):
+            run(f"roundtrip/pallas/n{n}", "roundtrip", "pallas", 1, n, roundtrip(n, "pallas"))
+        run("roundtrip/xla/n65536", "roundtrip", "xla", 1, 65536, roundtrip(65536, "xla"))
 
     out = args.out or f"bench-results/raw_{time.strftime('%Y%m%d_%H%M%S')}.json"
     pathlib.Path(out).parent.mkdir(parents=True, exist_ok=True)

@@ -181,6 +181,43 @@ def chart_latency(entries, path):
     plt.close(fig)
 
 
+def chart_batchsize(entries, path):
+    import matplotlib
+
+    matplotlib.use("svg")
+    import matplotlib.pyplot as plt
+
+    pts = sorted(
+        (e["batch"], e["melem_per_s"] / 1e3)
+        for e in entries
+        if e["kind"] == "fft_batchsize" and e["backend"] == "pallas"
+    )
+    if not pts:
+        return False
+    fig, ax = plt.subplots(figsize=(7.2, 4.2), facecolor=SURFACE)
+    _style(ax)
+    xs, ys = zip(*pts)
+    ax.plot(xs, ys, color=C_PALLAS, linewidth=2, marker="o", markersize=6, zorder=3)
+    for x, y in pts:
+        ax.annotate(
+            f"{y:.1f}",
+            (x, y),
+            textcoords="offset points",
+            xytext=(0, 8),
+            ha="center",
+            fontsize=8,
+            color=TEXT_2,
+        )
+    ax.set_xscale("log", base=2)
+    ax.set_xlabel("batch size (N = 4096 fixed)", color=TEXT_2)
+    ax.set_ylabel("throughput (Gelem/s)", color=TEXT_2)
+    ax.set_title("Batch-size scaling, PALLAS forward FFT", color=TEXT, fontsize=12)
+    fig.tight_layout()
+    fig.savefig(path, facecolor=SURFACE)
+    plt.close(fig)
+    return True
+
+
 def render_markdown(raw, charts, out_md):
     lines = [
         "# gpu_fft_tpu benchmark report",
@@ -250,6 +287,8 @@ def main() -> None:
     charts.append(("Scalar latency", "charts/scalar_latency.svg"))
     if chart_batch_throughput(entries, out / "charts" / "batch_throughput.svg"):
         charts.append(("Batched throughput", "charts/batch_throughput.svg"))
+    if chart_batchsize(entries, out / "charts" / "batchsize_scaling.svg"):
+        charts.append(("Batch-size scaling", "charts/batchsize_scaling.svg"))
 
     render_markdown(raw, charts, out / "latest.md")
     # Timestamped archive (the reference's bench-results/archive layout,
