@@ -49,6 +49,10 @@ VMEM_BUDGET_BYTES = 3 * 1024 * 1024
 #              kernel); slower on v5e but kept as the explicit kernel path.
 # Override with GPU_FFT_TPU_ENGINE.
 ENGINE = os.environ.get("GPU_FFT_TPU_ENGINE", "auto").strip().lower()
+if ENGINE not in ("auto", "jnp", "pallas"):
+    raise ValueError(
+        f"GPU_FFT_TPU_ENGINE must be one of auto|jnp|pallas, got {ENGINE!r}"
+    )
 
 # Use the Gauss/Karatsuba 3-multiplication complex matmul instead of the
 # 4-multiplication form.  Saves 25% of the full-precision MXU passes (the

@@ -328,13 +328,13 @@ def fused_fft(xr, xi, plan: FusedPlan):
             xi = jnp.pad(xi, ((0, bpad), (0, 0)))
     bp = b + bpad
     grid = (bp // bt,)
-    out_shape = [
-        jax.ShapeDtypeStruct((bp, n), jnp.float32),
-        jax.ShapeDtypeStruct((bp, n), jnp.float32),
-    ]
 
     if plan.kind == "direct":
         data_spec = _vmem_spec((bt, n), lambda i: (i, 0))
+        out_shape = [
+            jax.ShapeDtypeStruct((bp, n), jnp.float32),
+            jax.ShapeDtypeStruct((bp, n), jnp.float32),
+        ]
         if xi is None:
             names = ("fr", "fi")
             yr, yi = pl.pallas_call(

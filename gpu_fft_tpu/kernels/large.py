@@ -41,13 +41,15 @@ def transform_any(xr, xi, n: int, sign: int):
     transpose-based recursion this eliminates two of the three HBM transpose
     passes and the separate twiddle pass (measured 5.5x at 2^20).
     """
+    if config.ENGINE == "pallas" and xi is None and sign == -1 and RFFT_MIN <= n <= 2 * FUSED_MAX:
+        # The fused rfft kernel covers up to TWICE the complex fused maximum
+        # (its half-length transform is what must fit).
+        from ..plan import get_rfft_plan
+        from .fused import fused_rfft
+
+        return fused_rfft(xr, get_rfft_plan(n))
     if n <= FUSED_MAX:
         if config.ENGINE == "pallas":
-            if xi is None and sign == -1 and n >= RFFT_MIN:
-                from ..plan import get_rfft_plan
-                from .fused import fused_rfft
-
-                return fused_rfft(xr, get_rfft_plan(n))
             return fused_fft(xr, xi, get_fused_plan(n, sign))
         return fused_fft_jnp(xr, xi, get_fused_plan(n, sign))
 

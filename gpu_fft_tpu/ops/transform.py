@@ -255,6 +255,10 @@ def ifft_device(xr, xi, backend=None):
 
     xr = jnp.asarray(xr, dtype=jnp.float32)
     xi = jnp.asarray(xi, dtype=jnp.float32)
+    if xr.shape != xi.shape:
+        raise ValueError(
+            f"ifft_device: real and imag must have the same shape, got {xr.shape} vs {xi.shape}"
+        )
     squeeze = xr.ndim == 1
     if squeeze:
         xr, xi = xr[None], xi[None]

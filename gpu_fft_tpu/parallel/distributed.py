@@ -87,6 +87,10 @@ def _run(x_r, x_i, mesh: Mesh, sign: int, sp: str, dp):
     b, n = x_r.shape
     if n & (n - 1) or n < 4:
         raise ValueError(f"distributed transform requires power-of-two n >= 4, got {n}")
+    if dp is not None and b % mesh.shape[dp]:
+        raise ValueError(
+            f"batch {b} not divisible by mesh axis '{dp}' size {mesh.shape[dp]}"
+        )
     d = mesh.shape[sp]
     n1, n2 = _split_for_mesh(n, d)
     x3r = x_r.reshape(b, n1, n2)

@@ -18,7 +18,7 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from .config import DIRECT_MAX, FUSED_MAX, MAX_N, VMEM_BUDGET_BYTES
-from .kernels.tables import dft_matrix, dft_matrix_ext, twiddle_table
+from .kernels.tables import dft_matrix_ext, twiddle_table
 
 __all__ = ["FusedPlan", "get_fused_plan", "balanced_split", "batch_tile"]
 

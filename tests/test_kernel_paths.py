@@ -2,9 +2,10 @@
 
 The reference selects kernel paths by N (inner-only <=1024, trailing radix-2
 at 2048, pure radix-4 at 4096 — ``tests/fft.rs:112-118``).  The analog here:
-direct (N <= 512), fused four-step (1024..65536 complex / ..16384 real),
-fused rfft (real forward >= 32768), JAX-level recursion (> 65536 complex /
-> 131072 real).  Each boundary gets oracle coverage on both sides.
+direct (N <= 512), fused four-step (<= 65536), staged large-N above; under
+ENGINE=pallas the fused rfft kernel additionally covers real forward
+transforms in [32768, 131072].  Each boundary gets oracle coverage on both
+sides.
 """
 
 import numpy as np
@@ -29,10 +30,10 @@ def _oracle_check(n, rng, tol_scale=1.0):
     [
         DIRECT_MAX,          # last direct size
         DIRECT_MAX * 2,      # first fourstep size
-        RFFT_MIN // 2,       # last plain real-fourstep size
-        RFFT_MIN,            # first fused-rfft size
-        2 * FUSED_MAX,       # last fused-rfft size
-        4 * FUSED_MAX,       # first JAX-level rfft recursion size
+        RFFT_MIN // 2,       # below the pallas-engine rfft range
+        RFFT_MIN,            # first pallas-rfft size (jnp four-step on auto)
+        2 * FUSED_MAX,       # last pallas-rfft size / staged path on auto
+        4 * FUSED_MAX,       # staged path on every engine
     ],
 )
 def test_boundary_sizes_vs_oracle(rng, n):

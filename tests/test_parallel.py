@@ -74,3 +74,8 @@ def test_distributed_rejects_bad_factor(mesh2x4):
     with pytest.raises(ValueError):
         # 8 = 2 x 4: n1=2 not divisible by sp=4.
         distributed_fft(np.zeros((1, 8), np.float32), mesh2x4, sp_axis="sp")
+
+
+def test_distributed_rejects_indivisible_batch(mesh2x4):
+    with pytest.raises(ValueError):
+        distributed_fft(np.zeros((3, 4096), np.float32), mesh2x4, sp_axis="sp", dp_axis="dp")

@@ -83,3 +83,13 @@ def test_device_api_rejects_native_backend():
         fft_device(x, backend=Backend.NATIVE)
     with _pytest.raises(ValueError):
         ifft_device(x, x, backend=Backend.NATIVE)
+
+
+def test_ifft_device_rejects_mismatched_shapes():
+    import numpy as np
+    import pytest as _pytest
+
+    from gpu_fft_tpu import ifft_device
+
+    with _pytest.raises(ValueError):
+        ifft_device(np.zeros(8, np.float32), np.zeros((2, 8), np.float32))
