@@ -36,10 +36,11 @@ from .ops.transform import (
     ifft_device,
     ifft_with,
     next_power_of_two,
+    warmup,
 )
 from . import utils
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "fft",
@@ -51,6 +52,7 @@ __all__ = [
     "fft_device",
     "ifft_device",
     "next_power_of_two",
+    "warmup",
     "psd",
     "psd_device",
     "power_spectrum_device",

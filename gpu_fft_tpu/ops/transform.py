@@ -36,6 +36,7 @@ __all__ = [
     "fft_device",
     "ifft_device",
     "next_power_of_two",
+    "warmup",
 ]
 
 
@@ -205,6 +206,28 @@ def ifft_batch(signals, backend=None):
 
 
 # ── Backend-explicit entry points (reference ``src/lib.rs:68-98``) ───────────
+
+
+def warmup(sizes=(1024, 4096, 65536), batches=(1,), inverse: bool = True) -> None:
+    """Pre-compile the transform executables for the given (batch, n) shapes.
+
+    jit specializes one executable per input shape (the analog of the
+    reference's per-variant shader compile, documented as a warm-up effect at
+    ``README.md:87-89``); in serving deployments call this once at startup so
+    no request pays the first-compile latency.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    for n in sizes:
+        if n < 2 or n & (n - 1):
+            raise ValueError(f"warmup sizes must be powers of two >= 2, got {n}")
+        for b in batches:
+            x = jnp.zeros((b, n), jnp.float32)
+            yr, yi = fft_device(x)
+            if inverse:
+                yr, yi = ifft_device(yr, yi)
+            jax.block_until_ready((yr, yi))
 
 
 def fft_with(input, backend):

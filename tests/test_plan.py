@@ -93,3 +93,13 @@ def test_ifft_device_rejects_mismatched_shapes():
 
     with _pytest.raises(ValueError):
         ifft_device(np.zeros(8, np.float32), np.zeros((2, 8), np.float32))
+
+
+def test_warmup():
+    import pytest as _pytest
+
+    import gpu_fft_tpu as gf
+
+    gf.warmup(sizes=(64,), batches=(1, 2))
+    with _pytest.raises(ValueError):
+        gf.warmup(sizes=(100,))
