@@ -51,7 +51,9 @@ def transform_any(xr, xi, n: int, sign: int):
     if n <= FUSED_MAX:
         if config.ENGINE == "pallas":
             return fused_fft(xr, xi, get_fused_plan(n, sign))
-        return fused_fft_jnp(xr, xi, get_fused_plan(n, sign))
+        # Wide batches prefer the full-lane n2=128 split (see get_fused_plan).
+        wide = xr.shape[0] >= 16 and n <= 16384
+        return fused_fft_jnp(xr, xi, get_fused_plan(n, sign, wide=wide))
 
     b = xr.shape[0]
     plan = get_stage_a_plan(n, sign)
