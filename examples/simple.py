@@ -9,10 +9,9 @@ against the 5*log2(N)*eps limit — expected output matches reference
 Run: python examples/simple.py
 """
 
-import time
-
 import pathlib
 import sys
+import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 

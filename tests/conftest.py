@@ -14,12 +14,16 @@ import os
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
-# The axon TPU plugin force-registers itself regardless of JAX_PLATFORMS, so
-# the platform override must go through jax.config before first backend use.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# Default: run on the virtual CPU mesh.  Set GPU_FFT_TPU_TEST_PLATFORM=tpu to
+# run the suite against real hardware (the reference's tests-run-on-real-GPU
+# model, SURVEY §4); sharding tests then skip if fewer than 8 devices exist.
+_platform = os.environ.get("GPU_FFT_TPU_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# Some PJRT plugins force-register regardless of JAX_PLATFORMS, so the
+# override must also go through jax.config before first backend use.
+jax.config.update("jax_platforms", _platform)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
