@@ -124,6 +124,35 @@ def main() -> None:
     for b, n in batches:
         for backend in ("pallas", "xla"):
             run(f"fft_batch/{backend}/b{b}_n{n}", "fft_batch", backend, b, n, fwd(n, backend))
+    # Native CPU backend rows (the reference's 3-way backend comparison,
+    # compare_bench.rs / README.md:134-150 — wgpu vs cuda vs mlx analog).
+    from gpu_fft_tpu.backends import native as native_backend
+
+    if native_backend.is_available() and not args.quick:
+        for n in (4096, 65536):
+            xh = rng.standard_normal((1, n)).astype(np.float32)
+            try:
+                native_backend.forward(xh)  # warm
+                t0 = time.perf_counter()
+                iters = 50
+                for _ in range(iters):
+                    native_backend.forward(xh)
+                sec = (time.perf_counter() - t0) / iters
+                results["entries"].append(
+                    {
+                        "name": f"fft/native/n{n}",
+                        "kind": "fft",
+                        "backend": "native",
+                        "batch": 1,
+                        "n": n,
+                        "per_call_us": sec * 1e6,
+                        "melem_per_s": n / sec / 1e6,
+                    }
+                )
+                print(f"{'fft/native/n' + str(n):36s} {sec * 1e6:9.2f} us  {n / sec / 1e6:10.0f} Melem/s", flush=True)
+            except Exception as e:
+                print(f"fft/native/n{n} ERROR {str(e)[:60]}", flush=True)
+
     # Batch-size sweep at fixed N (reference README.md:225-244 group).
     if not args.quick:
         for b in (1, 4, 16, 64):

@@ -1,0 +1,51 @@
+"""The shipped examples must run end-to-end (rot protection).
+
+The reference treats its examples as de-facto integration tests
+(``examples/simple.rs`` prints the documented expected output); these run
+the same entry points in-process on the CPU mesh.
+"""
+
+import io
+import contextlib
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent / "examples"))
+
+
+def _run_capturing(mod_main):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        mod_main()
+    return buf.getvalue()
+
+
+def test_simple_example():
+    import simple
+
+    out = _run_capturing(simple.main)
+    assert "Dominant frequency: 15.04 Hz" in out
+    assert "[OK]" in out
+
+
+def test_backends_example():
+    import backends
+
+    out = _run_capturing(backends.main)
+    assert "PALLAS" in out and "XLA" in out
+    for line in out.splitlines():
+        if "roundtrip max error" in line:
+            assert float(line.split()[-1]) < 1e-3
+
+
+def test_cli_demo():
+    from gpu_fft_tpu.__main__ import main
+
+    assert main(["demo"]) == 0
+    assert main(["backends"]) == 0
+
+
+def test_cli_bench_rejects_bad_n(capsys):
+    from gpu_fft_tpu.__main__ import main
+
+    assert main(["bench", "-n", "100"]) == 2
