@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from .. import config
 from ..config import FUSED_MAX, RFFT_MIN
-from ..plan import STAGE_A_COL_TILE, get_fused_plan, get_stage_a_plan
+from ..plan import get_fused_plan, get_stage_a_plan, stage_a_col_tile
 from .fused import fused_fft, stage_a
 from .fused_jnp import fused_fft_jnp, stage_a_jnp
 
@@ -65,7 +65,7 @@ def transform_any(xr, xi, n: int, sign: int):
     if config.ENGINE == "jnp":
         yr, yi = stage_a_jnp(x3r, x3i, plan)
     else:
-        yr, yi = stage_a(x3r, x3i, n1, n2, plan, STAGE_A_COL_TILE)
+        yr, yi = stage_a(x3r, x3i, n1, n2, plan, stage_a_col_tile(n1))
 
     # Stage B: row DFTs of length n2 (k1-major rows are already contiguous).
     rr, ri = transform_any(yr.reshape(b * n1, n2), yi.reshape(b * n1, n2), n2, sign)

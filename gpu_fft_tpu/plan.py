@@ -206,8 +206,13 @@ STAGE_B_TARGET = 16384
 STAGE_A_N1_MIN = 16
 STAGE_A_N1_MAX = 512
 
-# Lane width of one stage-A program's column block.
-STAGE_A_COL_TILE = 512
+def stage_a_col_tile(n1: int) -> int:
+    """Lane width of one stage-A program's column block.
+
+    At n1 = 512 the F1 table set alone is ~4 MiB of VMEM, so the data blocks
+    shrink to stay inside the ~16 MiB scoped limit (hit at n = 2^23).
+    """
+    return 256 if n1 >= 512 else 512
 
 
 def _stage_a_n1(n: int) -> int:
