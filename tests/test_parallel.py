@@ -10,7 +10,6 @@ import pytest
 from jax.sharding import Mesh
 from conftest import assert_slice_approx
 
-import gpu_fft_tpu as gf
 from gpu_fft_tpu.parallel import (
     default_mesh,
     distributed_fft,
