@@ -45,7 +45,12 @@ def main() -> None:
     import jax.numpy as jnp
 
     import gpu_fft_tpu as gf
-    from gpu_fft_tpu.kernels.large import transform_any
+    from gpu_fft_tpu.utils.profiling import (
+        fft_forward_step,
+        fft_inverse_step,
+        fft_roundtrip_step,
+        xla_fft_forward_step,
+    )
 
     start = time.time()
     platform = jax.default_backend()
@@ -73,32 +78,10 @@ def main() -> None:
             print(f"[bench] {name}: ERROR {str(e)[:120]}", file=sys.stderr, flush=True)
             return None
 
-    def fwd_step(n):
-        s = np.float32(1.0 / np.sqrt(n))
-        def step(x):
-            yr, yi = transform_any(x, None, n, -1)
-            return yr * s
-        return step
-
-    def xla_step(n):
-        s = np.float32(1.0 / np.sqrt(n))
-        def step(x):
-            return jnp.real(jnp.fft.fft(x.astype(jnp.complex64))) * s
-        return step
-
-    def inv_step(n):
-        s = np.float32(np.sqrt(n))
-        def step(x):
-            yr, yi = transform_any(x, x * np.float32(0.5), n, +1)
-            return yr * (s / n)
-        return step
-
-    def roundtrip_step(n):
-        def step(x):
-            yr, yi = transform_any(x, None, n, -1)
-            rr, ri = transform_any(yr, yi, n, +1)
-            return rr * np.float32(1.0 / n)
-        return step
+    fwd_step = fft_forward_step
+    xla_step = xla_fft_forward_step
+    inv_step = fft_inverse_step
+    roundtrip_step = fft_roundtrip_step
 
     # ── Scalar forward sweep (fft_bench.rs SIZES + large-N extension) ───────
     for n in (1024, 4096, 16384, 65536, 1 << 20):
@@ -126,15 +109,21 @@ def main() -> None:
         pass
 
     # ── Accuracy gate: roundtrip err <= 5*log2(N)*eps ───────────────────────
+    # Protected per size like the timing configs: a failure here must not
+    # discard the measured results.  The PALLAS backend is forced so env
+    # overrides (e.g. GPU_FFT_TPU_BACKEND=native) cannot break the device API.
     eps32 = float(np.finfo(np.float32).eps)
     acc = {}
     for n in (1024, 4096, 65536, 1 << 20):
-        xs_h = RNG.uniform(-1.0, 1.0, n).astype(np.float32)
-        r, i = gf.fft_device(jnp.asarray(xs_h[None]))
-        rr, _ = gf.ifft_device(r, i)
-        err = float(np.abs(np.asarray(rr[0]) - xs_h).max())
-        bound = float(5.0 * np.log2(n) * eps32)
-        acc[f"n{n}"] = {"max_err": err, "bound": bound, "pass": bool(err <= bound)}
+        try:
+            xs_h = RNG.uniform(-1.0, 1.0, n).astype(np.float32)
+            r, i = gf.fft_device(jnp.asarray(xs_h[None]), backend=gf.Backend.PALLAS)
+            rr, _ = gf.ifft_device(r, i, backend=gf.Backend.PALLAS)
+            err = float(np.abs(np.asarray(rr[0]) - xs_h).max())
+            bound = float(5.0 * np.log2(n) * eps32)
+            acc[f"n{n}"] = {"max_err": err, "bound": bound, "pass": bool(err <= bound)}
+        except Exception as e:
+            acc[f"n{n}"] = {"error": str(e)[:200], "pass": False}
     details["accuracy"] = acc
     details["accuracy_all_pass"] = all(v["pass"] for v in acc.values())
     details["wall_s"] = time.time() - start

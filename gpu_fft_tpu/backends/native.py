@@ -65,6 +65,10 @@ def _run(xr: np.ndarray, xi: np.ndarray, sign: int) -> tuple[np.ndarray, np.ndar
             "native backend not built — run `make -C native` or set "
             f"{NATIVE_LIB_ENV_VAR} to the shared library path"
         )
+    if xr.ndim != 2 or xr.shape != xi.shape:
+        raise ValueError(
+            f"native transform expects matching (B, n) arrays, got {xr.shape} vs {xi.shape}"
+        )
     b, n = xr.shape
     xr = np.ascontiguousarray(xr, dtype=np.float32)
     xi = np.ascontiguousarray(xi, dtype=np.float32)

@@ -24,7 +24,18 @@ from dataclasses import dataclass
 
 import numpy as np
 
-__all__ = ["chained_step_time", "benchmark", "BenchResult", "trace"]
+__all__ = [
+    "chained_step_time",
+    "benchmark",
+    "BenchResult",
+    "trace",
+    "fft_forward_step",
+    "fft_inverse_step",
+    "fft_roundtrip_step",
+    "xla_fft_forward_step",
+    "xla_fft_inverse_step",
+    "xla_fft_roundtrip_step",
+]
 
 
 def chained_step_time(step, x0, k1: int = 50, k2: int = 1050, reps: int = 4) -> float:
@@ -90,6 +101,90 @@ def benchmark(step, x0, elements: int | None = None, **kwargs) -> BenchResult:
     sec = chained_step_time(step, x0, **kwargs)
     n = elements if elements is not None else int(np.prod(x0.shape))
     return BenchResult(seconds=sec, elements=n)
+
+
+# ── Shared benchmark step builders ───────────────────────────────────────────
+# Shape-preserving steps for chained timing, used by both bench harnesses
+# (bench.py and scripts/bench_sweep.py) so their measured pipelines cannot
+# drift apart.  Each step rescales its output so chained values stay finite.
+
+
+def fft_forward_step(n: int):
+    """x -> re(FFT(x)) / sqrt(n) through the library transform."""
+    import numpy as _np
+
+    from ..kernels.large import transform_any
+
+    s = _np.float32(1.0 / _np.sqrt(n))
+
+    def step(x):
+        yr, _ = transform_any(x, None, n, -1)
+        return yr * s
+
+    return step
+
+
+def fft_inverse_step(n: int):
+    """x -> re(IFFT(x + 0.5j x)) rescaled, through the library transform."""
+    import numpy as _np
+
+    from ..kernels.large import transform_any
+
+    s = _np.float32(1.0 / _np.sqrt(n))
+
+    def step(x):
+        yr, _ = transform_any(x, x * _np.float32(0.5), n, +1)
+        return yr * s
+
+    return step
+
+
+def fft_roundtrip_step(n: int):
+    """x -> re(IFFT(FFT(x))) with the 1/n inverse normalization."""
+    import numpy as _np
+
+    from ..kernels.large import transform_any
+
+    def step(x):
+        yr, yi = transform_any(x, None, n, -1)
+        rr, _ = transform_any(yr, yi, n, +1)
+        return rr * _np.float32(1.0 / n)
+
+    return step
+
+
+def xla_fft_forward_step(n: int):
+    """The vendor-FFT equivalent of :func:`fft_forward_step`."""
+    import jax.numpy as jnp
+    import numpy as _np
+
+    s = _np.float32(1.0 / _np.sqrt(n))
+
+    def step(x):
+        return jnp.real(jnp.fft.fft(x.astype(jnp.complex64))) * s
+
+    return step
+
+
+def xla_fft_inverse_step(n: int):
+    import jax.numpy as jnp
+    import numpy as _np
+
+    s = _np.float32(_np.sqrt(n))
+
+    def step(x):
+        return jnp.real(jnp.fft.ifft(x.astype(jnp.complex64))) * s
+
+    return step
+
+
+def xla_fft_roundtrip_step(n: int):
+    import jax.numpy as jnp
+
+    def step(x):
+        return jnp.real(jnp.fft.ifft(jnp.fft.fft(x.astype(jnp.complex64))))
+
+    return step
 
 
 @contextlib.contextmanager

@@ -76,7 +76,8 @@ bool is_pow2(std::size_t n) { return n != 0 && (n & (n - 1)) == 0; }
 
 extern "C" {
 
-// Returns 0 on success; -1: null pointer; -2: n not a power of two
+// Returns 0 on success; -1: null pointer; -2: n not a power of two;
+// -3: sign not in {-1, +1}
 // (error-code contract mirroring reference ffi/mlx_fft.c:17,48,62).
 int tpufft_transform(const float* re_in, const float* im_in, float* re_out,
                      float* im_out, std::size_t batch, std::size_t n,

@@ -74,6 +74,8 @@ def build(n, variant):
 
     def call(x):
         b = x.shape[0]
+        if b % bt:
+            raise ValueError(f"B={b} must be a multiple of the batch tile {bt}")
         grid = (b // bt,)
         yr, yi = pl.pallas_call(
             kernel,

@@ -46,7 +46,14 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from gpu_fft_tpu.kernels.large import transform_any
+    from gpu_fft_tpu.utils.profiling import (
+        fft_forward_step,
+        fft_inverse_step,
+        fft_roundtrip_step,
+        xla_fft_forward_step,
+        xla_fft_inverse_step,
+        xla_fft_roundtrip_step,
+    )
 
     rng = np.random.default_rng(7)
     sizes = SIZES[:4] if args.quick else SIZES
@@ -56,19 +63,10 @@ def main() -> None:
         return jnp.asarray(rng.standard_normal(shape).astype(np.float32))
 
     def fwd(n, backend):
-        s = np.float32(1.0 / np.sqrt(n))
-        if backend == "xla":
-            return lambda x: jnp.real(jnp.fft.fft(x.astype(jnp.complex64))) * s
-        return lambda x: transform_any(x, None, n, -1)[0] * s
+        return xla_fft_forward_step(n) if backend == "xla" else fft_forward_step(n)
 
     def inv(n, backend):
-        s = np.float32(1.0 / np.sqrt(n))
-        if backend == "xla":
-            return lambda x: jnp.real(jnp.fft.ifft(x.astype(jnp.complex64))) * (s * n)
-        def step(x):
-            yr, yi = transform_any(x, x * np.float32(0.5), n, +1)
-            return yr * s
-        return step
+        return xla_fft_inverse_step(n) if backend == "xla" else fft_inverse_step(n)
 
     try:
         commit = subprocess.run(
@@ -105,15 +103,7 @@ def main() -> None:
             print(f"{name:36s} ERROR {str(e)[:80]}", flush=True)
 
     def roundtrip(n, backend):
-        if backend == "xla":
-            def step(x):
-                return jnp.real(jnp.fft.ifft(jnp.fft.fft(x.astype(jnp.complex64))))
-            return step
-        def step(x):
-            yr, yi = transform_any(x, None, n, -1)
-            rr, _ = transform_any(yr, yi, n, +1)
-            return rr * np.float32(1.0 / n)
-        return step
+        return xla_fft_roundtrip_step(n) if backend == "xla" else fft_roundtrip_step(n)
 
     for n in sizes:
         for backend in ("pallas", "xla"):

@@ -33,9 +33,12 @@ def test_backends_example():
 
     out = _run_capturing(backends.main)
     assert "PALLAS" in out and "XLA" in out
+    found = 0
     for line in out.splitlines():
         if "roundtrip max error" in line:
             assert float(line.split()[-1]) < 1e-3
+            found += 1
+    assert found >= 2, f"expected per-backend roundtrip lines, got:\n{out}"
 
 
 def test_cli_demo():
