@@ -30,10 +30,12 @@ from .ops.transform import (
     fft,
     fft_batch,
     fft_device,
+    fft_native,
     fft_with,
     ifft,
     ifft_batch,
     ifft_device,
+    ifft_native,
     ifft_with,
     next_power_of_two,
     warmup,
@@ -49,6 +51,8 @@ __all__ = [
     "ifft_batch",
     "fft_with",
     "ifft_with",
+    "fft_native",
+    "ifft_native",
     "fft_device",
     "ifft_device",
     "next_power_of_two",

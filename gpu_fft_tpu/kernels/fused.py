@@ -319,6 +319,10 @@ def fused_fft(xr, xi, plan: FusedPlan):
     """
     b, n = xr.shape
     assert n == plan.n, (n, plan.n)
+    if b == 0:
+        # A zero-row batch would build an unsupported grid=(0,) pallas_call;
+        # the host API guards B=0 but the device path must too.
+        return xr, xr if xi is None else xi
     t = plan.tables
     bt = batch_tile(n, complex_input=xi is not None)
     bpad = -b % bt
@@ -399,6 +403,8 @@ def fused_rfft(x, plan):
     """
     b, n = x.shape
     assert n == 2 * plan.n1 * plan.n2, (n, plan.n1, plan.n2)
+    if b == 0:
+        return x, x
     h1, h2 = plan.n1, plan.n2
     t = plan.tables
     bt = batch_tile(n, complex_input=True)

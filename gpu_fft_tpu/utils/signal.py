@@ -18,7 +18,12 @@ __all__ = [
 
 def generate_sine_wave(frequency: float, sample_rate: float, duration: float) -> np.ndarray:
     """sin(2π f n / sr) for n in [0, sample_rate * duration) samples
-    (reference ``src/utils.rs:26-31``)."""
+    (reference ``src/utils.rs:26-31``).
+
+    >>> w = generate_sine_wave(1.0, 4.0, 1.0)   # one cycle at 4 samples/s
+    >>> [round(float(v), 6) for v in w]
+    [0.0, 1.0, -0.0, -1.0]
+    """
     num_samples = int(sample_rate * duration)
     n = np.arange(num_samples, dtype=np.float32)
     return np.sin(2.0 * np.pi * frequency * n / sample_rate).astype(np.float32)
@@ -26,7 +31,11 @@ def generate_sine_wave(frequency: float, sample_rate: float, duration: float) ->
 
 def calculate_frequencies(n: int, sample_rate: float) -> np.ndarray:
     """Two-sided bin -> Hz map: bin k is k * sample_rate / n
-    (reference ``src/utils.rs:50-52``)."""
+    (reference ``src/utils.rs:50-52``).
+
+    >>> calculate_frequencies(4, 100.0).tolist()
+    [0.0, 25.0, 50.0, 75.0]
+    """
     return (np.arange(n, dtype=np.float32) * np.float32(sample_rate) / np.float32(n)).astype(
         np.float32
     )
@@ -34,7 +43,11 @@ def calculate_frequencies(n: int, sample_rate: float) -> np.ndarray:
 
 def calculate_one_sided_frequencies(n_total: int, sample_rate: float) -> np.ndarray:
     """The n_total // 2 + 1 unique non-negative frequencies, 0 Hz ... Nyquist
-    (reference ``src/utils.rs:71-75``)."""
+    (reference ``src/utils.rs:71-75``).
+
+    >>> calculate_one_sided_frequencies(8, 100.0).tolist()
+    [0.0, 12.5, 25.0, 37.5, 50.0]
+    """
     k = np.arange(n_total // 2 + 1, dtype=np.float32)
     return (k * np.float32(sample_rate) / np.float32(n_total)).astype(np.float32)
 
@@ -45,6 +58,11 @@ def find_dominant_frequencies(psd, frequencies, threshold: float) -> list[tuple[
 
     A peak strictly exceeds both neighbors and the threshold.  Returns
     (frequency, power) pairs in ascending bin order.
+
+    >>> find_dominant_frequencies([0.0, 9.0, 1.0, 8.0, 0.0], [0.0, 1.0, 2.0, 3.0, 4.0], 5.0)
+    [(1.0, 9.0), (3.0, 8.0)]
+    >>> find_dominant_frequencies([9.0, 1.0, 0.0], [0.0, 1.0, 2.0], 5.0)  # endpoint excluded
+    []
     """
     p = np.asarray(psd, dtype=np.float32)
     f = np.asarray(frequencies, dtype=np.float32)

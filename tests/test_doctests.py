@@ -1,0 +1,33 @@
+"""Run the doc-examples on pure functions as tests.
+
+The reference runs doc-tests on its CPU-pure functions (``src/psd.rs:19-26``,
+``src/utils.rs:16-98``); this is the pytest equivalent.  The same modules also
+pass ``pytest --doctest-modules gpu_fft_tpu/ops gpu_fft_tpu/utils``.
+"""
+
+import doctest
+
+import gpu_fft_tpu.ops.spectral
+import gpu_fft_tpu.ops.transform
+import gpu_fft_tpu.utils.signal
+
+
+def _run(module, expected_min: int):
+    res = doctest.testmod(module, verbose=False)
+    assert res.failed == 0, f"{module.__name__}: {res.failed} doctest failures"
+    assert res.attempted >= expected_min, (
+        f"{module.__name__}: expected at least {expected_min} doc-examples, "
+        f"found {res.attempted}"
+    )
+
+
+def test_signal_doctests():
+    _run(gpu_fft_tpu.utils.signal, 4)
+
+
+def test_spectral_doctests():
+    _run(gpu_fft_tpu.ops.spectral, 2)
+
+
+def test_transform_doctests():
+    _run(gpu_fft_tpu.ops.transform, 1)

@@ -16,6 +16,17 @@ def test_chained_step_time_positive():
     assert -1e-3 < t < 1.0
 
 
+def test_chained_step_stats_fields():
+    x = jnp.ones((8, 128), jnp.float32)
+    s = profiling.chained_step_stats(
+        lambda x: x * 1.0000001, x, k1=2, k2=200, reps=3, min_span_s=0.005
+    )
+    assert s.median_s > 0  # positive clamp: never a negative/zero time
+    assert s.min_s <= s.median_s <= s.max_s
+    assert s.iqr_s >= 0 and s.reps == 3 and s.span >= 198
+    assert isinstance(s.suspect, bool)
+
+
 def test_chained_rejects_bad_ks():
     x = jnp.ones((8, 128), jnp.float32)
     with pytest.raises(ValueError):

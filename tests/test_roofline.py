@@ -1,0 +1,50 @@
+"""Roofline accounting tests (utils/roofline.py, SURVEY §5 metrics)."""
+
+import numpy as np
+import pytest
+
+from gpu_fft_tpu.utils import roofline
+
+
+def test_transform_cost_direct_vs_fused():
+    # Direct (n <= 512): real input = 2 matmuls of n x n over b rows.
+    c = roofline.transform_cost(8, 256, "fft")
+    assert c["flops"] == pytest.approx(2 * 2.0 * 8 * 256 * 256)
+    assert c["bytes"] == 8 * 256 * 4 * 3
+    # Fused four-step FLOPs scale ~ n*(n1+n2), far below direct's n^2.
+    c2 = roofline.transform_cost(1, 65536, "fft")
+    assert c2["flops"] < 2 * 2.0 * 65536 * 65536
+    n1, n2 = 256, 256
+    expected = 2 * 2.0 * 65536 * n1 + 6.0 * 65536 + 3 * 2.0 * 65536 * n2
+    assert c2["flops"] == pytest.approx(expected)
+
+
+def test_large_n_recursion_counts_both_stages():
+    c = roofline.transform_cost(1, 1 << 20, "fft")
+    assert c["flops"] > roofline.transform_cost(1, 65536, "fft")["flops"]
+    assert np.isfinite(c["flops"])
+
+
+def test_roundtrip_cost_exceeds_forward():
+    fwd = roofline.transform_cost(1, 4096, "fft")["flops"]
+    rt = roofline.transform_cost(1, 4096, "roundtrip")["flops"]
+    assert rt > fwd
+
+
+def test_roofline_row_fields_and_bounds():
+    row = roofline.roofline_row(1, 65536, "fft", measured_s=10e-6, chip=roofline.CHIPS["v5e"])
+    assert row["bound"] in ("hbm", "mxu")
+    assert 0 < row["pct_sol"] <= 100.0 or row["pct_sol"] > 0  # finite, positive
+    assert row["sol_us"] > 0
+    # SoL can never exceed the measured time by definition of pct.
+    assert row["pct_sol"] == pytest.approx(100.0 * row["sol_us"] / 10.0)
+
+
+def test_detect_chip_runs():
+    chip = roofline.detect_chip()
+    assert chip.hbm_gbps > 0 and chip.bf16_tflops > 0
+
+
+def test_unknown_kind_raises():
+    with pytest.raises(ValueError):
+        roofline.transform_cost(1, 1024, "nope")
