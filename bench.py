@@ -354,7 +354,7 @@ def mosaic_smoke() -> dict:
         y = np.einsum("ka,bac->bkc", f1, x3) * tw[None]
         return y.real.astype(np.float32), y.imag.astype(np.float32)
 
-    ct = stage_a_col_tile(n1)
+    ct = stage_a_col_tile(n1, n2)
     check(
         "stage_a_real",
         lambda: stage_a(w.reshape(1, n1, n2), None, n1, n2, plan, ct),

@@ -65,7 +65,7 @@ def transform_any(xr, xi, n: int, sign: int):
     if config.ENGINE == "jnp":
         yr, yi = stage_a_jnp(x3r, x3i, plan)
     else:
-        yr, yi = stage_a(x3r, x3i, n1, n2, plan, stage_a_col_tile(n1))
+        yr, yi = stage_a(x3r, x3i, n1, n2, plan, stage_a_col_tile(n1, n2))
 
     # Stage B: row DFTs of length n2 (k1-major rows are already contiguous).
     rr, ri = transform_any(yr.reshape(b * n1, n2), yi.reshape(b * n1, n2), n2, sign)

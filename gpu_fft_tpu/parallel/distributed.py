@@ -32,12 +32,25 @@ __all__ = ["distributed_fft", "distributed_ifft"]
 
 
 def _split_for_mesh(n: int, d: int) -> tuple[int, int]:
-    n1, n2 = balanced_split(n)
-    if n1 % d or n2 % d:
+    """Choose n = n1 * n2 with BOTH factors divisible by the mesh axis size.
+
+    The pipeline shards columns (needs d | n2) and, after the all_to_all,
+    rows (needs d | n1).  Starting from the balanced split, the exponent is
+    clamped into the feasible band instead of raising — any power-of-two
+    n >= d*d has a valid factorization, so only genuinely impossible sizes
+    error out.
+    """
+    if d & (d - 1):
+        raise ValueError(f"mesh axis size must be a power of two, got {d}")
+    m = n.bit_length() - 1
+    ld = d.bit_length() - 1
+    if n & (n - 1) or m < 2 * ld:
         raise ValueError(
-            f"n={n} factors as {n1}x{n2}; both factors must divide by the mesh axis size {d}"
+            f"distributed transform needs power-of-two n >= d^2 = {d * d}, got n={n}"
         )
-    return n1, n2
+    a = min(max(m // 2, ld), m - ld)  # balanced, clamped to d | n1 and d | n2
+    n1 = 1 << a
+    return n1, n // n1
 
 
 def _distributed(x3r, x3i, n: int, n1: int, n2: int, sign: int, mesh: Mesh, sp: str, dp):

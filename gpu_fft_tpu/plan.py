@@ -206,13 +206,16 @@ STAGE_B_TARGET = 16384
 STAGE_A_N1_MIN = 16
 STAGE_A_N1_MAX = 512
 
-def stage_a_col_tile(n1: int) -> int:
+def stage_a_col_tile(n1: int, n2: int) -> int:
     """Lane width of one stage-A program's column block.
 
     At n1 = 512 the F1 table set alone is ~4 MiB of VMEM, so the data blocks
-    shrink to stay inside the ~16 MiB scoped limit (hit at n = 2^23).
+    shrink to stay inside the ~16 MiB scoped limit (hit at n = 2^23).  The
+    tile is clamped to n2 so the grid can never be empty (production plans
+    always have n2 >= STAGE_B_TARGET, but forced small configs must not
+    silently return garbage).
     """
-    return 256 if n1 >= 512 else 512
+    return min(256 if n1 >= 512 else 512, n2)
 
 
 def _stage_a_n1(n: int) -> int:

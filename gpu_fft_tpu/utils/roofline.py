@@ -54,9 +54,9 @@ def detect_chip() -> ChipSpec:
     d = jax.devices()[0]
     kind = (getattr(d, "device_kind", "") or "").lower() + " " + str(d).lower()
     for key in ("v6e", "v5p", "v5e", "v4"):
-        if key in kind or key.replace("v", "v5 lite") in kind:
+        if key in kind:
             return CHIPS[key]
-    if "v5 litepod" in kind or "litepod" in kind:
+    if "v5 lite" in kind or "litepod" in kind:
         return CHIPS["v5e"]
     if jax.default_backend() == "tpu" or "tpu" in kind or "axon" in kind:
         return CHIPS["v5e"]  # this environment's tunnel chip

@@ -71,8 +71,54 @@ def test_distributed_roundtrip(mesh2x4, rng):
 
 def test_distributed_rejects_bad_factor(mesh2x4):
     with pytest.raises(ValueError):
-        # 8 = 2 x 4: n1=2 not divisible by sp=4.
+        # n=8 < sp^2=16: no factorization has both digits divisible by 4.
         distributed_fft(np.zeros((1, 8), np.float32), mesh2x4, sp_axis="sp")
+
+
+def test_distributed_mesh_aware_split(mesh2x4, rng):
+    # 32 = 2^5: the balanced split (4, 8) has n1=4 == sp, already valid; but
+    # 2^5 over sp=4 forces the clamp logic (a must stay in [2, 3]).  Also a
+    # size whose BALANCED split would fail: n=16 over sp=4 -> must pick 4x4.
+    for n in (16, 32):
+        x = rng.standard_normal((2, n)).astype(np.float32)
+        yr, yi = distributed_fft(x, mesh2x4, sp_axis="sp", dp_axis="dp")
+        ref = np.fft.fft(x.astype(np.float64), axis=-1)
+        scale = np.abs(ref).max()
+        assert np.abs(np.asarray(yr) - ref.real).max() / scale < 1e-5, f"n={n}"
+        assert np.abs(np.asarray(yi) - ref.imag).max() / scale < 1e-5, f"n={n}"
+
+
+def test_distributed_large_n_beyond_fused_max(mesh2x4, rng):
+    # n = 2^18 > FUSED_MAX: the sp path at a size where the single-chip path
+    # matters (round-1 verdict: sp was never tested past 4096).
+    n = 1 << 18
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    yr, yi = distributed_fft(x, mesh2x4, sp_axis="sp", dp_axis="dp")
+    ref = np.fft.fft(x.astype(np.float64), axis=-1)
+    scale = np.abs(ref).max()
+    assert np.abs(np.asarray(yr) - ref.real).max() / scale < 2e-5
+    assert np.abs(np.asarray(yi) - ref.imag).max() / scale < 2e-5
+
+
+def test_distributed_staged_local_transforms(mesh2x4, rng, monkeypatch):
+    # Force the LOCAL row/column transforms through the staged large-N path
+    # inside shard_map by shrinking FUSED_MAX, proving the sp composition
+    # holds when local pieces are themselves multi-kernel.
+    import gpu_fft_tpu.kernels.large as large
+    import gpu_fft_tpu.plan as plan_mod
+
+    monkeypatch.setattr(large, "FUSED_MAX", 256)
+    monkeypatch.setattr(plan_mod, "FUSED_MAX", 256)
+    plan_mod.get_stage_a_plan.cache_clear()
+    try:
+        n = 1 << 18  # balanced split 512 x 512: both locals staged (512 > 256)
+        x = rng.standard_normal((1, n)).astype(np.float32)
+        yr, yi = distributed_fft(x, mesh2x4, sp_axis="sp")
+        ref = np.fft.fft(x.astype(np.float64), axis=-1)
+        scale = np.abs(ref).max()
+        assert np.abs(np.asarray(yr) - ref.real).max() / scale < 2e-5
+    finally:
+        plan_mod.get_stage_a_plan.cache_clear()
 
 
 def test_distributed_rejects_indivisible_batch(mesh2x4):
