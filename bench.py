@@ -291,13 +291,9 @@ def mosaic_smoke() -> dict:
     """
     import jax.numpy as jnp
 
-    from gpu_fft_tpu.kernels.fused import fused_fft, fused_rfft, stage_a
-    from gpu_fft_tpu.plan import (
-        get_fused_plan,
-        get_rfft_plan,
-        get_stage_a_plan,
-        stage_a_col_tile,
-    )
+    from gpu_fft_tpu.kernels.fused import stage_a
+    from gpu_fft_tpu.kernels.large import transform_any
+    from gpu_fft_tpu.plan import get_stage_a_plan, stage_a_col_tile
 
     rng = np.random.default_rng(3)
     out: dict = {}
@@ -310,33 +306,6 @@ def mosaic_smoke() -> dict:
             out[name] = {"max_err": err, "tol": tol, "pass": bool(err <= tol)}
         except Exception as e:
             out[name] = {"error": str(e)[:300], "pass": False}
-
-    def ref_split(x, sign):
-        f = np.fft.fft if sign == -1 else np.fft.ifft
-        y = f(np.asarray(x).astype(np.complex128))
-        if sign == 1:
-            y = y * x.shape[-1]  # kernels are unnormalized
-        return y.real.astype(np.float32), y.imag.astype(np.float32)
-
-    # direct (real + complex), n <= DIRECT_MAX
-    xr = jnp.asarray(rng.standard_normal((8, 256)).astype(np.float32))
-    xi = jnp.asarray(rng.standard_normal((8, 256)).astype(np.float32))
-    check("direct_real", lambda: fused_fft(xr, None, get_fused_plan(256, -1)),
-          lambda: ref_split(xr, -1), 1e-3)
-    check("direct_complex", lambda: _cplx(fused_fft, xr, xi, get_fused_plan(256, 1)),
-          lambda: _ref_cplx(xr, xi, 1), 1e-3)
-
-    # fourstep (real + complex), fused size
-    yr4 = jnp.asarray(rng.standard_normal((2, 4096)).astype(np.float32))
-    yi4 = jnp.asarray(rng.standard_normal((2, 4096)).astype(np.float32))
-    check("fourstep_real", lambda: fused_fft(yr4, None, get_fused_plan(4096, -1)),
-          lambda: ref_split(yr4, -1), 1e-2)
-    check("fourstep_complex", lambda: _cplx(fused_fft, yr4, yi4, get_fused_plan(4096, 1)),
-          lambda: _ref_cplx(yr4, yi4, 1), 1e-2)
-
-    # fused rfft kernel
-    z = jnp.asarray(rng.standard_normal((1, 32768)).astype(np.float32))
-    check("rfft", lambda: fused_rfft(z, get_rfft_plan(32768)), lambda: ref_split(z, -1), 5e-2)
 
     # stage-A (real + complex) at a large-N size
     n = 1 << 17
@@ -368,18 +337,16 @@ def mosaic_smoke() -> dict:
         1e-2,
     )
 
+    # Full staged transform (stage-A kernel + einsum stage B with folded
+    # digit reversal) vs the numpy oracle — the whole large-N composition.
+    def full_ref():
+        y = np.fft.fft(np.asarray(w).astype(np.complex128))
+        return y.real.astype(np.float32), y.imag.astype(np.float32)
+
+    check("staged_full_transform", lambda: transform_any(w, None, n, -1), full_ref, 5e-2)
+
     out["all_pass"] = all(v.get("pass") for k, v in out.items() if k != "all_pass")
     return out
-
-
-def _cplx(fn, xr, xi, plan):
-    return fn(xr, xi, plan)
-
-
-def _ref_cplx(xr, xi, sign):
-    x = np.asarray(xr).astype(np.complex128) + 1j * np.asarray(xi)
-    y = np.fft.fft(x) if sign == -1 else np.fft.ifft(x) * x.shape[-1]
-    return y.real.astype(np.float32), y.imag.astype(np.float32)
 
 
 if __name__ == "__main__":

@@ -42,7 +42,7 @@ from .ops.transform import (
 )
 from . import utils
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "fft",

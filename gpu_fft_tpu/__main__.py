@@ -73,6 +73,12 @@ def cmd_bench(args) -> int:
 
 
 def main(argv=None) -> int:
+    # Persistent compilation cache: repeat CLI invocations skip the
+    # tens-of-seconds first-compile behind a remote-compile transport.
+    from gpu_fft_tpu.config import enable_compilation_cache
+
+    enable_compilation_cache()
+
     parser = argparse.ArgumentParser(prog="gpu_fft_tpu", description=__doc__)
     sub = parser.add_subparsers(dest="command", required=True)
     sub.add_parser("demo", help="end-to-end signal-processing demo")

@@ -24,41 +24,49 @@ DIRECT_MAX = 512
 #   the whole transform fuses, not just the first 10 stages.
 FUSED_MAX = 65536
 
-# Minimum length at which the forward REAL-input transform switches to the
-# fused half-length packed transform + untangle ("rfft kernel"), halving the
-# dominant matmul work.  The kernel's layout-forced factorization
-# (n/256, 128) is only balanced from 32768 up; below that the plain real
-# four-step path is faster (measured on v5e).
-RFFT_MIN = 32768
-
 # Maximum supported transform length.  Above FUSED_MAX the transform is
 # factored recursively at the JAX level (kernels/large.py); two balanced
 # levels cover up to FUSED_MAX**2, far beyond the 2**20 target.
 MAX_N = 1 << 24
 
-# VMEM byte budget used when choosing the per-program batch tile for the
-# fused kernels.  Conservative: leaves room for the compiler's own buffers
-# within the ~16 MiB scoped-VMEM limit observed on v5e.
-VMEM_BUDGET_BYTES = 3 * 1024 * 1024
-
-# Kernel engine for the PALLAS backend's transforms:
-#   "auto"   — jnp-level fused transforms (XLA-scheduled; fastest measured)
-#              plus the Pallas stage-A kernel for large N.
-#   "jnp"    — jnp-level everywhere (including the large-N column stage).
-#   "pallas" — hand-written Pallas kernels everywhere (incl. the fused rfft
-#              kernel); slower on v5e but kept as the explicit kernel path.
-# Override with GPU_FFT_TPU_ENGINE.
-ENGINE = os.environ.get("GPU_FFT_TPU_ENGINE", "auto").strip().lower()
-if ENGINE not in ("auto", "jnp", "pallas"):
-    raise ValueError(
-        f"GPU_FFT_TPU_ENGINE must be one of auto|jnp|pallas, got {ENGINE!r}"
-    )
+# NOTE: there is deliberately no "engine" flag.  Round 1 shipped a
+# GPU_FFT_TPU_ENGINE dial (jnp vs hand-written Pallas kernels); round 2
+# replaced it with per-size selection measured on hardware and retired the
+# losing kernels — see docs/ABLATION.md and kernels/large.py.
 
 # Use the Gauss/Karatsuba 3-multiplication complex matmul instead of the
 # 4-multiplication form.  Saves 25% of the full-precision MXU passes (the
 # dominant kernel cost); the extra additions introduce a small, bounded
 # cancellation error, validated against the 5*log2(N)*eps roundtrip gate.
 KARATSUBA = True
+
+def enable_compilation_cache(path: str | None = None) -> str | None:
+    """Turn on JAX's persistent compilation cache for this process.
+
+    First-compile latency dominates interactive use behind a remote-compile
+    transport (tens of seconds per (shape, direction) variant); the on-disk
+    cache makes every later process start hit warm executables — the analog
+    of CubeCL's documented shader-cache warm-up effect (reference
+    ``README.md:87-89``), made persistent.  Called by the CLI and the bench
+    harnesses; library users can call it via ``gpu_fft_tpu.config``.
+
+    Returns the cache directory, or None if the cache could not be enabled.
+    """
+    import jax
+
+    d = path or os.environ.get(
+        "GPU_FFT_TPU_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "gpu_fft_tpu", "xla"),
+    )
+    try:
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        return d
+    except Exception:
+        return None
+
 
 # ── Environment ──────────────────────────────────────────────────────────────
 # Default backend override, mirroring the reference's feature-flag default

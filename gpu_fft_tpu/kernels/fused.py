@@ -1,48 +1,32 @@
-"""Fused single-dispatch FFT kernels (Pallas, TPU).
+"""Pallas kernels for the staged large-N path (TPU, Mosaic).
 
-This file is the TPU-native replacement for the reference's six CubeCL
-butterfly kernels (reference ``src/butterfly.rs:32-511``).  The design is a
-deliberate departure, per the repo north star:
+This file holds the hand-written kernels that MEASURABLY WIN on hardware —
+the stage-A column-DFT+twiddle kernel of the staged large-N transform.  The
+round-1 fused whole-transform kernels (direct / four-step / rfft) were
+retired in round 2 after an interleaved head-to-head on a v5e showed the
+XLA-scheduled jnp graph of the same math (kernels/fused_jnp.py) ahead at
+every fused size, and the fused rfft kernel behind the plain real four-step
+at every candidate size — see docs/ABLATION.md for the full tables and
+scripts/ablate_engines.py for the reproducible harness.  The design thesis
+stands in the math, not the hand-scheduling: every transform is MXU matmuls
+against precomputed f64-accurate tables (kernels/tables.py), never butterfly
+stages — the TPU-native answer to the reference's six CubeCL butterfly
+kernels (reference ``src/butterfly.rs:32-511``).
 
-* The reference runs log2(N) radix-2/4 *butterfly stages* over global memory,
-  fusing only the first 10 stages into shared memory (``butterfly_inner``,
-  ``src/butterfly.rs:84-147``) because GPU workgroups cap the tile at 1024
-  elements.  A TPU core has ~16 MiB of VMEM, so we fuse the ENTIRE transform
-  (N <= 65536) into one kernel — the logical conclusion of the reference's own
-  "fewer dispatches" strategy (``README.md:397-405``).
+Why stage A is a kernel and the rest is jnp:
 
-* Butterfly stages are strided scalar ops — hostile to the TPU's (8, 128)
-  vector layout and idle MXU.  Instead the transform is cast as MATRIX
-  MULTIPLICATION, where TPU FLOPs actually live:
-
-    - ``direct``:   X = x @ F_n                      (one complex matmul)
-    - ``fourstep``: n = n1*n2 Cooley-Tukey factorization
-    - ``rfft``:     real-input forward via the fused half-length transform
-
-  Four-step derivation (flat index n = a*n2 + b, output k = k1 + n1*k2):
-
-      X[k1 + n1*k2] = sum_b W_n2^(b*k2) * W_n^(b*k1) * sum_a x[a,b] W_n1^(a*k1)
-
-  realized as:  transpose -> (rows @ F1) -> twiddle -> transpose -> (rows @ F2)
-  -> transpose, with the batch dimension folded into the matmul rows so one
-  kernel serves both a single long signal and a large batch of short ones.
-  All three transposes are minor-two-dim VMEM transposes.  The final
-  transpose also performs the Cooley-Tukey output digit reversal, replacing
-  the reference's CPU-side bit-reverse permutation pass (``src/fft.rs:54-59``,
-  ``src/butterfly.rs:521-528``) — there is no bit-reversal anywhere.
-
-* Twiddles/DFT matrices are precomputed in f64 and live in VMEM for the whole
-  kernel (see kernels/tables.py), instead of per-thread cos/sin
-  (``src/butterfly.rs:45-48``).
-
-* Complex matmuls use the Gauss/Karatsuba 3-multiplication form by default
-  (``config.KARATSUBA``), with the sum/difference matrices precomputed in
-  f64 — 25% fewer full-precision MXU passes than the 4-multiplication form.
-
-Batching: the grid iterates over row-tiles of the (B, n) batch, the analog of
-the reference's flat batched dispatches (``butterfly_inner_batch``,
-``src/butterfly.rs:238-298``) — launch count stays independent of B, which is
-the reference's central batching win (``README.md:451-455``).
+* Stage A is a LEFT matmul (the column digit stays on the lane axis) with a
+  fused twiddle — one VMEM pass over data XLA would otherwise round-trip;
+  measured ~25% faster than the einsum form at n = 2^20 (104 vs 130 us).
+* The fused sizes are MXU-pass-bound at HIGHEST precision and XLA already
+  schedules the 3-matmul chain at ~80% of speed-of-light; a monolithic
+  kernel only serializes what XLA overlaps (measured 1.15-1.5x slower).
+* A fused stage-B kernel (row FFTs + the output digit reversal written as
+  natural-order VMEM blocks) was also built and retired: Mosaic's lane
+  tiling forces m1 = n2/128 skinny matmuls plus two in-VMEM re-rank
+  transposes, measuring 64.8 us at 2^17 vs 9.4 us for the jnp form.  The
+  winning realization of the same idea folds the digit reversal into the
+  final einsum's output permutation (kernels/fused_jnp.py:stage_b_jnp).
 """
 
 from __future__ import annotations
@@ -54,9 +38,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import KARATSUBA
-from ..plan import FusedPlan, batch_tile
 
-__all__ = ["fused_fft", "fused_rfft"]
+__all__ = ["stage_a"]
 
 
 def _dot(a, b):
@@ -92,131 +75,7 @@ def _cmatmul(ar, ai, f):
     return _dot(ar, fr) - _dot(ai, fi), _dot(ar, fi) + _dot(ai, fr)
 
 
-# ── Kernel bodies ────────────────────────────────────────────────────────────
-
-
-def _direct_real_kernel(x_ref, fr_ref, fi_ref, yr_ref, yi_ref):
-    x = x_ref[...]
-    yr_ref[...] = _dot(x, fr_ref[...])
-    yi_ref[...] = _dot(x, fi_ref[...])
-
-
-def _direct_complex_kernel(xr_ref, xi_ref, fr_ref, fi_ref, fs_ref, fd_ref, yr_ref, yi_ref):
-    yr, yi = _cmatmul(
-        xr_ref[...], xi_ref[...], (fr_ref[...], fi_ref[...], fs_ref[...], fd_ref[...])
-    )
-    yr_ref[...] = yr
-    yi_ref[...] = yi
-
-
-def _fourstep_core(pr, pi, bt, n1, n2, twr, twi, f2, yr_ref, yi_ref):
-    """Steps shared by the real/complex four-step kernels.
-
-    ``pr, pi``: column-DFT output, shape (bt*n2, n1), row index (batch, b),
-    column index k1.  Applies twiddle, row DFT, and the output digit-reversal
-    transpose, writing (bt, n2, n1) blocks whose row-major flattening is the
-    naturally ordered spectrum.
-    """
-    p3r = pr.reshape(bt, n2, n1)
-    p3i = pi.reshape(bt, n2, n1)
-    zr, zi = _cmul(p3r, p3i, twr[None], twi[None])  # twiddle W_n^(b*k1), (n2, n1)
-    qr = jnp.swapaxes(zr, 1, 2).reshape(bt * n1, n2)
-    qi = jnp.swapaxes(zi, 1, 2).reshape(bt * n1, n2)
-    rr, ri = _cmatmul(qr, qi, f2)  # rows (batch, k1), cols k2
-    yr_ref[...] = jnp.swapaxes(rr.reshape(bt, n1, n2), 1, 2)
-    yi_ref[...] = jnp.swapaxes(ri.reshape(bt, n1, n2), 1, 2)
-
-
-def _fourstep_real_kernel(
-    x_ref, f1r, f1i, twr, twi, f2r, f2i, f2s, f2d, yr_ref, yi_ref
-):
-    bt, n1, n2 = x_ref.shape
-    xt = jnp.swapaxes(x_ref[...], 1, 2).reshape(bt * n2, n1)
-    # Column DFT of a REAL signal: 2 matmuls instead of 3/4 — the forward
-    # public API always takes real input, so the fast path is structural.
-    pr = _dot(xt, f1r[...])
-    pi = _dot(xt, f1i[...])
-    _fourstep_core(
-        pr, pi, bt, n1, n2, twr[...], twi[...],
-        (f2r[...], f2i[...], f2s[...], f2d[...]), yr_ref, yi_ref,
-    )
-
-
-def _fourstep_complex_kernel(
-    xr_ref, xi_ref, f1r, f1i, f1s, f1d, twr, twi, f2r, f2i, f2s, f2d, yr_ref, yi_ref
-):
-    bt, n1, n2 = xr_ref.shape
-    xtr = jnp.swapaxes(xr_ref[...], 1, 2).reshape(bt * n2, n1)
-    xti = jnp.swapaxes(xi_ref[...], 1, 2).reshape(bt * n2, n1)
-    pr, pi = _cmatmul(xtr, xti, (f1r[...], f1i[...], f1s[...], f1d[...]))
-    _fourstep_core(
-        pr, pi, bt, n1, n2, twr[...], twi[...],
-        (f2r[...], f2i[...], f2s[...], f2d[...]), yr_ref, yi_ref,
-    )
-
-
-def _rfft_kernel_factory(n, h1, h2):
-    """Fully-fused real-input forward FFT kernel for length n = 2 * h1 * h2.
-
-    Pipeline, entirely in VMEM: even/odd selection matmul -> half-length
-    complex four-step -> conjugate-symmetric untangle (index reversal via
-    exact permutation matmuls, see plan.get_rfft_plan) -> full n-bin
-    spectrum.  Roughly halves the full-precision MXU work of the forward
-    path versus transforming the zero-padded complex signal.
-    """
-    t = 2 * h2  # PACK_TILE; h1 = n // t by construction (see get_rfft_plan)
-    assert h1 == n // t
-
-    def kernel(
-        x_ref, sel, f1r, f1i, f1s, f1d, twr, twi, f2r, f2i, f2s, f2d,
-        pc, q1, q0, ur, ui, yr_ref, yi_ref,
-    ):
-        bt = x_ref.shape[0]  # input block is (bt, h1, t), pre-shaped by caller
-        # Step 0: even/odd deinterleave on the MXU.  The (n/t, t/2)-tiled
-        # halves are exactly the (h1, h2) four-step view — no reshape.
-        packed = _dot(x_ref[...].reshape(bt * h1, t), sel[...])
-        p3 = packed.reshape(bt, h1, t)
-        zr = p3[:, :, : t // 2]
-        zi = p3[:, :, t // 2 :]
-        # Half-length complex four-step.
-        xtr = jnp.swapaxes(zr, 1, 2).reshape(bt * h2, h1)
-        xti = jnp.swapaxes(zi, 1, 2).reshape(bt * h2, h1)
-        pr, pi = _cmatmul(xtr, xti, (f1r[...], f1i[...], f1s[...], f1d[...]))
-        p3r = pr.reshape(bt, h2, h1)
-        p3i = pi.reshape(bt, h2, h1)
-        wr, wi = _cmul(p3r, p3i, twr[...][None], twi[...][None])
-        qr_ = jnp.swapaxes(wr, 1, 2).reshape(bt * h1, h2)
-        qi_ = jnp.swapaxes(wi, 1, 2).reshape(bt * h1, h2)
-        rr, ri = _cmatmul(qr_, qi_, (f2r[...], f2i[...], f2s[...], f2d[...]))
-        # Natural-order half spectrum A[k2, k1] = Z[k1 + h1*k2].
-        ar = jnp.swapaxes(rr.reshape(bt, h1, h2), 1, 2)
-        ai = jnp.swapaxes(ri.reshape(bt, h1, h2), 1, 2)
-        # Index reversal Z[(h-k) % h] via permutation matmuls (exact 0/1).
-        b1r = _dot(ar.reshape(bt * h2, h1), pc[...]).reshape(bt, h2, h1)
-        b1i = _dot(ai.reshape(bt * h2, h1), pc[...]).reshape(bt, h2, h1)
-        b1r_sw = jnp.swapaxes(b1r, 1, 2).reshape(bt * h1, h2)
-        b1i_sw = jnp.swapaxes(b1i, 1, 2).reshape(bt * h1, h2)
-
-        def row_perm(q):
-            dr = jnp.swapaxes(_dot(b1r_sw, q[...]).reshape(bt, h1, h2), 1, 2)
-            di = jnp.swapaxes(_dot(b1i_sw, q[...]).reshape(bt, h1, h2), 1, 2)
-            return dr, di
-
-        d1r, d1i = row_perm(q1)
-        d0r, d0i = row_perm(q0)
-        col0 = jax.lax.broadcasted_iota(jnp.int32, (bt, h2, h1), 2) == 0
-        revr = jnp.where(col0, d0r, d1r)
-        revi = jnp.where(col0, d0i, d1i)
-        # Untangle: E + u*O (first half), E - u*O (second half).
-        er = 0.5 * (ar + revr)
-        ei = 0.5 * (ai - revi)
-        o_r = 0.5 * (ai + revi)
-        o_i = -0.5 * (ar - revr)
-        tr, ti = _cmul(o_r, o_i, ur[...][None], ui[...][None])
-        yr_ref[...] = jnp.stack([er + tr, er - tr], axis=1)
-        yi_ref[...] = jnp.stack([ei + ti, ei - ti], axis=1)
-
-    return kernel
+# ── Stage A: column DFT + twiddle (the large-N workhorse) ────────────────────
 
 
 def _stage_a_real_kernel(x_ref, f1r, f1i, twr_ref, twi_ref, yr_ref, yi_ref):
@@ -290,7 +149,7 @@ def stage_a(xr, xi, n1: int, n2: int, tables, col_tile: int):
     )(xr, xi, *(tables[k] for k in names), tables["twr"], tables["twi"])
 
 
-# ── Host-side dispatch ───────────────────────────────────────────────────────
+# ── Shared spec helpers ──────────────────────────────────────────────────────
 
 
 def _interpret() -> bool:
@@ -307,129 +166,3 @@ def _const_spec(shape):
 
 def _vmem_spec(shape, index_map):
     return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
-
-
-def fused_fft(xr, xi, plan: FusedPlan):
-    """Run one fused transform over a (B, n) batch.
-
-    ``xi`` may be None (real input — forward transforms from the public API).
-    Returns split-complex (yr, yi), each (B, n), in natural spectral order.
-    No normalization is applied (the inverse 1/N scale is the caller's job,
-    mirroring reference ``src/ifft.rs:140-146``).
-    """
-    b, n = xr.shape
-    assert n == plan.n, (n, plan.n)
-    if b == 0:
-        # A zero-row batch would build an unsupported grid=(0,) pallas_call;
-        # the host API guards B=0 but the device path must too.
-        return xr, xr if xi is None else xi
-    t = plan.tables
-    bt = batch_tile(n, complex_input=xi is not None)
-    bpad = -b % bt
-    if bpad:
-        xr = jnp.pad(xr, ((0, bpad), (0, 0)))
-        if xi is not None:
-            xi = jnp.pad(xi, ((0, bpad), (0, 0)))
-    bp = b + bpad
-    grid = (bp // bt,)
-
-    if plan.kind == "direct":
-        data_spec = _vmem_spec((bt, n), lambda i: (i, 0))
-        out_shape = [
-            jax.ShapeDtypeStruct((bp, n), jnp.float32),
-            jax.ShapeDtypeStruct((bp, n), jnp.float32),
-        ]
-        if xi is None:
-            names = ("fr", "fi")
-            yr, yi = pl.pallas_call(
-                _direct_real_kernel,
-                grid=grid,
-                in_specs=[data_spec] + [_const_spec(t[k].shape) for k in names],
-                out_specs=[data_spec] * 2,
-                out_shape=out_shape,
-                interpret=_interpret(),
-            )(xr, *(t[k] for k in names))
-        else:
-            names = ("fr", "fi", "fs", "fd")
-            yr, yi = pl.pallas_call(
-                _direct_complex_kernel,
-                grid=grid,
-                in_specs=[data_spec] * 2 + [_const_spec(t[k].shape) for k in names],
-                out_specs=[data_spec] * 2,
-                out_shape=out_shape,
-                interpret=_interpret(),
-            )(xr, xi, *(t[k] for k in names))
-        return yr[:b], yi[:b]
-
-    n1, n2 = plan.n1, plan.n2
-    in_spec = _vmem_spec((bt, n1, n2), lambda i: (i, 0, 0))
-    out_spec = _vmem_spec((bt, n2, n1), lambda i: (i, 0, 0))
-    out_shape = [
-        jax.ShapeDtypeStruct((bp, n2, n1), jnp.float32),
-        jax.ShapeDtypeStruct((bp, n2, n1), jnp.float32),
-    ]
-    x3r = xr.reshape(bp, n1, n2)
-    if xi is None:
-        names = ("f1r", "f1i", "twr", "twi", "f2r", "f2i", "f2s", "f2d")
-        yr, yi = pl.pallas_call(
-            _fourstep_real_kernel,
-            grid=grid,
-            in_specs=[in_spec] + [_const_spec(t[k].shape) for k in names],
-            out_specs=[out_spec, out_spec],
-            out_shape=out_shape,
-            interpret=_interpret(),
-        )(x3r, *(t[k] for k in names))
-    else:
-        x3i = xi.reshape(bp, n1, n2)
-        names = (
-            "f1r", "f1i", "f1s", "f1d", "twr", "twi", "f2r", "f2i", "f2s", "f2d"
-        )
-        yr, yi = pl.pallas_call(
-            _fourstep_complex_kernel,
-            grid=grid,
-            in_specs=[in_spec, in_spec] + [_const_spec(t[k].shape) for k in names],
-            out_specs=[out_spec, out_spec],
-            out_shape=out_shape,
-            interpret=_interpret(),
-        )(x3r, x3i, *(t[k] for k in names))
-    # (bp, n2, n1) row-major flattening is already the natural order k1 + n1*k2.
-    return yr.reshape(bp, n)[:b], yi.reshape(bp, n)[:b]
-
-
-def fused_rfft(x, plan):
-    """Real-input forward transform via the fused rfft kernel.
-
-    ``x``: (B, n) real f32.  Returns split-complex (B, n) natural order.
-    """
-    b, n = x.shape
-    assert n == 2 * plan.n1 * plan.n2, (n, plan.n1, plan.n2)
-    if b == 0:
-        return x, x
-    h1, h2 = plan.n1, plan.n2
-    t = plan.tables
-    bt = batch_tile(n, complex_input=True)
-    bpad = -b % bt
-    if bpad:
-        x = jnp.pad(x, ((0, bpad), (0, 0)))
-    bp = b + bpad
-    grid = (bp // bt,)
-    pack_t = 2 * h2
-    # 3-D input blocks keep the last two dims tile-aligned even at bt=1.
-    in_spec = _vmem_spec((bt, h1, pack_t), lambda i: (i, 0, 0))
-    out_spec = _vmem_spec((bt, 2, h2, h1), lambda i: (i, 0, 0, 0))
-    names = (
-        "sel", "f1r", "f1i", "f1s", "f1d", "twr", "twi",
-        "f2r", "f2i", "f2s", "f2d", "pc", "q1", "q0", "ur", "ui",
-    )
-    table_specs = [_const_spec(t[k].shape) for k in names]
-    out_shape = [jax.ShapeDtypeStruct((bp, 2, h2, h1), jnp.float32)] * 2
-    yr, yi = pl.pallas_call(
-        _rfft_kernel_factory(n, h1, h2),
-        grid=grid,
-        in_specs=[in_spec] + table_specs,
-        out_specs=[out_spec, out_spec],
-        out_shape=out_shape,
-        interpret=_interpret(),
-    )(x.reshape(bp, h1, pack_t), *(t[k] for k in names))
-    # (bt, 2, h2, h1) flattens to [half*h + k2*h1 + k1] = the natural k order.
-    return yr.reshape(bp, n)[:b], yi.reshape(bp, n)[:b]

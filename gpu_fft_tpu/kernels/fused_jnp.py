@@ -1,19 +1,21 @@
-"""Fused transforms expressed as plain JAX ops (the default engine).
+"""Fused-size transforms expressed as plain JAX ops.
 
-Same math and tables as the Pallas kernels in ``fused.py`` — direct DFT
-matmul and the four-step factorization — but written as jnp ops and left to
-XLA to fuse and schedule.  Measured head-to-head on v5e (interleaved chained
-timing), XLA's scheduling of this graph beats the hand-written Pallas
-kernels at every fused size (e.g. 3.4 us vs 10.4 us at B=1 N=65536; 76 vs 99
-us at B=16), because the per-pallas-call overhead and the kernel's serialized
-op chain cost more than HBM round-trips between XLA fusions.  This is the
-"let XLA fuse — don't hand-schedule what the compiler already does" rule in
-action; the Pallas engine remains available (``config.ENGINE = "pallas"``)
-and still wins for the large-N column stage (see kernels/large.py).
+Direct DFT matmul (n <= DIRECT_MAX) and the four-step factorization
+(n <= FUSED_MAX) written as jnp ops and left to XLA to fuse and schedule.
+This IS the transform engine for fused sizes: measured head-to-head on v5e
+(interleaved chained timing, scripts/ablate_engines.py), XLA's scheduling of
+this graph beat the round-1 hand-written fused Pallas kernels at every
+(B, n) — 6.7 vs 9.6 us at B=1 N=65536, 72.7 vs 88.1 us at B=16 — because
+per-pallas-call overhead and the kernel's serialized op chain cost more than
+HBM round-trips between XLA fusions.  The losing kernels were retired
+(docs/ABLATION.md); the hand-written kernels that WIN — the large-N stage-A
+column kernel and the fused stage-B+digit-reversal kernel — live in
+kernels/fused.py.  This is the "let XLA fuse — don't hand-schedule what the
+compiler already does" rule in action.
 
-Notably this also obsoletes the fused rfft kernel on the default path: the
-real-input four-step here (2-matmul first stage) beats the pallas rfft
-kernel's packed half-transform at both B=1 and B=16.
+The same measurement retired the fused rfft kernel: the real-input
+four-step here (2-matmul first stage) beat the packed half-transform at
+every candidate size (2.3 vs 5.9 us at n=32768).
 """
 
 from __future__ import annotations
@@ -24,7 +26,7 @@ from jax import lax
 from ..config import KARATSUBA
 from ..plan import FusedPlan
 
-__all__ = ["fused_fft_jnp", "stage_a_jnp"]
+__all__ = ["fused_fft_jnp", "stage_a_jnp", "stage_b_jnp"]
 
 _HI = lax.Precision.HIGHEST
 
@@ -77,6 +79,55 @@ def fused_fft_jnp(xr, xi, plan: FusedPlan):
     yr = jnp.swapaxes(rr.reshape(b, n1, n2), 1, 2).reshape(b, n)
     yi = jnp.swapaxes(ri.reshape(b, n1, n2), 1, 2).reshape(b, n)
     return yr, yi
+
+
+def stage_b_jnp(yr, yi, n1: int, n2: int, t: dict):
+    """Stage B of the staged large-N path: row FFTs of length n2 = m1*m2
+    with the global digit reversal FOLDED INTO the final einsum's output
+    permutation ('bkcj,cJ->bJjk').
+
+    Leaving the digit reversal as a separate jnp.swapaxes costs a full HBM
+    transpose pass; expressing it as the dot's output order lets XLA assign
+    layouts so the natural-order output falls out of the last matmul.
+    Measured on v5e (scripts/ablate_stage_b.py): wins at every staged size
+    (2^18: 21.2 vs 26.1 us; 2^20: 89-99 vs 104-111 us).  A fused Pallas
+    stage-B kernel attempting the same (VMEM transpose + direct natural-
+    order block writes) measured 64.8 us at 2^17 vs 9.4 for this form —
+    Mosaic's lane tiling forces m1 = n2/128 skinny matmuls and two in-VMEM
+    re-rank transposes — and was retired (docs/ABLATION.md §5).
+
+    ``yr, yi``: (B, n1, n2) stage-A output.  Returns split-complex (B, n)
+    natural-order spectra.  Row digits: position = a1*m2 + a2, output
+    k2 = j1 + m1*j2; global flat index k = k1 + n1*j1 + n1*m1*j2.
+    """
+    b = yr.shape[0]
+    m1, m2 = t["m1"], t["m2"]
+    zr = yr.reshape(b, n1, m1, m2)
+    zi = yi.reshape(b, n1, m1, m2)
+
+    def cm(eq, xr_, xi_, prefix):
+        if KARATSUBA:
+            k1 = jnp.einsum(eq, xr_ + xi_, t[prefix + "r"], precision=_HI)
+            k2 = jnp.einsum(eq, xr_, t[prefix + "d"], precision=_HI)
+            k3 = jnp.einsum(eq, xi_, t[prefix + "s"], precision=_HI)
+            return k1 - k3, k1 + k2
+        pr = jnp.einsum(eq, xr_, t[prefix + "r"], precision=_HI)
+        pi = jnp.einsum(eq, xi_, t[prefix + "i"], precision=_HI)
+        qr = jnp.einsum(eq, xr_, t[prefix + "i"], precision=_HI)
+        qi = jnp.einsum(eq, xi_, t[prefix + "r"], precision=_HI)
+        return pr - pi, qr + qi
+
+    # Stage 1: contract a1 -> j1, keep [b, k1, a2, j1].
+    pr, pi = cm("bkac,aj->bkcj", zr, zi, "f1")
+    twr = t["twr"][None, None]  # (m2, m1) = [a2, j1]
+    twi = t["twi"][None, None]
+    wr = pr * twr - pi * twi
+    wi = pr * twi + pi * twr
+    # Stage 2: contract a2 -> j2; output order [b, j2, j1, k1] IS the
+    # natural-order spectrum when flattened.
+    rr, ri = cm("bkcj,cJ->bJjk", wr, wi, "f2")
+    n = n1 * n2
+    return rr.reshape(b, n), ri.reshape(b, n)
 
 
 def stage_a_jnp(x3r, x3i, plan: dict):

@@ -17,10 +17,10 @@ import functools
 from dataclasses import dataclass, field
 from typing import Any
 
-from .config import DIRECT_MAX, FUSED_MAX, MAX_N, VMEM_BUDGET_BYTES
+from .config import DIRECT_MAX, FUSED_MAX, MAX_N
 from .kernels.tables import dft_matrix_ext, twiddle_table
 
-__all__ = ["FusedPlan", "get_fused_plan", "balanced_split", "batch_tile"]
+__all__ = ["FusedPlan", "get_fused_plan", "balanced_split"]
 
 
 def balanced_split(n: int) -> tuple[int, int]:
@@ -37,24 +37,6 @@ def balanced_split(n: int) -> tuple[int, int]:
     return n1, n // n1
 
 
-def batch_tile(n: int, complex_input: bool) -> int:
-    """Rows of the batch processed per Pallas program (the grid tile).
-
-    Sized so the per-program working set stays inside the ~16 MiB scoped VMEM
-    limit: empirically the fused four-step kernel's footprint (double-buffered
-    blocks + split-complex temporaries + matmul scratch) is ~160 bytes per
-    block element on v5e.  Measured: larger tiles do NOT run faster (grid
-    steps pipeline compute behind DMA), so the budget only needs to avoid
-    OOM.  This plays the role of the reference's workgroup sizing
-    (``src/fft.rs:70-71``) but measured in bytes, not threads.
-    """
-    max_elems = VMEM_BUDGET_BYTES // 64 if complex_input else VMEM_BUDGET_BYTES // 48
-    bt = max(1, max_elems // n)
-    # Round down to a power of two, cap at 512 rows.
-    bt = 1 << (bt.bit_length() - 1)
-    return min(bt, 512)
-
-
 @dataclass(frozen=True)
 class FusedPlan:
     """Everything needed to run one fused transform of length ``n``.
@@ -62,9 +44,8 @@ class FusedPlan:
     kind:
       * ``direct``   — X = x @ F_n, one complex matmul (n <= DIRECT_MAX).
       * ``fourstep`` — n = n1 * n2 factorization, two matmul passes plus a
-        pointwise twiddle, all inside one Pallas kernel (n <= FUSED_MAX).
-      * ``rfft``     — real-input forward via the fused half-length kernel
-        (n1, n2 are the HALF-transform factors; see get_rfft_plan).
+        pointwise twiddle (n <= FUSED_MAX), XLA-scheduled
+        (kernels/fused_jnp.py).
     ``sign`` is -1 for forward, +1 for inverse (unnormalized).
     """
 
@@ -116,111 +97,37 @@ def get_fused_plan(n: int, sign: int, wide: bool = False) -> FusedPlan:
     return FusedPlan(n=n, sign=sign, kind="fourstep", n1=n1, n2=n2, tables=tables)
 
 
-# Tile width for the even/odd deinterleave selection matmul (see
-# kernels/large.py::_rfft_real).  256 divides every supported rfft length.
-PACK_TILE = 256
+# Stage-A digit: n1 = 128 at every measured N (the full n1 x engine sweep is
+# scripts/ablate_large.py, archived in docs/ABLATION.md).  128 is the MXU
+# width — the column DFT becomes lane-perfect 128x128 matmuls — and keeps the
+# F1 table set at ~256 KiB of VMEM.  Measured on v5e: 2^17 21->9.4 us,
+# 2^20 117->97 us vs the round-1 n/16384 rule; larger digits (256/512) lose
+# at every size.  Only grows above 128 when needed to keep n2 <= FUSED_MAX.
+STAGE_A_N1 = 128
 
-
-@functools.lru_cache(maxsize=None)
-def get_pack_matrix() -> Any:
-    """(PACK_TILE, PACK_TILE) selection matrix D with D[2j, j] = D[2j+1, t/2+j] = 1.
-
-    ``x_tiles @ D`` deinterleaves even/odd samples on the MXU: lane-strided
-    slicing is a slow gather on TPU (~150 us for a 4 MiB batch), while a 0/1
-    selection matmul at HIGHEST precision is exact and runs at memory speed.
-    """
-    import numpy as np
-
-    t = PACK_TILE
-    d = np.zeros((t, t), dtype=np.float32)
-    j = np.arange(t // 2)
-    d[2 * j, j] = 1.0
-    d[2 * j + 1, t // 2 + j] = 1.0
-    return d
-
-
-@functools.lru_cache(maxsize=None)
-def get_rfft_plan(n: int) -> FusedPlan:
-    """Plan for the fully-fused real-input forward transform ("rfft kernel").
-
-    The kernel packs even/odd samples with a selection matmul, runs the
-    half-length complex four-step, and untangles the conjugate-symmetric
-    spectrum in VMEM.  The untangle needs Z[(h-k) % h]; Mosaic has no flip
-    primitive, so the index reversal is done with exact 0/1 permutation
-    matmuls in digit space:
-
-      rev(k1 + h1*k2) digits: (h1-k1 mod h1, h2-1-k2) for k1 >= 1,
-                              (0,            h2-k2 mod h2) for k1 == 0.
-
-    ``pc`` permutes the k1 (lane) axis; ``q1``/``q0`` permute the k2 axis via
-    right-matmul on the swapped layout; the k1 == 0 column selects the q0
-    variant.  ``u`` is the untangle twiddle exp(-2pi*i*k/n) laid out
-    [k2, k1].
-    """
-    import numpy as np
-
-    from .kernels.tables import _split_exp
-
-    if n < 2048 or n & (n - 1):
-        raise ValueError(f"rfft plan requires power-of-two n >= 2048, got {n}")
-    h = n // 2
-    if h > FUSED_MAX:
-        raise ValueError(f"rfft plan half-length {h} exceeds FUSED_MAX")
-    # Split chosen so the packed even/odd tile layout IS the (h1, h2) view:
-    # the selection matmul yields (n / PACK_TILE, PACK_TILE/2)-tiled halves,
-    # i.e. exactly (h1, h2) = (n/256, 128) — Mosaic cannot reshape across
-    # lane boundaries, so the factorization must follow the layout.
-    h1, h2 = n // PACK_TILE, PACK_TILE // 2
-    f1r, f1i, f1s, f1d = dft_matrix_ext(h1, -1)
-    f2r, f2i, f2s, f2d = dft_matrix_ext(h2, -1)
-    twr, twi = twiddle_table(h2, h1, h, -1)
-    pc = np.zeros((h1, h1), dtype=np.float32)
-    k1 = np.arange(h1)
-    pc[(h1 - k1) % h1, k1] = 1.0
-    q1 = np.zeros((h2, h2), dtype=np.float32)
-    q0 = np.zeros((h2, h2), dtype=np.float32)
-    k2 = np.arange(h2)
-    q1[h2 - 1 - k2, k2] = 1.0
-    q0[(h2 - k2) % h2, k2] = 1.0
-    flat_k = np.add.outer(h1 * np.arange(h2, dtype=np.int64), np.arange(h1, dtype=np.int64))
-    ur, ui = _split_exp(flat_k, n, -1)
-    tables = {
-        "sel": get_pack_matrix(),
-        "f1r": f1r, "f1i": f1i, "f1s": f1s, "f1d": f1d,
-        "f2r": f2r, "f2i": f2i, "f2s": f2s, "f2d": f2d,
-        "twr": twr, "twi": twi,
-        "pc": pc, "q1": q1, "q0": q0,
-        "ur": ur, "ui": ui,
-    }
-    return FusedPlan(n=n, sign=-1, kind="rfft", n1=h1, n2=h2, tables=tables)
-
-
-# Stage-B row length the staged large-N split aims for: measured sweet spot
-# of the fused jnp transform on v5e (b16 x 16384 runs at ~90 Gelem/s).
-# Smaller stage-A digits also mean fewer column-DFT FLOPs; measured overall:
-# 2^20 forward 200us -> 119us vs the old fixed n1=256.
-STAGE_B_TARGET = 16384
-
-# Stage-A digit bounds: contraction >= 16 keeps the column matmul sane;
-# <= 512 caps the F1 table set at ~4 MiB of VMEM.
-STAGE_A_N1_MIN = 16
-STAGE_A_N1_MAX = 512
+def stage_b_plannable(n2: int) -> bool:
+    """True when stage B runs as the einsum four-step with the digit reversal
+    folded into the final dot's output permutation
+    (kernels/fused_jnp.py:stage_b_jnp) — needs the full-lane m2 = 128 row
+    split.  Every production staged plan (n2 >= 1024) qualifies; the guard
+    exists for forced-small test configs, which fall back to the recursive
+    stage B + XLA transpose."""
+    return n2 % 128 == 0 and n2 >= 256
 
 def stage_a_col_tile(n1: int, n2: int) -> int:
     """Lane width of one stage-A program's column block.
 
     At n1 = 512 the F1 table set alone is ~4 MiB of VMEM, so the data blocks
-    shrink to stay inside the ~16 MiB scoped limit (hit at n = 2^23).  The
-    tile is clamped to n2 so the grid can never be empty (production plans
-    always have n2 >= STAGE_B_TARGET, but forced small configs must not
-    silently return garbage).
+    shrink to stay inside the ~16 MiB scoped limit.  The tile is clamped to
+    n2 so the grid can never be empty (production plans always have
+    n2 >= 1024, but forced small configs must not silently return garbage).
     """
     return min(256 if n1 >= 512 else 512, n2)
 
 
 def _stage_a_n1(n: int) -> int:
-    n1 = max(STAGE_A_N1_MIN, min(STAGE_A_N1_MAX, n // STAGE_B_TARGET))
-    # Keep n2 a fused size.
+    n1 = min(STAGE_A_N1, n // 2)
+    # Keep n2 a fused size (n1 grows past 128 only above n = 2^23).
     while n // n1 > FUSED_MAX:
         n1 *= 2
     return n1
@@ -232,7 +139,10 @@ def get_stage_a_plan(n: int, sign: int) -> dict[str, Any]:
 
     ``f1``: the n1 x n1 column-DFT matrix (+ Karatsuba sum/diff variants);
     ``tw``: the full (n1, n2) twiddle W_n^(k1 * col), block-fetched by the
-    kernel so only one column tile is VMEM-resident at a time.
+    kernel so only one column tile is VMEM-resident at a time.  ``stage_b``
+    carries the row-transform tables for the einsum stage B with the folded
+    digit reversal (m1/m2 ext DFT matrices and the n2-twiddle, oriented
+    (m2, m1) = [a2, j1]).
     """
     if n <= FUSED_MAX:
         raise ValueError(f"n={n} fits a fused plan; the staged path is not needed")
@@ -242,9 +152,24 @@ def get_stage_a_plan(n: int, sign: int) -> dict[str, Any]:
     n2 = n // n1
     f1r, f1i, f1s, f1d = dft_matrix_ext(n1, sign)
     twr, twi = twiddle_table(n1, n2, n, sign)
-    return {
+    plan: dict[str, Any] = {
         "n1": n1,
         "n2": n2,
         "f1r": f1r, "f1i": f1i, "f1s": f1s, "f1d": f1d,
         "twr": twr, "twi": twi,
+        "stage_b": None,
     }
+    if stage_b_plannable(n2):
+        # m2 = 128: the row four-step's dominant second matmul contracts a
+        # full 128-lane tile (measured fastest at every staged size).
+        m1, m2 = n2 // 128, 128
+        g1r, g1i, g1s, g1d = dft_matrix_ext(m1, sign)
+        g2r, g2i, g2s, g2d = dft_matrix_ext(m2, sign)
+        btwr, btwi = twiddle_table(m2, m1, n2, sign)
+        plan["stage_b"] = {
+            "m1": m1, "m2": m2,
+            "f1r": g1r, "f1i": g1i, "f1s": g1s, "f1d": g1d,
+            "f2r": g2r, "f2i": g2i, "f2s": g2s, "f2d": g2d,
+            "twr": btwr, "twi": btwi,
+        }
+    return plan

@@ -12,9 +12,16 @@ measures, interleaved in one process on real hardware:
   * ``pallas_lm``  — new left-matmul Pallas kernel (1 in-kernel transpose)
 
 plus the rfft decision data (fused_rfft kernel vs the plain real four-step
-at each candidate size) and the large-N stage-A digit sweep.  Output: one
-JSON blob (scripts/ablate_engines_results.json) + a console table; the
-conclusions feed docs/ABLATION.md and the plan's engine/rfft selection.
+at each candidate size).  Output: one JSON blob
+(scripts/ablate_engines_results.json) + a console table; the conclusions
+feed docs/ABLATION.md and the plan's per-size selection.
+
+NOTE: the losing kernels (fused_fft, fused_rfft and their plans) were
+RETIRED from the package based on this script's results.  The archived
+results JSON is committed; to re-run the script against the retired
+kernels, restore them first:
+
+    git checkout 2a28549 -- gpu_fft_tpu/kernels/fused.py gpu_fft_tpu/plan.py
 
 Usage: python scripts/ablate_engines.py [--quick]
 """

@@ -6,6 +6,10 @@ backend comparison).  ``bench.py`` at the repo root is the driver's quick
 headline harness; this script runs the full matrix and writes
 ``bench-results/raw_<timestamp>.json`` for ``export_report.py``.
 
+Every entry carries dispersion (median + IQR + min over >=5 paired reps, the
+Criterion-statistics analog) and roofline columns (%-of-speed-of-light and
+which wall binds) — round-2 verdict items #2 and #4.
+
 Usage: python scripts/bench_sweep.py [--quick]
 """
 
@@ -26,12 +30,6 @@ SIZES = [256, 1024, 4096, 16384, 65536, 262144]
 BATCHES = [(16, 65536), (64, 4096), (16, 16384), (4, 262144)]
 
 
-def chained_time(step, x0):
-    from gpu_fft_tpu.utils.profiling import chained_step_time
-
-    return chained_step_time(step, x0, k1=50, k2=1050, reps=4)
-
-
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true", help="fewer configs")
@@ -46,10 +44,15 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from gpu_fft_tpu.utils import roofline
     from gpu_fft_tpu.utils.profiling import (
+        chained_step_stats,
         fft_forward_step,
         fft_inverse_step,
         fft_roundtrip_step,
+        fft_sequential_step,
+        ifft_sequential_step,
+        roundtrip_sequential_step,
         xla_fft_forward_step,
         xla_fft_inverse_step,
         xla_fft_roundtrip_step,
@@ -58,6 +61,7 @@ def main() -> None:
     rng = np.random.default_rng(7)
     sizes = SIZES[:4] if args.quick else SIZES
     batches = BATCHES[:2] if args.quick else BATCHES
+    chip = roofline.detect_chip()
 
     def dev(shape):
         return jnp.asarray(rng.standard_normal(shape).astype(np.float32))
@@ -67,6 +71,9 @@ def main() -> None:
 
     def inv(n, backend):
         return xla_fft_inverse_step(n) if backend == "xla" else fft_inverse_step(n)
+
+    def roundtrip(n, backend):
+        return xla_fft_roundtrip_step(n) if backend == "xla" else fft_roundtrip_step(n)
 
     try:
         commit = subprocess.run(
@@ -80,30 +87,48 @@ def main() -> None:
         "commit": commit,
         "platform": jax.default_backend(),
         "device": str(jax.devices()[0]),
+        "chip": chip.name,
+        "method": "chained fori_loop, paired diffs, adaptive span, median+IQR over reps",
         "entries": [],
+    }
+
+    # Roofline "kind" mapping for sequential groups (same work as batched).
+    _roof_kind = {
+        "fft_sequential": "fft",
+        "ifft_sequential": "ifft_batch",
+        "roundtrip_sequential": "roundtrip_batch",
+        "fft_batchsize": "fft",
     }
 
     def run(name, kind, backend, b, n, step):
         try:
-            sec = chained_time(step, dev((b, n)))
-            melem = b * n / sec / 1e6
-            results["entries"].append(
-                {
-                    "name": name,
-                    "kind": kind,
-                    "backend": backend,
-                    "batch": b,
-                    "n": n,
-                    "per_call_us": sec * 1e6,
-                    "melem_per_s": melem,
-                }
+            st = chained_step_stats(step, dev((b, n)), k1=50, k2=1050, reps=5)
+            melem = b * n / st.median_s / 1e6
+            entry = {
+                "name": name,
+                "kind": kind,
+                "backend": backend,
+                "batch": b,
+                "n": n,
+                "per_call_us": st.median_s * 1e6,
+                "iqr_us": st.iqr_s * 1e6,
+                "min_us": st.min_s * 1e6,
+                "reps": st.reps,
+                "suspect": st.suspect,
+                "melem_per_s": melem,
+            }
+            entry.update(
+                roofline.roofline_row(b, n, _roof_kind.get(kind, kind), st.median_s, chip=chip)
             )
-            print(f"{name:36s} {sec * 1e6:9.2f} us  {melem:10.0f} Melem/s", flush=True)
+            results["entries"].append(entry)
+            print(
+                f"{name:40s} {st.median_s * 1e6:9.2f} us ±{st.iqr_s * 1e6:6.2f}  "
+                f"{melem:9.0f} Melem/s  {entry['pct_sol']:3.0f}% SoL"
+                + (" SUSPECT" if st.suspect else ""),
+                flush=True,
+            )
         except Exception as e:
-            print(f"{name:36s} ERROR {str(e)[:80]}", flush=True)
-
-    def roundtrip(n, backend):
-        return xla_fft_roundtrip_step(n) if backend == "xla" else fft_roundtrip_step(n)
+            print(f"{name:40s} ERROR {str(e)[:80]}", flush=True)
 
     for n in sizes:
         for backend in ("pallas", "xla"):
@@ -114,6 +139,7 @@ def main() -> None:
     for b, n in batches:
         for backend in ("pallas", "xla"):
             run(f"fft_batch/{backend}/b{b}_n{n}", "fft_batch", backend, b, n, fwd(n, backend))
+
     # Native CPU backend rows (the reference's 3-way backend comparison,
     # compare_bench.rs / README.md:134-150 — wgpu vs cuda vs mlx analog).
     from gpu_fft_tpu.backends import native as native_backend
@@ -139,18 +165,30 @@ def main() -> None:
                         "melem_per_s": n / sec / 1e6,
                     }
                 )
-                print(f"{'fft/native/n' + str(n):36s} {sec * 1e6:9.2f} us  {n / sec / 1e6:10.0f} Melem/s", flush=True)
+                print(f"{'fft/native/n' + str(n):40s} {sec * 1e6:9.2f} us  {n / sec / 1e6:9.0f} Melem/s", flush=True)
             except Exception as e:
                 print(f"fft/native/n{n} ERROR {str(e)[:60]}", flush=True)
 
-    # Batch-size sweep at fixed N (reference README.md:225-244 group).
     if not args.quick:
+        # Batch-size sweep at fixed N (reference README.md:225-244 group).
         for b in (1, 4, 16, 64):
             run(f"fft_batchsize/pallas/b{b}_n4096", "fft_batchsize", "pallas", b, 4096, fwd(4096, "pallas"))
         # Roundtrip groups (reference README.md:283-298).
         for n in (4096, 65536):
             run(f"roundtrip/pallas/n{n}", "roundtrip", "pallas", 1, n, roundtrip(n, "pallas"))
         run("roundtrip/xla/n65536", "roundtrip", "xla", 1, 65536, roundtrip(65536, "xla"))
+        # Batched inverse/roundtrip groups (reference fft_bench.rs:582-608).
+        run("ifft_batch/pallas/b64_n4096", "ifft_batch", "pallas", 64, 4096, inv(4096, "pallas"))
+        run("roundtrip_batch/pallas/b64_n4096", "roundtrip_batch", "pallas", 64, 4096,
+            roundtrip(4096, "pallas"))
+        # MEASURED sequential groups: B strictly ordered one-signal transforms
+        # via lax.scan (reference README.md:250-290 batch-vs-sequential).
+        run("fft_sequential/pallas/b64_n4096", "fft_sequential", "pallas", 64, 4096,
+            fft_sequential_step(4096))
+        run("ifft_sequential/pallas/b64_n4096", "ifft_sequential", "pallas", 64, 4096,
+            ifft_sequential_step(4096))
+        run("roundtrip_sequential/pallas/b64_n4096", "roundtrip_sequential", "pallas", 64, 4096,
+            roundtrip_sequential_step(4096))
 
     out = args.out or f"bench-results/raw_{time.strftime('%Y%m%d_%H%M%S')}.json"
     pathlib.Path(out).parent.mkdir(parents=True, exist_ok=True)
@@ -175,7 +213,7 @@ def main() -> None:
                 if o:
                     delta = (e["per_call_us"] - o["per_call_us"]) / o["per_call_us"] * 100
                     marker = "+" if delta >= 0 else ""
-                    print(f"  {e['name']:36s} {marker}{delta:6.1f}% "
+                    print(f"  {e['name']:40s} {marker}{delta:6.1f}% "
                           f"({o['per_call_us']:.2f} -> {e['per_call_us']:.2f} us)")
 
 

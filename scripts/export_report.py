@@ -218,6 +218,120 @@ def chart_batchsize(entries, path):
     return True
 
 
+def chart_batch_vs_sequential(entries, path):
+    """Measured B-sequential-calls vs one-batched-pass times (README.md:250-290)."""
+    import matplotlib
+
+    matplotlib.use("svg")
+    import matplotlib.pyplot as plt
+
+    fams = [("fft", "fft_sequential", "fft_batch"),
+            ("ifft", "ifft_sequential", "ifft_batch"),
+            ("roundtrip", "roundtrip_sequential", "roundtrip_batch")]
+    rows = []
+    for fam, seq_kind, bat_kind in fams:
+        seq = [e for e in entries if e["kind"] == seq_kind and e["batch"] == 64]
+        bat = [e for e in entries if e["kind"] == bat_kind and e["batch"] == 64 and e["n"] == 4096]
+        if seq and bat:
+            rows.append((fam, seq[0]["per_call_us"], bat[0]["per_call_us"]))
+    if not rows:
+        return False
+    fig, ax = plt.subplots(figsize=(7.2, 4.2), facecolor=SURFACE)
+    _style(ax)
+    width = 0.38
+    xs = range(len(rows))
+    seq_vals = [r[1] for r in rows]
+    bat_vals = [r[2] for r in rows]
+    ax.bar([x - width / 2 for x in xs], seq_vals, width - 0.04, color=C_XLA,
+           label="64 sequential transforms", zorder=3)
+    ax.bar([x + width / 2 for x in xs], bat_vals, width - 0.04, color=C_PALLAS,
+           label="one batched pass", zorder=3)
+    for x, (fam, s, b) in zip(xs, rows):
+        ax.annotate(f"{s / b:.1f}x", (x, max(s, b)), textcoords="offset points",
+                    xytext=(0, 4), ha="center", fontsize=10, color=TEXT)
+    ax.set_xticks(list(xs))
+    ax.set_xticklabels([r[0] for r in rows])
+    ax.set_ylabel("device time, 64 signals of N=4096 (µs)", color=TEXT_2)
+    ax.set_title("Batch amortization: measured sequential vs batched", color=TEXT, fontsize=12)
+    ax.legend(frameon=False, fontsize=9, labelcolor=TEXT_2)
+    fig.tight_layout()
+    fig.savefig(path, facecolor=SURFACE)
+    plt.close(fig)
+    return True
+
+
+def chart_inverse(entries, path):
+    """Inverse-transform sweep, PALLAS vs XLA (reference ifft groups)."""
+    import matplotlib
+
+    matplotlib.use("svg")
+    import matplotlib.pyplot as plt
+
+    ns = sorted({e["n"] for e in entries if e["kind"] == "ifft"})
+    if not ns:
+        return False
+    fig, ax = plt.subplots(figsize=(7.2, 4.2), facecolor=SURFACE)
+    _style(ax)
+    width = 0.38
+    for off, backend, color, label in ((-width / 2, "pallas", C_PALLAS, "PALLAS"),
+                                       (width / 2, "xla", C_XLA, "XLA")):
+        vals = []
+        for n in ns:
+            v = [e["per_call_us"] for e in entries
+                 if e["kind"] == "ifft" and e["backend"] == backend and e["n"] == n]
+            vals.append(v[0] if v else 0.0)
+        xs = [i + off for i in range(len(ns))]
+        bars = ax.bar(xs, vals, width - 0.04, color=color, label=label, zorder=3)
+        for rect, v in zip(bars, vals):
+            ax.annotate(f"{v:.1f}", (rect.get_x() + rect.get_width() / 2, rect.get_height()),
+                        textcoords="offset points", xytext=(0, 3), ha="center",
+                        fontsize=8, color=TEXT_2)
+    ax.set_xticks(range(len(ns)))
+    ax.set_xticklabels([f"N={n}" for n in ns])
+    ax.set_ylabel("device time per inverse transform (µs)", color=TEXT_2)
+    ax.set_title("Scalar inverse FFT latency", color=TEXT, fontsize=12)
+    ax.legend(frameon=False, fontsize=9, labelcolor=TEXT_2)
+    fig.tight_layout()
+    fig.savefig(path, facecolor=SURFACE)
+    plt.close(fig)
+    return True
+
+
+def chart_roundtrip(entries, path):
+    """Roundtrip family: scalar + batched, PALLAS vs XLA."""
+    import matplotlib
+
+    matplotlib.use("svg")
+    import matplotlib.pyplot as plt
+
+    rows = []
+    for e in entries:
+        if e["kind"] == "roundtrip":
+            rows.append((f"N={e['n']}\n{e['backend']}", e["per_call_us"],
+                         C_PALLAS if e["backend"] == "pallas" else C_XLA))
+        elif e["kind"] == "roundtrip_batch":
+            rows.append((f"B={e['batch']} N={e['n']}\n{e['backend']}", e["per_call_us"],
+                         C_PALLAS if e["backend"] == "pallas" else C_XLA))
+    if not rows:
+        return False
+    fig, ax = plt.subplots(figsize=(7.2, 4.2), facecolor=SURFACE)
+    _style(ax)
+    xs = range(len(rows))
+    bars = ax.bar(xs, [r[1] for r in rows], 0.6, color=[r[2] for r in rows], zorder=3)
+    for rect, (_, v, _c) in zip(bars, rows):
+        ax.annotate(f"{v:.1f}", (rect.get_x() + rect.get_width() / 2, rect.get_height()),
+                    textcoords="offset points", xytext=(0, 3), ha="center",
+                    fontsize=8, color=TEXT_2)
+    ax.set_xticks(list(xs))
+    ax.set_xticklabels([r[0] for r in rows], fontsize=8)
+    ax.set_ylabel("device time per roundtrip (µs)", color=TEXT_2)
+    ax.set_title("Roundtrip (fft -> ifft) latency family", color=TEXT, fontsize=12)
+    fig.tight_layout()
+    fig.savefig(path, facecolor=SURFACE)
+    plt.close(fig)
+    return True
+
+
 def render_markdown(raw, charts, out_md):
     lines = [
         "# gpu_fft_tpu benchmark report",
@@ -237,15 +351,25 @@ def render_markdown(raw, charts, out_md):
     lines += [
         "## Summary",
         "",
-        "| Benchmark | Backend | B | N | per-transform | Melem/s |",
-        "|---|---|---:|---:|---:|---:|",
+        "Dispersion: ±IQR over ≥5 paired chained-timing reps (the Criterion",
+        "mean/CI/stddev analog).  %SoL: measured time as a fraction of the",
+        "speed-of-light bound on the detected chip (max of the HBM-traffic and",
+        "MXU-pass rooflines; see `gpu_fft_tpu/utils/roofline.py`); *bound*",
+        "names which wall binds.",
+        "",
+        "| Benchmark | Backend | B | N | per-transform | ±IQR | Melem/s | %SoL | bound |",
+        "|---|---|---:|---:|---:|---:|---:|---:|---|",
     ]
     for e in raw["entries"]:
         us = e["per_call_us"]
         t = f"{us:.2f} µs" if us < 1000 else f"{us / 1000:.3f} ms"
+        iqr = f"{e['iqr_us']:.2f}" if "iqr_us" in e else "—"
+        sol = f"{e['pct_sol']:.0f}%" if "pct_sol" in e else "—"
+        bound = e.get("bound", "—")
+        suspect = " ⚠" if e.get("suspect") else ""
         lines.append(
-            f"| {e['kind']} | {e['backend']} | {e['batch']} | {e['n']} | {t} |"
-            f" {e['melem_per_s']:.0f} |"
+            f"| {e['kind']}{suspect} | {e['backend']} | {e['batch']} | {e['n']} | {t} |"
+            f" {iqr} | {e['melem_per_s']:.0f} | {sol} | {bound} |"
         )
     lines += [
         "",
@@ -289,6 +413,12 @@ def main() -> None:
         charts.append(("Batched throughput", "charts/batch_throughput.svg"))
     if chart_batchsize(entries, out / "charts" / "batchsize_scaling.svg"):
         charts.append(("Batch-size scaling", "charts/batchsize_scaling.svg"))
+    if chart_batch_vs_sequential(entries, out / "charts" / "batch_vs_sequential.svg"):
+        charts.append(("Batch vs sequential (measured)", "charts/batch_vs_sequential.svg"))
+    if chart_inverse(entries, out / "charts" / "inverse_latency.svg"):
+        charts.append(("Inverse latency", "charts/inverse_latency.svg"))
+    if chart_roundtrip(entries, out / "charts" / "roundtrip_family.svg"):
+        charts.append(("Roundtrip family", "charts/roundtrip_family.svg"))
 
     render_markdown(raw, charts, out / "latest.md")
     # Timestamped archive (the reference's bench-results/archive layout,

@@ -1,47 +1,82 @@
-"""Engine cross-validation: jnp, pallas, and auto must agree.
+"""Kernel/graph cross-validation for the surviving hand-written kernels.
 
-config.ENGINE selects the kernel engine (jnp-level fused transforms by
-default, Pallas kernels on request); every engine must produce the same
-spectra within f32 tolerance.
+Round 2 replaced the global ENGINE flag with per-size selection measured on
+hardware (docs/ABLATION.md): fused sizes run the XLA-scheduled jnp graph,
+the staged large-N path runs the Pallas stage-A kernel and (when fusable)
+the Pallas stage-B+digit-reversal kernel.  These tests pin each surviving
+kernel to its independent jnp/numpy oracle so the dispatch composition can
+never silently drift.
 """
 
 import numpy as np
 import pytest
 from conftest import assert_slice_approx
 
-from gpu_fft_tpu import config
+from gpu_fft_tpu.kernels.fused import stage_a
+from gpu_fft_tpu.kernels.fused_jnp import stage_a_jnp, stage_b_jnp
 from gpu_fft_tpu.kernels.large import transform_any
+from gpu_fft_tpu.plan import get_stage_a_plan, stage_a_col_tile
 
 
-@pytest.mark.parametrize("n", [256, 4096, 65536, 1 << 17])
-def test_engines_agree(rng, monkeypatch, n):
+@pytest.mark.parametrize("n", [1 << 17, 1 << 18])
+def test_stage_a_kernel_matches_jnp_form(rng, n):
     import jax.numpy as jnp
 
-    x = jnp.asarray(rng.uniform(-1.0, 1.0, (2, n)).astype(np.float32))
-    results = {}
-    for engine in ("auto", "jnp", "pallas"):
-        monkeypatch.setattr(config, "ENGINE", engine)
-        yr, yi = transform_any(x, None, n, -1)
-        results[engine] = (np.asarray(yr), np.asarray(yi))
-    tol = 1e-3 * max(1.0, np.sqrt(n) / 4.0)
-    for engine in ("jnp", "pallas"):
-        assert_slice_approx(
-            results[engine][0], results["auto"][0], eps=tol, label=f"{engine} real n={n}"
-        )
-        assert_slice_approx(
-            results[engine][1], results["auto"][1], eps=tol, label=f"{engine} imag n={n}"
-        )
+    plan = get_stage_a_plan(n, -1)
+    n1, n2 = plan["n1"], plan["n2"]
+    xr = jnp.asarray(rng.uniform(-1.0, 1.0, (2, n1, n2)).astype(np.float32))
+    xi = jnp.asarray(rng.uniform(-1.0, 1.0, (2, n1, n2)).astype(np.float32))
+    for inp_i in (None, xi):
+        kr, ki = stage_a(xr, inp_i, n1, n2, plan, stage_a_col_tile(n1, n2))
+        jr, ji = stage_a_jnp(xr, inp_i, plan)
+        label = "real" if inp_i is None else "complex"
+        assert_slice_approx(np.asarray(kr), np.asarray(jr), eps=1e-3, label=f"stage_a {label} re")
+        assert_slice_approx(np.asarray(ki), np.asarray(ji), eps=1e-3, label=f"stage_a {label} im")
 
 
-def test_engine_inverse_agree(rng, monkeypatch):
+def test_stage_b_jnp_matches_rows_plus_transpose(rng):
     import jax.numpy as jnp
 
-    n = 4096
-    xr = jnp.asarray(rng.uniform(-1.0, 1.0, (2, n)).astype(np.float32))
-    xi = jnp.asarray(rng.uniform(-1.0, 1.0, (2, n)).astype(np.float32))
-    outs = {}
-    for engine in ("auto", "pallas"):
-        monkeypatch.setattr(config, "ENGINE", engine)
-        yr, yi = transform_any(xr, xi, n, +1)
-        outs[engine] = np.asarray(yr)
-    assert_slice_approx(outs["pallas"], outs["auto"], eps=1e-2, label="inverse engines")
+    n = 1 << 17
+    plan = get_stage_a_plan(n, -1)
+    n1, n2 = plan["n1"], plan["n2"]
+    sb = plan["stage_b"]
+    assert sb is not None, "2^17 plan must carry stage-B tables"
+    xr = jnp.asarray(rng.uniform(-1.0, 1.0, (2, n1, n2)).astype(np.float32))
+    xi = jnp.asarray(rng.uniform(-1.0, 1.0, (2, n1, n2)).astype(np.float32))
+    kr, ki = stage_b_jnp(xr, xi, n1, n2, sb)
+    # Oracle: numpy row FFTs + explicit digit-reversal transpose.
+    z = np.asarray(xr).astype(np.complex128) + 1j * np.asarray(xi)
+    ref = np.swapaxes(np.fft.fft(z, axis=-1), 1, 2).reshape(2, n)
+    assert_slice_approx(np.asarray(kr), ref.real.astype(np.float32),
+                        eps=1e-2, label="stage_b re")
+    assert_slice_approx(np.asarray(ki), ref.imag.astype(np.float32),
+                        eps=1e-2, label="stage_b im")
+
+
+@pytest.mark.parametrize("n", [1 << 17, 1 << 19])
+def test_staged_path_vs_oracle(rng, n):
+    # Full staged dispatch (stage-B fused at 2^17/2^18, jnp + XLA transpose
+    # above) against numpy, forward and inverse.
+    import jax.numpy as jnp
+
+    x = jnp.asarray(rng.uniform(-1.0, 1.0, (1, n)).astype(np.float32))
+    yr, yi = transform_any(x, None, n, -1)
+    ref = np.fft.fft(np.asarray(x[0]).astype(np.complex128))
+    scale = np.abs(ref).max()
+    assert np.abs(np.asarray(yr[0]) - ref.real).max() / scale < 1e-5
+    assert np.abs(np.asarray(yi[0]) - ref.imag).max() / scale < 1e-5
+    rr, ri = transform_any(yr, yi, n, +1)
+    assert np.abs(np.asarray(rr[0]) / n - np.asarray(x[0])).max() < 1e-4
+
+
+def test_fused_sizes_have_no_stage_b(rng):
+    # The fused/staged boundary: 2^16 uses the jnp four-step directly.
+    import jax.numpy as jnp
+
+    from gpu_fft_tpu.config import FUSED_MAX
+
+    x = jnp.asarray(rng.uniform(-1.0, 1.0, (1, FUSED_MAX)).astype(np.float32))
+    yr, _ = transform_any(x, None, FUSED_MAX, -1)
+    ref = np.fft.fft(np.asarray(x[0]).astype(np.complex128))
+    assert np.abs(np.asarray(yr[0]) - ref.real).max() / np.abs(ref).max() < 1e-5

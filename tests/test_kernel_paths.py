@@ -2,18 +2,16 @@
 
 The reference selects kernel paths by N (inner-only <=1024, trailing radix-2
 at 2048, pure radix-4 at 4096 — ``tests/fft.rs:112-118``).  The analog here:
-direct (N <= 512), fused four-step (<= 65536), staged large-N above; under
-ENGINE=pallas the fused rfft kernel additionally covers real forward
-transforms in [32768, 131072].  Each boundary gets oracle coverage on both
-sides.
+direct (N <= 512), fused four-step (<= 65536), staged large-N above — with
+the stage-B-fusable band (n2 <= 2048, i.e. N <= 2^18) and the jnp-stage-B
+band beyond it.  Each boundary gets oracle coverage on both sides.
 """
 
 import numpy as np
 import pytest
-from conftest import assert_slice_approx
 
 import gpu_fft_tpu as gf
-from gpu_fft_tpu.config import DIRECT_MAX, FUSED_MAX, RFFT_MIN
+from gpu_fft_tpu.config import DIRECT_MAX, FUSED_MAX
 
 
 def _oracle_check(n, rng, tol_scale=1.0):
@@ -30,30 +28,31 @@ def _oracle_check(n, rng, tol_scale=1.0):
     [
         DIRECT_MAX,          # last direct size
         DIRECT_MAX * 2,      # first fourstep size
-        RFFT_MIN // 2,       # below the pallas-engine rfft range
-        RFFT_MIN,            # first pallas-rfft size (jnp four-step on auto)
-        2 * FUSED_MAX,       # last pallas-rfft size / staged path on auto
-        4 * FUSED_MAX,       # staged path on every engine
+        FUSED_MAX,           # last fused size
+        2 * FUSED_MAX,       # first staged size (stage-B fused, n2=1024)
+        4 * FUSED_MAX,       # last stage-B-fusable size (n2=2048)
+        8 * FUSED_MAX,       # first jnp-stage-B size (n2=4096)
     ],
 )
 def test_boundary_sizes_vs_oracle(rng, n):
     _oracle_check(n, rng)
 
 
-def test_rfft_matches_complex_path(rng):
-    # The real-input fast path must agree with the generic complex transform
-    # bit-for-tolerance: run the same signal as real input and as explicit
-    # zero-imag complex input.
+def test_real_matches_complex_path(rng):
+    # The real-input fast path (2-matmul first stage) must agree with the
+    # generic complex transform: run the same signal as real input and as
+    # explicit zero-imag complex input.
     from gpu_fft_tpu.kernels.large import transform_any
     import jax.numpy as jnp
 
-    n = RFFT_MIN
-    x = rng.uniform(-1.0, 1.0, (2, n)).astype(np.float32)
-    xj = jnp.asarray(x)
-    rr, ri = transform_any(xj, None, n, -1)  # rfft kernel
-    cr, ci = transform_any(xj, jnp.zeros_like(xj), n, -1)  # complex fourstep
-    assert_slice_approx(np.asarray(rr), np.asarray(cr), eps=1e-2, label="rfft vs complex real")
-    assert_slice_approx(np.asarray(ri), np.asarray(ci), eps=1e-2, label="rfft vs complex imag")
+    for n in (4096, 2 * FUSED_MAX):
+        x = rng.uniform(-1.0, 1.0, (2, n)).astype(np.float32)
+        xj = jnp.asarray(x)
+        rr, ri = transform_any(xj, None, n, -1)  # real fast path
+        cr, ci = transform_any(xj, jnp.zeros_like(xj), n, -1)  # complex path
+        scale = max(1.0, float(np.abs(np.asarray(cr)).max()))
+        assert np.abs(np.asarray(rr) - np.asarray(cr)).max() / scale < 1e-5, f"n={n} real"
+        assert np.abs(np.asarray(ri) - np.asarray(ci)).max() / scale < 1e-5, f"n={n} imag"
 
 
 def test_inverse_boundaries(rng):

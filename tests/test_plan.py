@@ -6,7 +6,12 @@ import pytest
 from gpu_fft_tpu.config import DIRECT_MAX, FUSED_MAX
 from gpu_fft_tpu.kernels.tables import dft_matrix, twiddle_table
 from gpu_fft_tpu.ops.transform import next_power_of_two
-from gpu_fft_tpu.plan import balanced_split, batch_tile, get_fused_plan
+from gpu_fft_tpu.plan import (
+    balanced_split,
+    get_fused_plan,
+    get_stage_a_plan,
+    stage_b_plannable,
+)
 
 
 def test_next_power_of_two():
@@ -64,12 +69,29 @@ def test_plan_cached():
     assert get_fused_plan(256, -1) is get_fused_plan(256, -1)
 
 
-def test_batch_tile_bounds():
-    for n in [64, 1024, 65536]:
-        for cx in (False, True):
-            bt = batch_tile(n, cx)
-            assert 1 <= bt <= 512
-            assert bt & (bt - 1) == 0  # power of two
+def test_stage_a_plan_digits():
+    # n1 = 128 (the MXU width, measured winner — docs/ABLATION.md) at every
+    # staged size until n2 would exceed FUSED_MAX.
+    for n, want_n1 in ((1 << 17, 128), (1 << 20, 128), (1 << 23, 128), (1 << 24, 256)):
+        p = get_stage_a_plan(n, -1)
+        assert p["n1"] == want_n1, n
+        assert p["n1"] * p["n2"] == n
+        assert p["n2"] <= FUSED_MAX
+    with pytest.raises(ValueError):
+        get_stage_a_plan(FUSED_MAX, -1)  # fused sizes have no staged plan
+
+
+def test_stage_b_plannable_band():
+    # The folded-digit-reversal stage B needs the full-lane m2 = 128 split.
+    assert stage_b_plannable(1024)
+    assert stage_b_plannable(65536)
+    assert not stage_b_plannable(192)  # not a multiple of 128
+    assert not stage_b_plannable(128)  # too small to split as (m1, 128)
+    # Every production staged plan carries stage-B tables.
+    for n in (1 << 17, 1 << 19, 1 << 22):
+        sb = get_stage_a_plan(n, -1)["stage_b"]
+        assert sb is not None and sb["m2"] == 128
+        assert sb["m1"] * sb["m2"] == get_stage_a_plan(n, -1)["n2"]
 
 
 def test_device_api_rejects_native_backend():
