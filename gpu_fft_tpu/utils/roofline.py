@@ -140,6 +140,12 @@ def roofline_row(
 
     ``precision_passes`` is how many bf16 MXU passes realize each f32
     matmul FLOP (6 = Precision.HIGHEST, 3 = error-corrected bf16x3).
+
+    The model is deliberately simple and conservative: pct_sol slightly
+    above 100% has been observed (e.g. 110% at B=16 N=65,536), meaning
+    XLA's HIGHEST lowering needs fewer effective MXU passes than the
+    nominal 6 for some shapes; treat pct_sol as a lower bound on how close
+    to the hardware ceiling a config runs, not an exact utilization.
     """
     chip = chip or detect_chip()
     cost = transform_cost(b, n, kind)

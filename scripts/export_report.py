@@ -371,6 +371,9 @@ def render_markdown(raw, charts, out_md):
             f"| {e['kind']}{suspect} | {e['backend']} | {e['batch']} | {e['n']} | {t} |"
             f" {iqr} | {e['melem_per_s']:.0f} | {sol} | {bound} |"
         )
+    dist = out_md.parent / "distributed.md"
+    if dist.is_file():
+        lines += ["", dist.read_text()]
     lines += [
         "",
         "<details><summary>Raw data (JSON)</summary>",
