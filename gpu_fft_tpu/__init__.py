@@ -19,6 +19,7 @@ Public facade (parity map to reference ``src/lib.rs``):
 """
 
 from .backends import Backend, available_backends, default_backend
+from .ops.fft2d import fft2, fft2_device, ifft2, ifft2_device
 from .ops.spectral import (
     power_spectrum_device,
     psd,
@@ -55,6 +56,10 @@ __all__ = [
     "ifft_native",
     "fft_device",
     "ifft_device",
+    "fft2",
+    "ifft2",
+    "fft2_device",
+    "ifft2_device",
     "next_power_of_two",
     "warmup",
     "psd",

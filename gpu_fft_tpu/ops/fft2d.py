@@ -1,0 +1,102 @@
+"""2-D FFT — an extension beyond the reference's 1-D-only surface.
+
+Built entirely from the measured 1-D machinery (``kernels/large.py``):
+row transforms with the batch folded into the leading dim, one transpose,
+column transforms, transpose back.  Conventions match the 1-D API: split
+complex f32 in/out, unnormalized forward, 1/(H*W) on the inverse,
+power-of-two sides up to MAX_N each.
+
+The reference library has no 2-D transform; this is the natural TPU
+extension for image/spectrogram workloads (the row passes batch all H rows
+into single matmul sweeps, exactly the launch-amortization the reference's
+1-D batch path exists for).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["fft2", "ifft2", "fft2_device", "ifft2_device"]
+
+
+def _check_sides(h: int, w: int) -> None:
+    from ..config import MAX_N
+
+    for name, s in (("height", h), ("width", w)):
+        if s < 2 or s & (s - 1):
+            raise ValueError(f"fft2 {name} must be a power of two >= 2, got {s}")
+        if s > MAX_N:
+            raise ValueError(f"fft2 {name} {s} exceeds the supported maximum {MAX_N}")
+
+
+def _transform2d(xr, xi, sign: int):
+    """Split-complex 2-D transform over the last two axes of (..., H, W)."""
+    import jax.numpy as jnp
+
+    from ..kernels.large import transform_any
+
+    *lead, h, w = xr.shape
+    b = int(np.prod(lead)) if lead else 1
+    # Rows: all B*H rows in one batched 1-D transform.
+    rr, ri = transform_any(
+        xr.reshape(b * h, w), None if xi is None else xi.reshape(b * h, w), w, sign
+    )
+    # Columns: transpose, transform the H-length rows, transpose back.
+    cr = jnp.swapaxes(rr.reshape(b, h, w), 1, 2).reshape(b * w, h)
+    ci = jnp.swapaxes(ri.reshape(b, h, w), 1, 2).reshape(b * w, h)
+    sr, si = transform_any(cr, ci, h, sign)
+    out_r = jnp.swapaxes(sr.reshape(b, w, h), 1, 2).reshape(*lead, h, w)
+    out_i = jnp.swapaxes(si.reshape(b, w, h), 1, 2).reshape(*lead, h, w)
+    return out_r, out_i
+
+
+def fft2_device(x, imag=None):
+    """Forward 2-D FFT of device array(s), staying on device.
+
+    ``x``: (..., H, W) real f32 (or pass ``imag`` for complex input); both
+    sides power-of-two.  Returns split-complex (re, im), unnormalized,
+    natural order — matching ``numpy.fft.fft2``.
+    """
+    import jax.numpy as jnp
+
+    x = jnp.asarray(x, dtype=jnp.float32)
+    if x.ndim < 2:
+        raise ValueError(f"fft2 expects (..., H, W), got shape {x.shape}")
+    _check_sides(x.shape[-2], x.shape[-1])
+    xi = None
+    if imag is not None:
+        xi = jnp.asarray(imag, dtype=jnp.float32)
+        if xi.shape != x.shape:
+            raise ValueError(f"fft2: real and imag shapes differ: {x.shape} vs {xi.shape}")
+    return _transform2d(x, xi, -1)
+
+
+def ifft2_device(xr, xi):
+    """Inverse 2-D FFT (normalized by 1/(H*W)) of split-complex device arrays."""
+    import jax.numpy as jnp
+
+    xr = jnp.asarray(xr, dtype=jnp.float32)
+    xi = jnp.asarray(xi, dtype=jnp.float32)
+    if xr.shape != xi.shape or xr.ndim < 2:
+        raise ValueError(
+            f"ifft2: real and imag must share one (..., H, W) shape, got {xr.shape} vs {xi.shape}"
+        )
+    h, w = xr.shape[-2], xr.shape[-1]
+    _check_sides(h, w)
+    yr, yi = _transform2d(xr, xi, +1)
+    s = jnp.float32(1.0 / (h * w))
+    return yr * s, yi * s
+
+
+def fft2(x):
+    """Host-convenience forward 2-D FFT: numpy in, (re, im) numpy out."""
+    yr, yi = fft2_device(np.asarray(x, dtype=np.float32))
+    return np.asarray(yr), np.asarray(yi)
+
+
+def ifft2(real, imag):
+    """Host-convenience inverse 2-D FFT: numpy in, (re, im) numpy out."""
+    yr, yi = ifft2_device(
+        np.asarray(real, dtype=np.float32), np.asarray(imag, dtype=np.float32)
+    )
+    return np.asarray(yr), np.asarray(yi)

@@ -1,0 +1,65 @@
+"""2-D FFT extension tests (oracle: numpy.fft.fft2/ifft2)."""
+
+import numpy as np
+import pytest
+
+import gpu_fft_tpu as gf
+
+
+def test_fft2_matches_numpy(rng):
+    x = rng.uniform(-1.0, 1.0, (64, 128)).astype(np.float32)
+    re, im = gf.fft2(x)
+    ref = np.fft.fft2(x.astype(np.float64))
+    scale = np.abs(ref).max()
+    assert np.abs(re - ref.real).max() / scale < 1e-5
+    assert np.abs(im - ref.imag).max() / scale < 1e-5
+
+
+def test_fft2_complex_input(rng):
+    xr = rng.uniform(-1.0, 1.0, (32, 32)).astype(np.float32)
+    xi = rng.uniform(-1.0, 1.0, (32, 32)).astype(np.float32)
+    yr, yi = gf.fft2_device(xr, xi)
+    ref = np.fft.fft2(xr.astype(np.float64) + 1j * xi.astype(np.float64))
+    scale = np.abs(ref).max()
+    assert np.abs(np.asarray(yr) - ref.real).max() / scale < 1e-5
+    assert np.abs(np.asarray(yi) - ref.imag).max() / scale < 1e-5
+
+
+def test_ifft2_roundtrip(rng):
+    x = rng.uniform(-1.0, 1.0, (16, 64)).astype(np.float32)
+    re, im = gf.fft2(x)
+    rr, ri = gf.ifft2(re, im)
+    eps = 5.0 * np.log2(16 * 64) * np.finfo(np.float32).eps
+    assert np.abs(rr - x).max() <= eps
+    assert np.abs(ri).max() <= eps
+
+
+def test_fft2_batched_leading_dims(rng):
+    x = rng.uniform(-1.0, 1.0, (3, 16, 32)).astype(np.float32)
+    re, im = gf.fft2(x)
+    ref = np.fft.fft2(x.astype(np.float64), axes=(-2, -1))
+    scale = np.abs(ref).max()
+    assert re.shape == x.shape
+    assert np.abs(re - ref.real).max() / scale < 1e-5
+    assert np.abs(im - ref.imag).max() / scale < 1e-5
+
+
+def test_fft2_rejects_bad_shapes():
+    with pytest.raises(ValueError):
+        gf.fft2(np.zeros(16, np.float32))  # 1-D
+    with pytest.raises(ValueError):
+        gf.fft2(np.zeros((3, 16), np.float32))  # height not pow2
+    with pytest.raises(ValueError):
+        gf.ifft2(np.zeros((4, 4), np.float32), np.zeros((4, 8), np.float32))
+
+
+def test_fft2_large_side_uses_staged_path(rng):
+    # One side beyond FUSED_MAX exercises the staged 1-D path inside fft2.
+    from gpu_fft_tpu.config import FUSED_MAX
+
+    x = rng.uniform(-1.0, 1.0, (2, 2 * FUSED_MAX)).astype(np.float32)
+    re, im = gf.fft2(x)
+    ref = np.fft.fft2(x.astype(np.float64))
+    scale = np.abs(ref).max()
+    assert np.abs(re - ref.real).max() / scale < 1e-5
+    assert np.abs(im - ref.imag).max() / scale < 1e-5
