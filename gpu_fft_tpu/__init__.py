@@ -19,6 +19,7 @@ Public facade (parity map to reference ``src/lib.rs``):
 """
 
 from .backends import Backend, available_backends, default_backend
+from .ops.exact import fft_exact, fft_exact_device, ifft_exact, ifft_exact_device
 from .ops.fft2d import fft2, fft2_device, ifft2, ifft2_device
 from .ops.spectral import (
     power_spectrum_device,
@@ -60,6 +61,10 @@ __all__ = [
     "ifft2",
     "fft2_device",
     "ifft2_device",
+    "fft_exact",
+    "ifft_exact",
+    "fft_exact_device",
+    "ifft_exact_device",
     "next_power_of_two",
     "warmup",
     "psd",
