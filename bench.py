@@ -180,6 +180,32 @@ def main() -> None:
         kind="roundtrip_batch",
     )
 
+    # ── Extensions beyond reference parity: 2-D and exact non-pow2 ──────────
+    def fft2_step(h, w):
+        from gpu_fft_tpu.ops.fft2d import fft2_device
+
+        s = np.float32(1.0 / np.sqrt(h * w))
+
+        def step(x):
+            yr, _ = fft2_device(x)
+            return yr * s
+
+        return step
+
+    def exact_step(n):
+        from gpu_fft_tpu.ops.exact import fft_exact_device
+
+        s = np.float32(1.0 / np.sqrt(n))
+
+        def step(x):
+            yr, _ = fft_exact_device(x)
+            return yr * s
+
+        return step
+
+    measure("fft2_256x512", fft2_step(256, 512), dev((256, 512)), b=256, n=512, kind="fft2")
+    measure("fft_exact_n48000", exact_step(48000), dev((1, 48000)), b=1, n=48000, kind="fft_exact")
+
     # ── Backend comparison: XLA vendor FFT (compare_bench.rs analog) ────────
     measure("xla_fft_n65536", xla_fft_forward_step(65536), dev((1, 65536)), b=1, n=65536, kind="fft")
     measure(

@@ -123,6 +123,20 @@ def transform_cost(b: int, n: int, kind: str = "fft") -> dict:
             + 2.0 * b * n
         )
         bytes_ = b * n * f32 * (1 + 2)  # x in, (re,im) of the roundtrip out
+    elif kind == "fft2":
+        # b here means H (rows) and n means W: row pass + column pass.
+        flops = transform_flops(b, n, real_input=True) + transform_flops(
+            n, b, real_input=False
+        )
+        bytes_ = b * n * f32 * (1 + 2)
+    elif kind == "fft_exact":
+        # Bluestein: two complex pow2 transforms of length m plus chirp
+        # multiplies; b carries the batch, n the (arbitrary) length.
+        m = 1
+        while m < 2 * n - 1:
+            m *= 2
+        flops = 2 * transform_flops(b, m, real_input=False) + 3 * 6.0 * b * n
+        bytes_ = b * n * f32 * (1 + 2)
     else:
         raise ValueError(f"unknown config kind {kind!r}")
     return {"flops": flops, "bytes": bytes_}

@@ -48,3 +48,12 @@ def test_detect_chip_runs():
 def test_unknown_kind_raises():
     with pytest.raises(ValueError):
         roofline.transform_cost(1, 1024, "nope")
+
+
+def test_extension_kinds():
+    c2 = roofline.transform_cost(256, 512, "fft2")
+    assert c2["flops"] > roofline.transform_cost(256, 512, "fft")["flops"]
+    ce = roofline.transform_cost(1, 48000, "fft_exact")
+    # Bluestein pays two 131072-point complex transforms.
+    assert ce["flops"] > 2 * roofline.transform_cost(1, 1 << 17, "fft")["flops"] * 0.5
+    assert np.isfinite(ce["flops"]) and ce["bytes"] == 48000 * 4 * 3
