@@ -26,7 +26,7 @@ from jax import lax
 from ..config import KARATSUBA
 from ..plan import FusedPlan
 
-__all__ = ["fused_fft_jnp", "stage_a_jnp", "stage_b_jnp"]
+__all__ = ["fused_fft_jnp", "fused_fft_jnp_folded", "stage_a_jnp", "stage_b_jnp"]
 
 _HI = lax.Precision.HIGHEST
 
@@ -79,6 +79,49 @@ def fused_fft_jnp(xr, xi, plan: FusedPlan):
     yr = jnp.swapaxes(rr.reshape(b, n1, n2), 1, 2).reshape(b, n)
     yi = jnp.swapaxes(ri.reshape(b, n1, n2), 1, 2).reshape(b, n)
     return yr, yi
+
+
+def fused_fft_jnp_folded(xr, xi, plan: FusedPlan):
+    """Fused four-step with the digit reversal folded into the output
+    permutation of the final einsum — ZERO explicit transposes.
+
+    Same math and tables as :func:`fused_fft_jnp` (stage 1 contracts the
+    major digit a via 'bac,ak->bck'; stage 2 contracts c via
+    'bck,cJ->bJk', whose output order IS the natural spectrum).  Measured
+    per-(B, n) against the transpose form on v5e
+    (scripts/ablate_fused_folded.py); the dispatch in kernels/large.py uses
+    whichever won.  Notably at B=1 the folded form cuts small-n latency
+    ~2.4x (n=16384: 1.3 vs 3.1 us) — the transposes were the latency floor.
+    """
+    b, n = xr.shape
+    assert n == plan.n and plan.kind == "fourstep", (n, plan.n, plan.kind)
+    n1, n2 = plan.n1, plan.n2
+    t = plan.tables
+
+    def cm(eq, ar, ai, prefix):
+        if KARATSUBA:
+            k1 = jnp.einsum(eq, ar + ai, t[prefix + "r"], precision=_HI)
+            k2 = jnp.einsum(eq, ar, t[prefix + "d"], precision=_HI)
+            k3 = jnp.einsum(eq, ai, t[prefix + "s"], precision=_HI)
+            return k1 - k3, k1 + k2
+        rr = jnp.einsum(eq, ar, t[prefix + "r"], precision=_HI)
+        ri = jnp.einsum(eq, ai, t[prefix + "i"], precision=_HI)
+        sr = jnp.einsum(eq, ar, t[prefix + "i"], precision=_HI)
+        si = jnp.einsum(eq, ai, t[prefix + "r"], precision=_HI)
+        return rr - ri, sr + si
+
+    x3 = xr.reshape(b, n1, n2)  # [b, a, c]
+    if xi is None:
+        pr = jnp.einsum("bac,ak->bck", x3, t["f1r"], precision=_HI)
+        pi = jnp.einsum("bac,ak->bck", x3, t["f1i"], precision=_HI)
+    else:
+        pr, pi = cm("bac,ak->bck", x3, xi.reshape(b, n1, n2), "f1")
+    twr = t["twr"][None]  # (n2, n1) = [c, k1]
+    twi = t["twi"][None]
+    zr = pr * twr - pi * twi
+    zi = pr * twi + pi * twr
+    rr, ri = cm("bck,cJ->bJk", zr, zi, "f2")
+    return rr.reshape(b, n), ri.reshape(b, n)
 
 
 def stage_b_jnp(yr, yi, n1: int, n2: int, t: dict):

@@ -28,10 +28,10 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..config import FUSED_MAX
+from ..config import DIRECT_MAX, FUSED_MAX
 from ..plan import get_fused_plan, get_stage_a_plan, stage_a_col_tile
 from .fused import stage_a
-from .fused_jnp import fused_fft_jnp, stage_b_jnp
+from .fused_jnp import fused_fft_jnp, fused_fft_jnp_folded, stage_b_jnp
 
 __all__ = ["transform_any"]
 
@@ -42,9 +42,20 @@ def transform_any(xr, xi, n: int, sign: int):
     ``xi`` may be None (real input).  Unnormalized; natural output order.
     """
     if n <= FUSED_MAX:
+        b = xr.shape[0]
         # Wide batches prefer the full-lane n2=128 split (see get_fused_plan).
-        wide = xr.shape[0] >= 16 and n <= 16384
-        return fused_fft_jnp(xr, xi, get_fused_plan(n, sign, wide=wide))
+        wide = b >= 16 and n <= 16384
+        plan = get_fused_plan(n, sign, wide=wide)
+        # Layout choice, measured per-(B, n) on v5e (docs/ABLATION.md §7):
+        # the folded form (digit reversal as the final einsum's output
+        # permutation, zero transposes) wins at n <= 16384 at every batch
+        # (B=1 n=16384: 1.3 vs 3.1 us) and at large batches of big n
+        # (B=16 n=65536: 58 vs 80 us); the transpose form keeps small-batch
+        # big-n (B<=4, n>=32768), where XLA schedules the explicit
+        # transposes better than the folded dots.
+        if plan.kind == "fourstep" and (n <= 16384 or b >= 8):
+            return fused_fft_jnp_folded(xr, xi, plan)
+        return fused_fft_jnp(xr, xi, plan)
 
     b = xr.shape[0]
     plan = get_stage_a_plan(n, sign)

@@ -70,6 +70,26 @@ def test_staged_path_vs_oracle(rng, n):
     assert np.abs(np.asarray(rr[0]) / n - np.asarray(x[0])).max() < 1e-4
 
 
+@pytest.mark.parametrize("n", [1024, 4096, 65536])
+@pytest.mark.parametrize("complex_input", [False, True])
+def test_folded_matches_transpose_form(rng, n, complex_input):
+    # Both fused-size layouts (folded output permutation vs explicit
+    # transposes) must agree — the dispatch picks by measured speed only.
+    import jax.numpy as jnp
+
+    from gpu_fft_tpu.kernels.fused_jnp import fused_fft_jnp, fused_fft_jnp_folded
+    from gpu_fft_tpu.plan import get_fused_plan
+
+    xr = jnp.asarray(rng.uniform(-1.0, 1.0, (3, n)).astype(np.float32))
+    xi = jnp.asarray(rng.uniform(-1.0, 1.0, (3, n)).astype(np.float32)) if complex_input else None
+    plan = get_fused_plan(n, -1)
+    ar, ai = fused_fft_jnp(xr, xi, plan)
+    br, bi = fused_fft_jnp_folded(xr, xi, plan)
+    scale = max(1.0, float(np.abs(np.asarray(ar)).max()))
+    assert np.abs(np.asarray(ar) - np.asarray(br)).max() / scale < 1e-6
+    assert np.abs(np.asarray(ai) - np.asarray(bi)).max() / scale < 1e-6
+
+
 def test_fused_sizes_have_no_stage_b(rng):
     # The fused/staged boundary: 2^16 uses the jnp four-step directly.
     import jax.numpy as jnp
