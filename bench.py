@@ -267,7 +267,7 @@ def main() -> None:
     # overrides (e.g. GPU_FFT_TPU_BACKEND=native) cannot break the device API.
     eps32 = float(np.finfo(np.float32).eps)
     acc = {}
-    for n in (1024, 4096, 65536, 1 << 20):
+    for n in (1024, 4096, 65536, 1 << 20, 1 << 22):
         try:
             xs_h = RNG.uniform(-1.0, 1.0, n).astype(np.float32)
             r, i = gf.fft_device(jnp.asarray(xs_h[None]), backend=gf.Backend.PALLAS)

@@ -1,0 +1,47 @@
+"""Extensions beyond the reference's surface: 2-D FFT and exact non-pow2 DFT.
+
+The reference library (and this library's ``fft``) zero-pads non-power-of-
+two signals — which computes a padded-length spectrum whose bins sit at
+different frequencies.  ``fft_exact`` computes the true spectrum at any
+length; ``fft2`` transforms images/frames.  Run: python examples/extensions.py
+"""
+
+import numpy as np
+
+import gpu_fft_tpu as gf
+
+
+def main() -> None:
+    # ── Exact non-pow2: a 60 Hz tone sampled at 48 kHz for 1 s ──────────────
+    sr, f0, n = 48_000, 60.0, 48_000
+    t = np.arange(n) / sr
+    x = np.sin(2 * np.pi * f0 * t).astype(np.float32)
+
+    re, im = gf.fft_exact(x)  # true 48,000-bin spectrum
+    p = gf.psd(re, im)
+    k = int(np.argmax(p[: n // 2 + 1]))
+    print(f"fft_exact:  n={n}, dominant bin {k} = {k * sr / n:.2f} Hz (exact)")
+
+    rep, imp = gf.fft(x)  # pads to 65,536: bins land OFF the tone
+    pp = gf.psd(rep, imp)
+    kp = int(np.argmax(pp[: len(rep) // 2 + 1]))
+    print(
+        f"fft (padded): n={len(rep)}, dominant bin {kp} = "
+        f"{kp * sr / len(rep):.2f} Hz (padded-grid approximation)"
+    )
+
+    # ── 2-D: pick out a plane wave in an image ──────────────────────────────
+    h, w = 128, 256
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.cos(2 * np.pi * (3 * yy / h + 17 * xx / w)).astype(np.float32)
+    re2, im2 = gf.fft2(img)
+    power = re2**2 + im2**2
+    ky, kx = np.unravel_index(int(np.argmax(power)), power.shape)
+    print(f"fft2: dominant 2-D bin (ky, kx) = ({ky}, {kx})  [expected (3, 17)]")
+
+    ok = ky in (3, h - 3) and kx in (17, w - 17)
+    print("OK" if ok and abs(k * sr / n - f0) < 0.5 else "FAIL")
+
+
+if __name__ == "__main__":
+    main()

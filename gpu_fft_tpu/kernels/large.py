@@ -49,11 +49,12 @@ def transform_any(xr, xi, n: int, sign: int):
         # Layout choice, measured per-(B, n) on v5e (docs/ABLATION.md §7):
         # the folded form (digit reversal as the final einsum's output
         # permutation, zero transposes) wins at n <= 16384 at every batch
-        # (B=1 n=16384: 1.3 vs 3.1 us) and at large batches of big n
-        # (B=16 n=65536: 58 vs 80 us); the transpose form keeps small-batch
-        # big-n (B<=4, n>=32768), where XLA schedules the explicit
-        # transposes better than the folded dots.
-        if plan.kind == "fourstep" and (n <= 16384 or b >= 8):
+        # (B=1 n=16384: 1.3 vs 3.1 us) and whenever B >= 2 at big n
+        # (B=2 n=65536: ~7.8 vs 10.5 us; B=16: 58 vs 80 us); only the
+        # single-signal big-n configs keep the transpose form, where XLA
+        # schedules the explicit transposes better and far more stably
+        # (iqr 0.03 vs ~1.5 us).
+        if plan.kind == "fourstep" and (n <= 16384 or b >= 2):
             return fused_fft_jnp_folded(xr, xi, plan)
         return fused_fft_jnp(xr, xi, plan)
 

@@ -52,3 +52,12 @@ def test_cli_bench_rejects_bad_n(capsys):
     from gpu_fft_tpu.__main__ import main
 
     assert main(["bench", "-n", "100"]) == 2
+
+
+def test_extensions_example():
+    import extensions
+
+    out = _run_capturing(extensions.main)
+    assert "60.00 Hz (exact)" in out
+    assert "(3, 17)" in out
+    assert "OK" in out and "FAIL" not in out

@@ -64,3 +64,28 @@ def test_random_complex_inverse(rng):
         ref = np.fft.ifft(re.astype(np.float64) + 1j * im.astype(np.float64))
         assert_slice_approx(out[:n], ref.real, eps=1e-3, label=f"inv real n={n}")
         assert_slice_approx(out[n:], ref.imag, eps=1e-3, label=f"inv imag n={n}")
+
+
+def test_random_exact_lengths(rng):
+    # fft_exact at arbitrary (incl. prime) lengths vs the f64 oracle.
+    for _ in range(10):
+        n = int(rng.integers(2, 4000))
+        x = rng.uniform(-1.0, 1.0, n).astype(np.float32)
+        re, im = gf.fft_exact(x)
+        ref = np.fft.fft(x.astype(np.float64))
+        scale = max(1.0, float(np.abs(ref).max()))
+        assert re.shape == (n,)
+        assert np.abs(re - ref.real).max() / scale < 3e-5, f"n={n}"
+        assert np.abs(im - ref.imag).max() / scale < 3e-5, f"n={n}"
+
+
+def test_random_fft2_shapes(rng):
+    for _ in range(6):
+        h = 1 << int(rng.integers(1, 8))
+        w = 1 << int(rng.integers(1, 8))
+        x = rng.uniform(-1.0, 1.0, (h, w)).astype(np.float32)
+        re, im = gf.fft2(x)
+        ref = np.fft.fft2(x.astype(np.float64))
+        scale = max(1.0, float(np.abs(ref).max()))
+        assert np.abs(re - ref.real).max() / scale < 1e-5, f"{h}x{w}"
+        assert np.abs(im - ref.imag).max() / scale < 1e-5, f"{h}x{w}"
