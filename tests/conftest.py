@@ -2,8 +2,9 @@
 
 Tests run on an 8-device virtual CPU mesh (TPU hardware is not assumed in
 CI): Pallas kernels execute in interpreter mode, sharding tests get 8 real
-XLA devices.  The same code paths compile natively on TPU — `bench.py` and
-`scripts/tpu_check.py` exercise them on hardware.
+XLA devices.  The same code paths compile natively on TPU — ``bench.py``'s
+Mosaic smoke suite exercises them on hardware every bench run, and setting
+``GPU_FFT_TPU_TEST_PLATFORM=<tpu platform>`` runs this whole suite there.
 
 Mirrors the reference's test fixture (`tests/common/mod.rs`): EPSILON = 1e-3
 absolute tolerance, labeled approx asserts.
@@ -24,6 +25,14 @@ import jax  # noqa: E402
 # Some PJRT plugins force-register regardless of JAX_PLATFORMS, so the
 # override must also go through jax.config before first backend use.
 jax.config.update("jax_platforms", _platform)
+
+if _platform != "cpu":
+    # On-hardware runs pay tens of seconds per first-compile through the
+    # remote-compile transport; the persistent cache makes repeat suite
+    # runs take minutes instead of an hour.
+    from gpu_fft_tpu.config import enable_compilation_cache  # noqa: E402
+
+    enable_compilation_cache()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
