@@ -34,6 +34,43 @@ MAX_N = 1 << 24
 # replaced it with per-size selection measured on hardware and retired the
 # losing kernels — see docs/ABLATION.md and kernels/large.py.
 
+# ── Matmul precision mode ────────────────────────────────────────────────────
+# f32 MXU matmuls are emulated with bf16 passes; the mode trades accuracy
+# for passes (measured on v5e at B=16 N=65,536, forward):
+#   "full"  (default) — 6-pass HIGHEST: rel err ~1.8e-7; the only mode that
+#                       meets the reference's 5*log2(N)*eps roundtrip gate.
+#   "high"  — 3-pass:   rel err ~2e-5, ~2x faster on compute-bound configs
+#                       (30 vs 57-71 us).
+#   "fast"  — 1-pass:   rel err ~4e-3, ~4x faster (16.5 us); for
+#                       magnitude-spectrum/serving workloads only.
+# Process-level: set GPU_FFT_TPU_PRECISION before the first transform (jit
+# caches trace the mode in).  Pallas kernels (the large-N stage A) map
+# "high" to HIGHEST — Mosaic supports only DEFAULT/HIGHEST — so staged
+# transforms under "high" are slightly more accurate than fused ones.
+PRECISION = os.environ.get("GPU_FFT_TPU_PRECISION", "full").strip().lower()
+if PRECISION not in ("full", "high", "fast"):
+    raise ValueError(
+        f"GPU_FFT_TPU_PRECISION must be one of full|high|fast, got {PRECISION!r}"
+    )
+
+
+def matmul_precision():
+    """The jax.lax.Precision for the current mode (trace-time lookup)."""
+    from jax import lax
+
+    return {
+        "full": lax.Precision.HIGHEST,
+        "high": lax.Precision.HIGH,
+        "fast": lax.Precision.DEFAULT,
+    }[PRECISION]
+
+
+def mosaic_precision():
+    """Pallas-kernel precision: Mosaic lowers only DEFAULT and HIGHEST."""
+    from jax import lax
+
+    return lax.Precision.DEFAULT if PRECISION == "fast" else lax.Precision.HIGHEST
+
 # Use the Gauss/Karatsuba 3-multiplication complex matmul instead of the
 # 4-multiplication form.  Saves 25% of the full-precision MXU passes (the
 # dominant kernel cost); the extra additions introduce a small, bounded

@@ -37,20 +37,25 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .. import config
 from ..config import KARATSUBA
 
 __all__ = ["stage_a"]
 
 
 def _dot(a, b):
-    """f32 matmul on the MXU at full (HIGHEST) precision.
+    """f32 matmul on the MXU at the configured precision.
 
-    HIGHEST forces the 6-pass bf16 decomposition of f32 matmuls, which is what
-    lets the matmul formulation meet the reference's 5*log2(N)*eps roundtrip
-    accuracy gate (``tests/roundtrip.rs:62-71``).  DEFAULT (single-pass bf16)
-    measures ~3e-3 relative error — far outside the gate.
+    Default (config.PRECISION="full") is HIGHEST: the 6-pass bf16
+    decomposition of f32 matmuls, which is what lets the matmul formulation
+    meet the reference's 5*log2(N)*eps roundtrip accuracy gate
+    (``tests/roundtrip.rs:62-71``).  DEFAULT (single-pass bf16, the "fast"
+    mode) measures ~3e-3 relative error — far outside the gate.  Mosaic has
+    no 3-pass lowering, so the "high" mode maps to HIGHEST here.
     """
-    return jnp.dot(a, b, precision=lax.Precision.HIGHEST, preferred_element_type=jnp.float32)
+    return jnp.dot(
+        a, b, precision=config.mosaic_precision(), preferred_element_type=jnp.float32
+    )
 
 
 def _cmul(ar, ai, br, bi):

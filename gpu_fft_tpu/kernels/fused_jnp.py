@@ -21,18 +21,22 @@ every candidate size (2.3 vs 5.9 us at n=32768).
 from __future__ import annotations
 
 import jax.numpy as jnp
-from jax import lax
 
+from .. import config
 from ..config import KARATSUBA
 from ..plan import FusedPlan
 
 __all__ = ["fused_fft_jnp", "fused_fft_jnp_folded", "stage_a_jnp", "stage_b_jnp"]
 
-_HI = lax.Precision.HIGHEST
+
+def _prec():
+    # Trace-time lookup so GPU_FFT_TPU_PRECISION (config.PRECISION) governs
+    # every matmul in this module; see config.matmul_precision.
+    return config.matmul_precision()
 
 
 def _dot(a, b):
-    return jnp.dot(a, b, precision=_HI, preferred_element_type=jnp.float32)
+    return jnp.dot(a, b, precision=_prec(), preferred_element_type=jnp.float32)
 
 
 def _cmatmul(ar, ai, t, prefix):
@@ -100,20 +104,20 @@ def fused_fft_jnp_folded(xr, xi, plan: FusedPlan):
 
     def cm(eq, ar, ai, prefix):
         if KARATSUBA:
-            k1 = jnp.einsum(eq, ar + ai, t[prefix + "r"], precision=_HI)
-            k2 = jnp.einsum(eq, ar, t[prefix + "d"], precision=_HI)
-            k3 = jnp.einsum(eq, ai, t[prefix + "s"], precision=_HI)
+            k1 = jnp.einsum(eq, ar + ai, t[prefix + "r"], precision=_prec())
+            k2 = jnp.einsum(eq, ar, t[prefix + "d"], precision=_prec())
+            k3 = jnp.einsum(eq, ai, t[prefix + "s"], precision=_prec())
             return k1 - k3, k1 + k2
-        rr = jnp.einsum(eq, ar, t[prefix + "r"], precision=_HI)
-        ri = jnp.einsum(eq, ai, t[prefix + "i"], precision=_HI)
-        sr = jnp.einsum(eq, ar, t[prefix + "i"], precision=_HI)
-        si = jnp.einsum(eq, ai, t[prefix + "r"], precision=_HI)
+        rr = jnp.einsum(eq, ar, t[prefix + "r"], precision=_prec())
+        ri = jnp.einsum(eq, ai, t[prefix + "i"], precision=_prec())
+        sr = jnp.einsum(eq, ar, t[prefix + "i"], precision=_prec())
+        si = jnp.einsum(eq, ai, t[prefix + "r"], precision=_prec())
         return rr - ri, sr + si
 
     x3 = xr.reshape(b, n1, n2)  # [b, a, c]
     if xi is None:
-        pr = jnp.einsum("bac,ak->bck", x3, t["f1r"], precision=_HI)
-        pi = jnp.einsum("bac,ak->bck", x3, t["f1i"], precision=_HI)
+        pr = jnp.einsum("bac,ak->bck", x3, t["f1r"], precision=_prec())
+        pi = jnp.einsum("bac,ak->bck", x3, t["f1i"], precision=_prec())
     else:
         pr, pi = cm("bac,ak->bck", x3, xi.reshape(b, n1, n2), "f1")
     twr = t["twr"][None]  # (n2, n1) = [c, k1]
@@ -150,14 +154,14 @@ def stage_b_jnp(yr, yi, n1: int, n2: int, t: dict):
 
     def cm(eq, xr_, xi_, prefix):
         if KARATSUBA:
-            k1 = jnp.einsum(eq, xr_ + xi_, t[prefix + "r"], precision=_HI)
-            k2 = jnp.einsum(eq, xr_, t[prefix + "d"], precision=_HI)
-            k3 = jnp.einsum(eq, xi_, t[prefix + "s"], precision=_HI)
+            k1 = jnp.einsum(eq, xr_ + xi_, t[prefix + "r"], precision=_prec())
+            k2 = jnp.einsum(eq, xr_, t[prefix + "d"], precision=_prec())
+            k3 = jnp.einsum(eq, xi_, t[prefix + "s"], precision=_prec())
             return k1 - k3, k1 + k2
-        pr = jnp.einsum(eq, xr_, t[prefix + "r"], precision=_HI)
-        pi = jnp.einsum(eq, xi_, t[prefix + "i"], precision=_HI)
-        qr = jnp.einsum(eq, xr_, t[prefix + "i"], precision=_HI)
-        qi = jnp.einsum(eq, xi_, t[prefix + "r"], precision=_HI)
+        pr = jnp.einsum(eq, xr_, t[prefix + "r"], precision=_prec())
+        pi = jnp.einsum(eq, xi_, t[prefix + "i"], precision=_prec())
+        qr = jnp.einsum(eq, xr_, t[prefix + "i"], precision=_prec())
+        qi = jnp.einsum(eq, xi_, t[prefix + "r"], precision=_prec())
         return pr - pi, qr + qi
 
     # Stage 1: contract a1 -> j1, keep [b, k1, a2, j1].
@@ -181,9 +185,9 @@ def stage_a_jnp(x3r, x3i, plan: dict):
     """
     f1r, f1i = plan["f1r"], plan["f1i"]
     twr, twi = plan["twr"], plan["twi"]
-    pr = jnp.einsum("ka,bac->bkc", f1r, x3r, precision=_HI)
-    pi = jnp.einsum("ka,bac->bkc", f1i, x3r, precision=_HI)
+    pr = jnp.einsum("ka,bac->bkc", f1r, x3r, precision=_prec())
+    pi = jnp.einsum("ka,bac->bkc", f1i, x3r, precision=_prec())
     if x3i is not None:
-        pr = pr - jnp.einsum("ka,bac->bkc", f1i, x3i, precision=_HI)
-        pi = pi + jnp.einsum("ka,bac->bkc", f1r, x3i, precision=_HI)
+        pr = pr - jnp.einsum("ka,bac->bkc", f1i, x3i, precision=_prec())
+        pi = pi + jnp.einsum("ka,bac->bkc", f1r, x3i, precision=_prec())
     return pr * twr - pi * twi, pr * twi + pi * twr
