@@ -19,6 +19,7 @@ Public facade (parity map to reference ``src/lib.rs``):
 """
 
 from .backends import Backend, available_backends, default_backend
+from .ops.dsp import fft_convolve, fftshift, ifftshift
 from .ops.exact import fft_exact, fft_exact_device, ifft_exact, ifft_exact_device
 from .ops.fft2d import fft2, fft2_device, ifft2, ifft2_device
 from .ops.spectral import (
@@ -39,7 +40,9 @@ from .ops.transform import (
     ifft_device,
     ifft_native,
     ifft_with,
+    irfft,
     next_power_of_two,
+    rfft,
     warmup,
 )
 from . import utils
@@ -65,6 +68,11 @@ __all__ = [
     "ifft_exact",
     "fft_exact_device",
     "ifft_exact_device",
+    "rfft",
+    "irfft",
+    "fft_convolve",
+    "fftshift",
+    "ifftshift",
     "next_power_of_two",
     "warmup",
     "psd",

@@ -35,6 +35,8 @@ __all__ = [
     "ifft_with",
     "fft_native",
     "ifft_native",
+    "rfft",
+    "irfft",
     "fft_device",
     "ifft_device",
     "next_power_of_two",
@@ -238,6 +240,50 @@ def warmup(sizes=(1024, 4096, 65536), batches=(1,), inverse: bool = True) -> Non
             if inverse:
                 yr, yi = ifft_device(yr, yi, backend=Backend.PALLAS)
             jax.block_until_ready((yr, yi))
+
+
+# ── One-sided real-input API (numpy.fft.rfft conventions) ────────────────────
+
+
+def rfft(input, backend=None):
+    """One-sided forward FFT of a real signal: the n//2 + 1 unique bins.
+
+    Zero-pads to the next power of two like :func:`fft`, then returns only
+    the non-negative-frequency half — ``numpy.fft.rfft`` semantics on the
+    padded length.  Extension beyond the reference (which always returns the
+    full two-sided spectrum).
+    """
+    re, im = fft(input, backend=backend)
+    h = re.shape[-1] // 2 + 1
+    return re[..., :h].copy(), im[..., :h].copy()
+
+
+def irfft(input_real, input_imag, backend=None):
+    """Inverse of :func:`rfft`: reconstruct the real signal from the
+    one-sided spectrum (n//2 + 1 bins of a power-of-two n).
+
+    Rebuilds the Hermitian-symmetric full spectrum (X[n-k] = conj(X[k]))
+    and runs the inverse transform; returns the length-n real signal.
+    """
+    xr = np.asarray(input_real, dtype=np.float32)
+    xi = np.asarray(input_imag, dtype=np.float32)
+    if xr.shape != xi.shape or xr.ndim != 1:
+        raise ValueError(
+            f"irfft: real and imag must be equal-length 1-D arrays, got {xr.shape} vs {xi.shape}"
+        )
+    h = xr.shape[0]
+    n = 2 * (h - 1)
+    if h < 2 or n & (n - 1):
+        raise ValueError(
+            f"irfft: expected n//2 + 1 bins of a power-of-two n, got {h} bins"
+        )
+    full_r = np.concatenate([xr, xr[1:-1][::-1]])
+    full_i = np.concatenate([xi, -xi[1:-1][::-1]])
+    # Hermitian endpoints: DC and Nyquist bins of a real signal are real.
+    full_i[0] = 0.0
+    full_i[h - 1] = 0.0
+    out = ifft(full_r, full_i, backend=backend)
+    return out[:n]
 
 
 def fft_with(input, backend):

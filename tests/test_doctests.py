@@ -7,6 +7,7 @@ pass ``pytest --doctest-modules gpu_fft_tpu/ops gpu_fft_tpu/utils``.
 
 import doctest
 
+import gpu_fft_tpu.ops.dsp
 import gpu_fft_tpu.ops.spectral
 import gpu_fft_tpu.ops.transform
 import gpu_fft_tpu.utils.signal
@@ -31,3 +32,7 @@ def test_spectral_doctests():
 
 def test_transform_doctests():
     _run(gpu_fft_tpu.ops.transform, 1)
+
+
+def test_dsp_doctests():
+    _run(gpu_fft_tpu.ops.dsp, 3)

@@ -1,0 +1,68 @@
+"""DSP convenience ops: rfft/irfft, fft_convolve, shifts (numpy oracles)."""
+
+import numpy as np
+import pytest
+
+import gpu_fft_tpu as gf
+
+
+def test_rfft_matches_numpy(rng):
+    x = rng.uniform(-1.0, 1.0, 1024).astype(np.float32)
+    re, im = gf.rfft(x)
+    ref = np.fft.rfft(x.astype(np.float64))
+    assert re.shape == (513,)
+    scale = np.abs(ref).max()
+    assert np.abs(re - ref.real).max() / scale < 1e-5
+    assert np.abs(im - ref.imag).max() / scale < 1e-5
+
+
+def test_rfft_pads_like_fft(rng):
+    x = rng.uniform(-1.0, 1.0, 1000).astype(np.float32)
+    re, im = gf.rfft(x)  # pads to 1024
+    assert re.shape == (513,)
+
+
+def test_irfft_roundtrip(rng):
+    x = rng.uniform(-1.0, 1.0, 512).astype(np.float32)
+    out = gf.irfft(*gf.rfft(x))
+    eps = 5.0 * np.log2(512) * float(np.finfo(np.float32).eps)
+    assert out.shape == (512,)
+    assert np.abs(out - x).max() <= eps
+
+
+def test_irfft_rejects_bad_bins():
+    with pytest.raises(ValueError):
+        gf.irfft(np.zeros(6, np.float32), np.zeros(6, np.float32))  # n=10 not pow2
+    with pytest.raises(ValueError):
+        gf.irfft(np.zeros(5, np.float32), np.zeros(4, np.float32))
+
+
+@pytest.mark.parametrize("mode", ["full", "same", "valid"])
+def test_fft_convolve_matches_numpy(rng, mode):
+    for la, lb in ((100, 7), (33, 33), (257, 16)):
+        a = rng.uniform(-1.0, 1.0, la).astype(np.float32)
+        b = rng.uniform(-1.0, 1.0, lb).astype(np.float32)
+        got = gf.fft_convolve(a, b, mode=mode)
+        ref = np.convolve(a.astype(np.float64), b.astype(np.float64), mode=mode)
+        assert got.shape == ref.shape, (la, lb, mode)
+        scale = max(1.0, float(np.abs(ref).max()))
+        assert np.abs(got - ref).max() / scale < 1e-5, (la, lb, mode)
+
+
+def test_fft_convolve_errors():
+    with pytest.raises(ValueError):
+        gf.fft_convolve([1.0], [])
+    with pytest.raises(ValueError):
+        gf.fft_convolve([1.0, 2.0], [1.0, 2.0, 3.0], mode="valid")
+    with pytest.raises(ValueError):
+        gf.fft_convolve([1.0], [1.0], mode="circular")
+
+
+def test_shifts_roundtrip(rng):
+    import jax.numpy as jnp
+
+    x = rng.uniform(-1.0, 1.0, 17).astype(np.float32)
+    assert np.array_equal(gf.fftshift(x), np.fft.fftshift(x))
+    assert np.array_equal(gf.ifftshift(gf.fftshift(x)), x)
+    xd = jnp.asarray(x)  # device path
+    assert np.array_equal(np.asarray(gf.fftshift(xd)), np.fft.fftshift(x))
