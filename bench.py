@@ -169,7 +169,7 @@ def main() -> None:
         dev((64, 4096)),
         b=64,
         n=4096,
-        kind="ifft_batch",
+        kind="ifft_sequential",
     )
     measure(
         "roundtrip_sequential_b64_n4096",
@@ -177,7 +177,7 @@ def main() -> None:
         dev((64, 4096)),
         b=64,
         n=4096,
-        kind="roundtrip_batch",
+        kind="roundtrip_sequential",
     )
 
     # ── Extensions beyond reference parity: 2-D and exact non-pow2 ──────────
@@ -234,7 +234,7 @@ def main() -> None:
     for rt, fwd, inv in (("roundtrip_n65536", "fft_n65536", "ifft_n65536"),):
         if t(rt) and t(fwd) and t(inv) and t(rt) < max(t(fwd), t(inv)) * 0.95:
             remeasure(rt)
-            if t(rt) < max(t(fwd), t(inv)) * 0.95:
+            if t(rt) and t(rt) < max(t(fwd), t(inv)) * 0.95:
                 violations.append(f"{rt} < max({fwd}, {inv})")
                 c[rt]["suspect"] = True
     # Per-transform time must not decrease as N grows (same batch).  The

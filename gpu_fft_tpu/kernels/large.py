@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..config import DIRECT_MAX, FUSED_MAX
+from ..config import FUSED_MAX
 from ..plan import get_fused_plan, get_stage_a_plan, stage_a_col_tile
 from .fused import stage_a
 from .fused_jnp import fused_fft_jnp, fused_fft_jnp_folded, stage_b_jnp

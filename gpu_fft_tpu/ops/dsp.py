@@ -29,6 +29,7 @@ def fft_convolve(a, b, mode: str = "full"):
     """
     import jax.numpy as jnp
 
+    from ..config import MAX_N
     from ..kernels.large import transform_any
     from .transform import next_power_of_two
 
@@ -42,20 +43,29 @@ def fft_convolve(a, b, mode: str = "full"):
     if mode == "valid" and la < lb:
         raise ValueError("valid mode requires len(a) >= len(b)")
     lfull = la + lb - 1
-    m = next_power_of_two(lfull)
-    pa = jnp.asarray(np.pad(av, (0, m - la))[None])
-    pb = jnp.asarray(np.pad(bv, (0, m - lb))[None])
-    ar, ai = transform_any(pa, None, m, -1)
-    br, bi = transform_any(pb, None, m, -1)
-    cr = ar * br - ai * bi
-    ci = ar * bi + ai * br
-    yr, _ = transform_any(cr, ci, m, +1)
+    m = max(2, next_power_of_two(lfull))
+    if m > MAX_N:
+        raise ValueError(
+            f"fft_convolve: combined length {lfull} needs a {m}-point transform, "
+            f"beyond the supported maximum {MAX_N}"
+        )
+    # Both signals ride ONE batched forward pass (the library's own
+    # launch-amortization pattern).
+    pair = np.zeros((2, m), dtype=np.float32)
+    pair[0, :la] = av
+    pair[1, :lb] = bv
+    fr, fi = transform_any(jnp.asarray(pair), None, m, -1)
+    cr = fr[0] * fr[1] - fi[0] * fi[1]
+    ci = fr[0] * fi[1] + fi[0] * fr[1]
+    yr, _ = transform_any(cr[None], ci[None], m, +1)
     full = np.asarray(yr[0])[:lfull] / np.float32(m)
     if mode == "full":
         return full
     if mode == "same":
-        start = (lb - 1) // 2
-        return full[start : start + la].copy()
+        # numpy.convolve 'same': length max(la, lb), centered on 'full'.
+        out_len = max(la, lb)
+        start = (min(la, lb) - 1) // 2
+        return full[start : start + out_len].copy()
     return full[lb - 1 : la].copy()
 
 

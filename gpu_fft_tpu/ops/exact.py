@@ -95,9 +95,15 @@ def _bluestein(xr, xi, n: int, sign: int):
 
 
 def _check_exact_n(n: int) -> None:
+    """Validate n for the exact API.  Power-of-two lengths dispatch straight
+    to the direct path and only need n <= MAX_N; the Bluestein bound
+    (2n - 1 <= MAX_N) applies solely to lengths that actually convolve."""
     if n < 1:
         raise ValueError("fft_exact requires a non-empty signal")
-    if 2 * n - 1 > MAX_N:
+    if n & (n - 1) == 0:
+        if n > MAX_N:
+            raise ValueError(f"fft_exact length {n} exceeds the supported maximum {MAX_N}")
+    elif 2 * n - 1 > MAX_N:
         raise ValueError(
             f"fft_exact length {n} needs a {2 * n - 1}-point convolution, "
             f"beyond the supported maximum {MAX_N}"
@@ -123,6 +129,12 @@ def fft_exact_device(x, imag=None):
     if imag is not None:
         xi = jnp.asarray(imag, dtype=jnp.float32)
         xi = xi[None] if squeeze else xi
+        if xi.shape != x.shape:
+            raise ValueError(
+                f"fft_exact: real and imag shapes differ: "
+                f"{x.shape if not squeeze else x.shape[1:]} vs "
+                f"{xi.shape if not squeeze else xi.shape[1:]}"
+            )
     if n >= 2 and n & (n - 1) == 0:
         from ..kernels.large import transform_any
 

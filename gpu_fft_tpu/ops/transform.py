@@ -224,21 +224,25 @@ def warmup(sizes=(1024, 4096, 65536), batches=(1,), inverse: bool = True) -> Non
     ``README.md:87-89``); in serving deployments call this once at startup so
     no request pays the first-compile latency.
 
-    Only device executables exist to pre-compile, so the PALLAS backend is
-    used explicitly: a ``GPU_FFT_TPU_BACKEND=native`` override must not make
-    warmup raise (the NATIVE backend is host-side and has nothing to warm).
+    Warms the backend the process will actually use (the resolved default,
+    honoring ``GPU_FFT_TPU_BACKEND``); only the host-side NATIVE backend has
+    nothing to pre-compile, so that override falls back to warming PALLAS
+    instead of raising.
     """
     import jax
     import jax.numpy as jnp
 
+    backend = resolve_backend(None)
+    if backend is Backend.NATIVE:
+        backend = Backend.PALLAS
     for n in sizes:
         if n < 2 or n & (n - 1):
             raise ValueError(f"warmup sizes must be powers of two >= 2, got {n}")
         for b in batches:
             x = jnp.zeros((b, n), jnp.float32)
-            yr, yi = fft_device(x, backend=Backend.PALLAS)
+            yr, yi = fft_device(x, backend=backend)
             if inverse:
-                yr, yi = ifft_device(yr, yi, backend=Backend.PALLAS)
+                yr, yi = ifft_device(yr, yi, backend=backend)
             jax.block_until_ready((yr, yi))
 
 

@@ -113,10 +113,10 @@ def transform_cost(b: int, n: int, kind: str = "fft") -> dict:
     if kind in ("fft", "fft_batch", "fft_sequential", "fft_batchsize"):
         flops = transform_flops(b, n, real_input=True)
         bytes_ = b * n * f32 * (1 + 2)  # read x, write (re, im)
-    elif kind in ("ifft", "ifft_batch"):
+    elif kind in ("ifft", "ifft_batch", "ifft_sequential"):
         flops = transform_flops(b, n, real_input=False) + 2.0 * b * n  # 1/N scale
         bytes_ = b * n * f32 * (2 + 2)
-    elif kind in ("roundtrip", "roundtrip_batch"):
+    elif kind in ("roundtrip", "roundtrip_batch", "roundtrip_sequential"):
         flops = (
             transform_flops(b, n, real_input=True)
             + transform_flops(b, n, real_input=False)

@@ -92,14 +92,6 @@ def main() -> None:
         "entries": [],
     }
 
-    # Roofline "kind" mapping for sequential groups (same work as batched).
-    _roof_kind = {
-        "fft_sequential": "fft",
-        "ifft_sequential": "ifft_batch",
-        "roundtrip_sequential": "roundtrip_batch",
-        "fft_batchsize": "fft",
-    }
-
     def run(name, kind, backend, b, n, step):
         try:
             st = chained_step_stats(step, dev((b, n)), k1=50, k2=1050, reps=5)
@@ -117,9 +109,7 @@ def main() -> None:
                 "suspect": st.suspect,
                 "melem_per_s": melem,
             }
-            entry.update(
-                roofline.roofline_row(b, n, _roof_kind.get(kind, kind), st.median_s, chip=chip)
-            )
+            entry.update(roofline.roofline_row(b, n, kind, st.median_s, chip=chip))
             results["entries"].append(entry)
             print(
                 f"{name:40s} {st.median_s * 1e6:9.2f} us ±{st.iqr_s * 1e6:6.2f}  "

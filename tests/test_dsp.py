@@ -49,6 +49,23 @@ def test_fft_convolve_matches_numpy(rng, mode):
         assert np.abs(got - ref).max() / scale < 1e-5, (la, lb, mode)
 
 
+def test_fft_convolve_kernel_longer_than_signal(rng):
+    # 'same' must return max(la, lb) samples (numpy semantics), also when
+    # the kernel is longer than the signal.
+    a = rng.uniform(-1.0, 1.0, 5).astype(np.float32)
+    b = rng.uniform(-1.0, 1.0, 9).astype(np.float32)
+    for mode in ("full", "same"):
+        got = gf.fft_convolve(a, b, mode=mode)
+        ref = np.convolve(a.astype(np.float64), b.astype(np.float64), mode=mode)
+        assert got.shape == ref.shape, mode
+        assert np.abs(got - ref).max() < 1e-4, mode
+
+
+def test_fft_convolve_length_one():
+    assert gf.fft_convolve([2.0], [3.0]).round(5).tolist() == [6.0]
+    assert gf.fft_convolve([2.0], [3.0, 1.0]).round(5).tolist() == [6.0, 2.0]
+
+
 def test_fft_convolve_errors():
     with pytest.raises(ValueError):
         gf.fft_convolve([1.0], [])

@@ -56,8 +56,8 @@ def test_stage_b_jnp_matches_rows_plus_transpose(rng):
 
 @pytest.mark.parametrize("n", [1 << 17, 1 << 19])
 def test_staged_path_vs_oracle(rng, n):
-    # Full staged dispatch (stage-B fused at 2^17/2^18, jnp + XLA transpose
-    # above) against numpy, forward and inverse.
+    # Full staged dispatch (Pallas stage A + folded-einsum stage B) against
+    # numpy, forward and inverse.
     import jax.numpy as jnp
 
     x = jnp.asarray(rng.uniform(-1.0, 1.0, (1, n)).astype(np.float32))

@@ -64,3 +64,19 @@ def test_fft_exact_n1_and_errors(rng):
         gf.fft_exact(np.zeros(0, np.float32))
     with pytest.raises(ValueError):
         gf.ifft_exact(np.zeros(8, np.float32), np.zeros(4, np.float32))
+    with pytest.raises(ValueError):
+        # imag shape must match exactly (no silent broadcasting).
+        gf.fft_exact_device(np.zeros((4, 250), np.float32), np.zeros((1, 250), np.float32))
+
+
+def test_fft_exact_pow2_max_n_not_rejected():
+    # The Bluestein 2n-1 bound must not apply to power-of-two lengths (they
+    # dispatch straight to the direct path); MAX_N itself is valid.
+    from gpu_fft_tpu.config import MAX_N
+    from gpu_fft_tpu.ops.exact import _check_exact_n
+
+    _check_exact_n(MAX_N)  # must not raise
+    with pytest.raises(ValueError):
+        _check_exact_n(MAX_N + 1)  # non-pow2 beyond the Bluestein bound
+    with pytest.raises(ValueError):
+        _check_exact_n(2 * MAX_N)  # pow2 beyond MAX_N

@@ -2,9 +2,11 @@
 
 The reference selects kernel paths by N (inner-only <=1024, trailing radix-2
 at 2048, pure radix-4 at 4096 — ``tests/fft.rs:112-118``).  The analog here:
-direct (N <= 512), fused four-step (<= 65536), staged large-N above — with
-the stage-B-fusable band (n2 <= 2048, i.e. N <= 2^18) and the jnp-stage-B
-band beyond it.  Each boundary gets oracle coverage on both sides.
+direct (N <= 512), fused four-step (<= 65536, folded or transpose layout by
+batch), staged large-N above (Pallas stage A + folded-einsum stage B at
+every production size; the recursive stage-B fallback exists only for
+forced non-plannable n2 and is covered separately).  Each boundary gets
+oracle coverage on both sides.
 """
 
 import numpy as np
@@ -29,13 +31,36 @@ def _oracle_check(n, rng, tol_scale=1.0):
         DIRECT_MAX,          # last direct size
         DIRECT_MAX * 2,      # first fourstep size
         FUSED_MAX,           # last fused size
-        2 * FUSED_MAX,       # first staged size (stage-B fused, n2=1024)
-        4 * FUSED_MAX,       # last stage-B-fusable size (n2=2048)
-        8 * FUSED_MAX,       # first jnp-stage-B size (n2=4096)
+        2 * FUSED_MAX,       # first staged size (n2=1024)
+        4 * FUSED_MAX,       # n2=2048
+        8 * FUSED_MAX,       # n2=4096
     ],
 )
 def test_boundary_sizes_vs_oracle(rng, n):
     _oracle_check(n, rng)
+
+
+def test_recursive_stage_b_fallback(rng, monkeypatch):
+    # The recursive stage-B path (rows via transform_any + explicit digit-
+    # reversal transpose) only triggers when the plan is not stage-B
+    # plannable — impossible for production sizes, so force it.
+    import gpu_fft_tpu.plan as plan_mod
+    from gpu_fft_tpu.kernels.large import transform_any
+    import jax.numpy as jnp
+
+    monkeypatch.setattr(plan_mod, "stage_b_plannable", lambda n2: False)
+    plan_mod.get_stage_a_plan.cache_clear()
+    try:
+        n = 2 * FUSED_MAX
+        x = rng.uniform(-1.0, 1.0, (1, n)).astype(np.float32)
+        assert plan_mod.get_stage_a_plan(n, -1)["stage_b"] is None
+        yr, yi = transform_any(jnp.asarray(x), None, n, -1)
+        ref = np.fft.fft(x[0].astype(np.float64))
+        scale = np.abs(ref).max()
+        assert np.abs(np.asarray(yr[0]) - ref.real).max() / scale < 1e-5
+        assert np.abs(np.asarray(yi[0]) - ref.imag).max() / scale < 1e-5
+    finally:
+        plan_mod.get_stage_a_plan.cache_clear()
 
 
 def test_real_matches_complex_path(rng):
