@@ -60,6 +60,13 @@ def main() -> None:
         xla_fft_forward_step,
     )
 
+    # Persistent compile cache: repeat bench runs skip the per-config
+    # first-compiles (the cache stores executables; measured times are
+    # unaffected — chained timing never includes compilation).
+    from gpu_fft_tpu.config import enable_compilation_cache
+
+    enable_compilation_cache()
+
     start = time.time()
     platform = jax.default_backend()
     chip = roofline.detect_chip()
