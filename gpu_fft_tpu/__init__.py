@@ -45,6 +45,7 @@ from .ops.transform import (
     rfft,
     warmup,
 )
+from .plan import describe_plan
 from . import utils
 
 __version__ = "0.4.0"
@@ -80,6 +81,7 @@ __all__ = [
     "power_spectrum_device",
     "spectrogram",
     "spectrogram_device",
+    "describe_plan",
     "Backend",
     "available_backends",
     "default_backend",

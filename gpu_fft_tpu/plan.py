@@ -20,7 +20,7 @@ from typing import Any
 from .config import DIRECT_MAX, FUSED_MAX, MAX_N
 from .kernels.tables import dft_matrix_ext, twiddle_table
 
-__all__ = ["FusedPlan", "get_fused_plan", "balanced_split"]
+__all__ = ["FusedPlan", "get_fused_plan", "balanced_split", "describe_plan"]
 
 
 def balanced_split(n: int) -> tuple[int, int]:
@@ -104,6 +104,55 @@ def get_fused_plan(n: int, sign: int, wide: bool = False) -> FusedPlan:
 # 2^20 117->97 us vs the round-1 n/16384 rule; larger digits (256/512) lose
 # at every size.  Only grows above 128 when needed to keep n2 <= FUSED_MAX.
 STAGE_A_N1 = 128
+
+def describe_plan(n: int, batch: int = 1, real_input: bool = True) -> dict:
+    """Explain how a (batch, n) transform will dispatch — introspection for
+    users and debugging, mirroring the measured selection in
+    ``kernels/large.py`` (docs/ABLATION.md).
+
+    >>> describe_plan(256)["path"]
+    'direct'
+    >>> p = describe_plan(4096); (p["path"], p["layout"], p["split"])
+    ('fourstep', 'folded', (64, 64))
+    >>> p = describe_plan(65536, batch=1); (p["layout"], p["split"])
+    ('transpose', (256, 256))
+    >>> p = describe_plan(1 << 20); (p["path"], p["split"], p["stage_b_split"])
+    ('staged', (128, 8192), (64, 128))
+    """
+    if n < 2 or n & (n - 1):
+        raise ValueError(f"describe_plan requires power-of-two n >= 2, got {n}")
+    if n > MAX_N:
+        raise ValueError(f"n={n} exceeds MAX_N={MAX_N}")
+    out: dict = {"n": n, "batch": batch, "real_input": real_input}
+    if n <= DIRECT_MAX:
+        out.update(path="direct", engine="jnp matmul", split=(n, 1), layout=None)
+        return out
+    if n <= FUSED_MAX:
+        wide = batch >= 16 and n <= 16384
+        if wide:
+            n1, n2 = max(2, n // 128), min(128, n // 2)
+        else:
+            n1, n2 = balanced_split(n)
+        folded = n <= 16384 or batch >= 2
+        out.update(
+            path="fourstep",
+            engine="jnp einsum graph",
+            split=(n1, n2),
+            wide=wide,
+            layout="folded" if folded else "transpose",
+        )
+        return out
+    plan = get_stage_a_plan(n, -1)
+    sb = plan["stage_b"]
+    out.update(
+        path="staged",
+        engine="pallas stage-A + folded-einsum stage-B",
+        split=(plan["n1"], plan["n2"]),
+        layout="folded",
+        stage_b_split=None if sb is None else (sb["m1"], sb["m2"]),
+    )
+    return out
+
 
 def stage_b_plannable(n2: int) -> bool:
     """True when stage B runs as the einsum four-step with the digit reversal

@@ -10,6 +10,7 @@ import doctest
 import gpu_fft_tpu.ops.dsp
 import gpu_fft_tpu.ops.spectral
 import gpu_fft_tpu.ops.transform
+import gpu_fft_tpu.plan
 import gpu_fft_tpu.utils.signal
 
 
@@ -36,3 +37,7 @@ def test_transform_doctests():
 
 def test_dsp_doctests():
     _run(gpu_fft_tpu.ops.dsp, 3)
+
+
+def test_plan_doctests():
+    _run(gpu_fft_tpu.plan, 4)

@@ -125,3 +125,19 @@ def test_warmup():
     gf.warmup(sizes=(64,), batches=(1, 2))
     with _pytest.raises(ValueError):
         gf.warmup(sizes=(100,))
+
+
+def test_describe_plan_dispatch_map():
+    from gpu_fft_tpu.plan import describe_plan
+
+    assert describe_plan(512)["path"] == "direct"
+    p = describe_plan(4096, batch=64)
+    assert p["path"] == "fourstep" and p["wide"] and p["split"] == (32, 128)
+    assert p["layout"] == "folded"
+    assert describe_plan(65536, batch=1)["layout"] == "transpose"
+    assert describe_plan(65536, batch=2)["layout"] == "folded"
+    s = describe_plan(1 << 20)
+    assert s["path"] == "staged" and s["split"] == (128, 8192)
+    assert s["stage_b_split"] == (64, 128)
+    with pytest.raises(ValueError):
+        describe_plan(100)
