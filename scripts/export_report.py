@@ -371,6 +371,28 @@ def render_markdown(raw, charts, out_md):
             f"| {e['kind']}{suspect} | {e['backend']} | {e['batch']} | {e['n']} | {t} |"
             f" {iqr} | {e['melem_per_s']:.0f} | {sol} | {bound} |"
         )
+    # Accuracy gates from the most recent driver bench, when available.
+    details = pathlib.Path("BENCH_DETAILS.json")
+    if details.is_file():
+        try:
+            acc = json.loads(details.read_text()).get("accuracy", {})
+        except Exception:
+            acc = {}
+        if acc:
+            lines += [
+                "## Accuracy gates (roundtrip error vs 5·log₂N·ε, from the last driver bench)",
+                "",
+                "| N | max err | bound | pass |",
+                "|---:|---:|---:|---|",
+            ]
+            for name, row in acc.items():
+                if "max_err" in row:
+                    lines.append(
+                        f"| {name[1:]} | {row['max_err']:.2e} | {row['bound']:.2e} |"
+                        f" {'✓' if row['pass'] else '✗ FAIL'} |"
+                    )
+            lines.append("")
+
     dist = out_md.parent / "distributed.md"
     if dist.is_file():
         lines += ["", dist.read_text()]
