@@ -41,8 +41,10 @@ from .ops.transform import (
     ifft_native,
     ifft_with,
     irfft,
+    irfft_device,
     next_power_of_two,
     rfft,
+    rfft_device,
     warmup,
 )
 from .plan import describe_plan
@@ -71,6 +73,8 @@ __all__ = [
     "ifft_exact_device",
     "rfft",
     "irfft",
+    "rfft_device",
+    "irfft_device",
     "fft_convolve",
     "fftshift",
     "ifftshift",

@@ -2,9 +2,11 @@
 
 Built entirely from the measured 1-D machinery (``kernels/large.py``):
 row transforms with the batch folded into the leading dim, one transpose,
-column transforms, transpose back.  Conventions match the 1-D API: split
-complex f32 in/out, unnormalized forward, 1/(H*W) on the inverse,
-power-of-two sides up to MAX_N each.
+column transforms, transpose back.  Conventions match ``numpy.fft.fft2``:
+split-complex f32 in/out, unnormalized forward, 1/(H*W) on the inverse —
+and like numpy, ANY side length works: power-of-two sides take the direct
+pow2 path, other lengths run exactly via the Bluestein machinery
+(``ops/exact.py``), never by padding.
 
 The reference library has no 2-D transform; this is the natural TPU
 extension for image/spectrogram workloads (the row passes batch all H rows
@@ -21,30 +23,42 @@ __all__ = ["fft2", "ifft2", "fft2_device", "ifft2_device"]
 
 def _check_sides(h: int, w: int) -> None:
     from ..config import MAX_N
+    from .exact import _check_exact_n
 
     for name, s in (("height", h), ("width", w)):
-        if s < 2 or s & (s - 1):
-            raise ValueError(f"fft2 {name} must be a power of two >= 2, got {s}")
+        if s < 2:
+            raise ValueError(f"fft2 {name} must be >= 2, got {s}")
         if s > MAX_N:
             raise ValueError(f"fft2 {name} {s} exceeds the supported maximum {MAX_N}")
+        _check_exact_n(s)  # Bluestein bound for non-pow2 sides
+
+
+def _rows(xr, xi, n: int, sign: int):
+    """Length-n transform of (B, n) rows: pow2 direct, otherwise Bluestein."""
+    from ..kernels.large import transform_any
+    from .exact import _bluestein
+
+    if n & (n - 1) == 0:
+        return transform_any(xr, xi, n, sign)
+    return _bluestein(xr, xi, n, sign)
 
 
 def _transform2d(xr, xi, sign: int):
     """Split-complex 2-D transform over the last two axes of (..., H, W)."""
     import jax.numpy as jnp
 
-    from ..kernels.large import transform_any
+    from .exact import _bluestein  # noqa: F401  (documented dependency)
 
     *lead, h, w = xr.shape
     b = int(np.prod(lead)) if lead else 1
     # Rows: all B*H rows in one batched 1-D transform.
-    rr, ri = transform_any(
+    rr, ri = _rows(
         xr.reshape(b * h, w), None if xi is None else xi.reshape(b * h, w), w, sign
     )
     # Columns: transpose, transform the H-length rows, transpose back.
     cr = jnp.swapaxes(rr.reshape(b, h, w), 1, 2).reshape(b * w, h)
     ci = jnp.swapaxes(ri.reshape(b, h, w), 1, 2).reshape(b * w, h)
-    sr, si = transform_any(cr, ci, h, sign)
+    sr, si = _rows(cr, ci, h, sign)
     out_r = jnp.swapaxes(sr.reshape(b, w, h), 1, 2).reshape(*lead, h, w)
     out_i = jnp.swapaxes(si.reshape(b, w, h), 1, 2).reshape(*lead, h, w)
     return out_r, out_i
@@ -53,9 +67,10 @@ def _transform2d(xr, xi, sign: int):
 def fft2_device(x, imag=None):
     """Forward 2-D FFT of device array(s), staying on device.
 
-    ``x``: (..., H, W) real f32 (or pass ``imag`` for complex input); both
-    sides power-of-two.  Returns split-complex (re, im), unnormalized,
-    natural order — matching ``numpy.fft.fft2``.
+    ``x``: (..., H, W) real f32 (or pass ``imag`` for complex input); ANY
+    side lengths >= 2 (pow2 sides take the direct path, others run exactly
+    via Bluestein).  Returns split-complex (re, im), unnormalized, natural
+    order — matching ``numpy.fft.fft2``.
     """
     import jax.numpy as jnp
 

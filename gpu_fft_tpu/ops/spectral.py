@@ -87,8 +87,9 @@ def spectrogram_device(
     to streaming spectral analysis.
 
     ``x``: (n_samples,) real f32; ``frame_size``: power of two; ``hop``
-    defaults to frame_size (non-overlapping); ``window``: None (rectangular)
-    or "hann" to reduce spectral leakage.  Returns a (num_frames, bins) PSD
+    defaults to frame_size (non-overlapping); ``window``: None
+    (rectangular), "hann", "hamming", or "blackman" to trade main-lobe
+    width against sidelobe leakage.  Returns a (num_frames, bins) PSD
     array; frames that would run past the end of the signal are dropped.
     """
     import jax.numpy as jnp
@@ -98,8 +99,10 @@ def spectrogram_device(
     hop = frame_size if hop is None else hop
     if hop < 1:
         raise ValueError(f"hop must be >= 1, got {hop}")
-    if window not in (None, "hann"):
-        raise ValueError(f"window must be None or 'hann', got {window!r}")
+    if window not in (None, "hann", "hamming", "blackman"):
+        raise ValueError(
+            f"window must be None, 'hann', 'hamming', or 'blackman', got {window!r}"
+        )
     x = jnp.asarray(x, dtype=jnp.float32)
     if x.ndim != 1:
         raise ValueError(f"spectrogram expects a 1-D signal, got shape {x.shape}")
@@ -110,10 +113,16 @@ def spectrogram_device(
     starts = jnp.arange(num_frames) * hop
     idx = starts[:, None] + jnp.arange(frame_size)[None, :]
     frames = x[idx]  # (num_frames, frame_size), one gather
-    if window == "hann":
+    if window is not None:
         m = np.arange(frame_size)
-        w = (0.5 - 0.5 * np.cos(2.0 * np.pi * m / frame_size)).astype(np.float32)
-        frames = frames * w[None]
+        c = 2.0 * np.pi * m / frame_size
+        if window == "hann":
+            w = 0.5 - 0.5 * np.cos(c)
+        elif window == "hamming":
+            w = 0.54 - 0.46 * np.cos(c)
+        else:  # blackman
+            w = 0.42 - 0.5 * np.cos(c) + 0.08 * np.cos(2.0 * c)
+        frames = frames * w.astype(np.float32)[None]
     return power_spectrum_device(frames, one_sided=one_sided)
 
 

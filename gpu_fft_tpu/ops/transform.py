@@ -37,6 +37,8 @@ __all__ = [
     "ifft_native",
     "rfft",
     "irfft",
+    "rfft_device",
+    "irfft_device",
     "fft_device",
     "ifft_device",
     "next_power_of_two",
@@ -288,6 +290,44 @@ def irfft(input_real, input_imag, backend=None):
     full_i[h - 1] = 0.0
     out = ifft(full_r, full_i, backend=backend)
     return out[:n]
+
+
+def rfft_device(x, backend=None):
+    """Device-resident one-sided forward FFT of real rows.
+
+    ``x``: (n,) or (B, n) f32 with power-of-two n.  Returns split-complex
+    arrays of the n//2 + 1 unique bins, staying on device.
+    """
+    yr, yi = fft_device(x, backend=backend)
+    h = yr.shape[-1] // 2 + 1
+    return yr[..., :h], yi[..., :h]
+
+
+def irfft_device(xr, xi, backend=None):
+    """Device-resident inverse of :func:`rfft_device`: real rows back.
+
+    ``xr, xi``: (h,) or (B, h) with h = n//2 + 1 bins of a power-of-two n.
+    Returns the length-n real signal(s) (the residual imaginary part of a
+    Hermitian spectrum is identically zero and is dropped).
+    """
+    import jax.numpy as jnp
+
+    xr = jnp.asarray(xr, dtype=jnp.float32)
+    xi = jnp.asarray(xi, dtype=jnp.float32)
+    if xr.shape != xi.shape:
+        raise ValueError(f"irfft_device: shapes differ: {xr.shape} vs {xi.shape}")
+    h = xr.shape[-1]
+    n = 2 * (h - 1)
+    if h < 2 or n & (n - 1):
+        raise ValueError(
+            f"irfft_device: expected n//2 + 1 bins of a power-of-two n, got {h} bins"
+        )
+    # Hermitian reconstruction: X[n-k] = conj(X[k]); DC/Nyquist forced real.
+    xi = xi.at[..., 0].set(0.0).at[..., h - 1].set(0.0)
+    full_r = jnp.concatenate([xr, jnp.flip(xr[..., 1:-1], axis=-1)], axis=-1)
+    full_i = jnp.concatenate([xi, -jnp.flip(xi[..., 1:-1], axis=-1)], axis=-1)
+    yr, _ = ifft_device(full_r, full_i, backend=backend)
+    return yr
 
 
 def fft_with(input, backend):

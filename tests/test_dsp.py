@@ -83,3 +83,17 @@ def test_shifts_roundtrip(rng):
     assert np.array_equal(gf.ifftshift(gf.fftshift(x)), x)
     xd = jnp.asarray(x)  # device path
     assert np.array_equal(np.asarray(gf.fftshift(xd)), np.fft.fftshift(x))
+
+
+def test_rfft_irfft_device_roundtrip(rng):
+    import jax.numpy as jnp
+
+    x = rng.uniform(-1.0, 1.0, (3, 256)).astype(np.float32)
+    yr, yi = gf.rfft_device(jnp.asarray(x))
+    assert yr.shape == (3, 129)
+    out = gf.irfft_device(yr, yi)
+    eps = 5.0 * np.log2(256) * float(np.finfo(np.float32).eps)
+    assert out.shape == (3, 256)
+    assert np.abs(np.asarray(out) - x).max() <= eps
+    with pytest.raises(ValueError):
+        gf.irfft_device(np.zeros(6, np.float32), np.zeros(6, np.float32))

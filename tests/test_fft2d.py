@@ -48,9 +48,27 @@ def test_fft2_rejects_bad_shapes():
     with pytest.raises(ValueError):
         gf.fft2(np.zeros(16, np.float32))  # 1-D
     with pytest.raises(ValueError):
-        gf.fft2(np.zeros((3, 16), np.float32))  # height not pow2
+        gf.fft2(np.zeros((1, 16), np.float32))  # height < 2
     with pytest.raises(ValueError):
         gf.ifft2(np.zeros((4, 4), np.float32), np.zeros((4, 8), np.float32))
+
+
+def test_fft2_non_pow2_sides_exact(rng):
+    # Non-pow2 sides run exactly via Bluestein — numpy.fft.fft2 semantics,
+    # never padding.
+    for h, w in ((3, 16), (12, 25), (100, 64)):
+        x = rng.uniform(-1.0, 1.0, (h, w)).astype(np.float32)
+        re, im = gf.fft2(x)
+        ref = np.fft.fft2(x.astype(np.float64))
+        scale = np.abs(ref).max()
+        assert re.shape == (h, w)
+        assert np.abs(re - ref.real).max() / scale < 3e-5, (h, w)
+        assert np.abs(im - ref.imag).max() / scale < 3e-5, (h, w)
+    # and the inverse roundtrips
+    x = rng.uniform(-1.0, 1.0, (25, 12)).astype(np.float32)
+    rr, ri = gf.ifft2(*gf.fft2(x))
+    assert np.abs(rr - x).max() < 1e-4
+    assert np.abs(ri).max() < 1e-4
 
 
 def test_fft2_large_side_uses_staged_path(rng):

@@ -66,4 +66,18 @@ def test_hann_window_reduces_leakage():
 
 def test_bad_window_rejected():
     with pytest.raises(ValueError):
-        gf.spectrogram(np.zeros(256, np.float32), 128, window="hamming")
+        gf.spectrogram(np.zeros(256, np.float32), 128, window="rectangular-ish")
+
+
+def test_spectrogram_window_families(rng):
+    import gpu_fft_tpu as gf
+
+    x = rng.uniform(-1.0, 1.0, 2048).astype(np.float32)
+    shapes = set()
+    for w in (None, "hann", "hamming", "blackman"):
+        s = gf.spectrogram(x, 256, window=w)
+        shapes.add(s.shape)
+        assert np.isfinite(s).all()
+    assert len(shapes) == 1
+    with pytest.raises(ValueError):
+        gf.spectrogram(x, 256, window="kaiser")
