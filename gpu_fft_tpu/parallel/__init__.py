@@ -14,12 +14,18 @@ survey plans anyway:
                        axis).
 """
 
-from .mesh import default_mesh, fft_batch_sharded, ifft_batch_sharded
+from .mesh import (
+    default_mesh,
+    fft2_batch_sharded,
+    fft_batch_sharded,
+    ifft_batch_sharded,
+)
 from .distributed import distributed_fft, distributed_ifft
 
 __all__ = [
     "default_mesh",
     "fft_batch_sharded",
+    "fft2_batch_sharded",
     "ifft_batch_sharded",
     "distributed_fft",
     "distributed_ifft",

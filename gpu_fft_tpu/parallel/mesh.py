@@ -16,7 +16,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..kernels.large import transform_any
 
-__all__ = ["default_mesh", "fft_batch_sharded", "ifft_batch_sharded"]
+__all__ = [
+    "default_mesh",
+    "fft_batch_sharded",
+    "ifft_batch_sharded",
+    "fft2_batch_sharded",
+]
 
 
 def default_mesh(axis_name: str = "dp", devices=None) -> Mesh:
@@ -48,6 +53,32 @@ def fft_batch_sharded(x, mesh: Mesh, axis_name: str = "dp"):
         return transform_any(xl, None, n, -1)
 
     spec = P(axis_name, None)
+    return _shard_map(local, mesh, (spec,), (spec, spec))(x)
+
+
+def fft2_batch_sharded(x, mesh: Mesh, axis_name: str = "dp"):
+    """Forward 2-D FFT of a (B, H, W) image batch with B sharded over the
+    mesh — each device transforms its images locally, zero collectives.
+
+    B must divide evenly by the mesh axis size.  Returns split-complex
+    (re, im) with the same sharding.  Sides follow the fft2 contract (any
+    length >= 2; non-pow2 sides run via Bluestein).
+    """
+    from ..ops.fft2d import _check_sides, _transform2d
+
+    x = jnp.asarray(x, dtype=jnp.float32)
+    if x.ndim != 3:
+        raise ValueError(f"fft2_batch_sharded expects (B, H, W), got {x.shape}")
+    b = x.shape[0]
+    _check_sides(x.shape[1], x.shape[2])
+    d = mesh.shape[axis_name]
+    if b % d:
+        raise ValueError(f"batch {b} not divisible by mesh axis '{axis_name}' size {d}")
+
+    def local(xl):
+        return _transform2d(xl, None, -1)
+
+    spec = P(axis_name, None, None)
     return _shard_map(local, mesh, (spec,), (spec, spec))(x)
 
 

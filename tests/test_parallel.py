@@ -124,3 +124,16 @@ def test_distributed_staged_local_transforms(mesh2x4, rng, monkeypatch):
 def test_distributed_rejects_indivisible_batch(mesh2x4):
     with pytest.raises(ValueError):
         distributed_fft(np.zeros((3, 4096), np.float32), mesh2x4, sp_axis="sp", dp_axis="dp")
+
+
+def test_fft2_batch_sharded_matches_oracle(mesh8, rng):
+    x = rng.standard_normal((8, 16, 100)).astype(np.float32)  # non-pow2 width
+    from gpu_fft_tpu.parallel import fft2_batch_sharded
+
+    yr, yi = fft2_batch_sharded(x, mesh8)
+    ref = np.fft.fft2(x.astype(np.float64), axes=(-2, -1))
+    scale = np.abs(ref).max()
+    assert np.abs(np.asarray(yr) - ref.real).max() / scale < 3e-5
+    assert np.abs(np.asarray(yi) - ref.imag).max() / scale < 3e-5
+    with pytest.raises(ValueError):
+        fft2_batch_sharded(np.zeros((3, 16, 16), np.float32), mesh8)
