@@ -19,7 +19,7 @@ Public facade (parity map to reference ``src/lib.rs``):
 """
 
 from .backends import Backend, available_backends, default_backend
-from .ops.dsp import fft_convolve, fftshift, ifftshift
+from .ops.dsp import fft_convolve, fft_convolve_device, fftshift, ifftshift
 from .ops.exact import fft_exact, fft_exact_device, ifft_exact, ifft_exact_device
 from .ops.fft2d import fft2, fft2_device, ifft2, ifft2_device
 from .ops.spectral import (
@@ -76,6 +76,7 @@ __all__ = [
     "rfft_device",
     "irfft_device",
     "fft_convolve",
+    "fft_convolve_device",
     "fftshift",
     "ifftshift",
     "next_power_of_two",

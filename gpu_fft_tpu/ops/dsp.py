@@ -10,7 +10,51 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["fft_convolve", "fftshift", "ifftshift"]
+__all__ = ["fft_convolve", "fft_convolve_device", "fftshift", "ifftshift"]
+
+
+def fft_convolve_device(a, b):
+    """Device-resident full linear convolution of batched real rows.
+
+    ``a``: (B, la) and ``b``: (B, lb) (or 1-D, broadcast to a batch of 1)
+    f32 device arrays; returns the (B, la+lb-1) full convolution, staying on
+    device and jit-composable.  Host-side slicing conveniences (same/valid)
+    live in :func:`fft_convolve`.
+    """
+    import jax.numpy as jnp
+
+    from ..config import MAX_N
+    from ..kernels.large import transform_any
+    from .transform import next_power_of_two
+
+    a = jnp.asarray(a, dtype=jnp.float32)
+    b = jnp.asarray(b, dtype=jnp.float32)
+    if a.ndim == 1:
+        a = a[None]
+    if b.ndim == 1:
+        b = b[None]
+    if a.ndim != 2 or b.ndim != 2 or a.shape[0] != b.shape[0]:
+        raise ValueError(
+            f"fft_convolve_device expects matching (B, l) rows, got {a.shape} vs {b.shape}"
+        )
+    if a.shape[1] == 0 or b.shape[1] == 0:
+        raise ValueError("fft_convolve_device expects non-empty signals")
+    la, lb = a.shape[1], b.shape[1]
+    lfull = la + lb - 1
+    m = max(2, next_power_of_two(lfull))
+    if m > MAX_N:
+        raise ValueError(
+            f"fft_convolve_device: combined length {lfull} needs a {m}-point "
+            f"transform, beyond the supported maximum {MAX_N}"
+        )
+    pa = jnp.pad(a, ((0, 0), (0, m - la)))
+    pb = jnp.pad(b, ((0, 0), (0, m - lb)))
+    ar, ai = transform_any(pa, None, m, -1)
+    br, bi = transform_any(pb, None, m, -1)
+    cr = ar * br - ai * bi
+    ci = ar * bi + ai * br
+    yr, _ = transform_any(cr, ci, m, +1)
+    return yr[:, :lfull] * jnp.float32(1.0 / m)
 
 
 def fft_convolve(a, b, mode: str = "full"):

@@ -97,3 +97,17 @@ def test_rfft_irfft_device_roundtrip(rng):
     assert np.abs(np.asarray(out) - x).max() <= eps
     with pytest.raises(ValueError):
         gf.irfft_device(np.zeros(6, np.float32), np.zeros(6, np.float32))
+
+
+def test_fft_convolve_device_batched(rng):
+    import jax.numpy as jnp
+
+    a = rng.uniform(-1.0, 1.0, (4, 100)).astype(np.float32)
+    b = rng.uniform(-1.0, 1.0, (4, 7)).astype(np.float32)
+    out = np.asarray(gf.fft_convolve_device(jnp.asarray(a), jnp.asarray(b)))
+    assert out.shape == (4, 106)
+    for i in range(4):
+        ref = np.convolve(a[i].astype(np.float64), b[i].astype(np.float64))
+        assert np.abs(out[i] - ref).max() / max(1.0, np.abs(ref).max()) < 1e-5
+    with pytest.raises(ValueError):
+        gf.fft_convolve_device(np.zeros((2, 4), np.float32), np.zeros((3, 4), np.float32))
