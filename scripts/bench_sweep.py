@@ -171,6 +171,31 @@ def main() -> None:
         run("ifft_batch/pallas/b64_n4096", "ifft_batch", "pallas", 64, 4096, inv(4096, "pallas"))
         run("roundtrip_batch/pallas/b64_n4096", "roundtrip_batch", "pallas", 64, 4096,
             roundtrip(4096, "pallas"))
+        # Extensions beyond reference parity (2-D and exact non-pow2).
+        def fft2_step(h, w):
+            from gpu_fft_tpu.ops.fft2d import fft2_device
+
+            s = np.float32(1.0 / np.sqrt(h * w))
+
+            def step(x):
+                yr, _ = fft2_device(x)
+                return yr * s
+
+            return step
+
+        def exact_step(n):
+            from gpu_fft_tpu.ops.exact import fft_exact_device
+
+            s = np.float32(1.0 / np.sqrt(n))
+
+            def step(x):
+                yr, _ = fft_exact_device(x)
+                return yr * s
+
+            return step
+
+        run("fft2/pallas/256x512", "fft2", "pallas", 256, 512, fft2_step(256, 512))
+        run("fft_exact/pallas/n48000", "fft_exact", "pallas", 1, 48000, exact_step(48000))
         # MEASURED sequential groups: B strictly ordered one-signal transforms
         # via lax.scan (reference README.md:250-290 batch-vs-sequential).
         run("fft_sequential/pallas/b64_n4096", "fft_sequential", "pallas", 64, 4096,
