@@ -21,7 +21,15 @@ Public facade (parity map to reference ``src/lib.rs``):
 from .backends import Backend, available_backends, default_backend
 from .ops.dsp import fft_convolve, fft_convolve_device, fftshift, ifftshift
 from .ops.exact import fft_exact, fft_exact_device, ifft_exact, ifft_exact_device
-from .ops.fft2d import fft2, fft2_device, ifft2, ifft2_device
+from .ops.fft2d import (
+    fft2,
+    fft2_device,
+    fftn,
+    fftn_device,
+    ifft2,
+    ifft2_device,
+    ifftn,
+)
 from .ops.spectral import (
     power_spectrum_device,
     psd,
@@ -67,6 +75,9 @@ __all__ = [
     "ifft2",
     "fft2_device",
     "ifft2_device",
+    "fftn",
+    "ifftn",
+    "fftn_device",
     "fft_exact",
     "ifft_exact",
     "fft_exact_device",

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["fft2", "ifft2", "fft2_device", "ifft2_device"]
+__all__ = ["fft2", "ifft2", "fft2_device", "ifft2_device", "fftn_device", "fftn", "ifftn"]
 
 
 def _check_sides(h: int, w: int) -> None:
@@ -101,6 +101,70 @@ def ifft2_device(xr, xi):
     yr, yi = _transform2d(xr, xi, +1)
     s = jnp.float32(1.0 / (h * w))
     return yr * s, yi * s
+
+
+def fftn_device(x, imag=None, axes=None, sign: int = -1):
+    """N-dimensional FFT over the given axes (default: all), on device.
+
+    Generalizes :func:`fft2_device` to any rank — ``numpy.fft.fftn``
+    semantics: split-complex f32, unnormalized forward (``sign=-1``) or
+    unnormalized inverse (``sign=+1``; callers apply 1/prod(sizes)), any
+    axis length >= 2 (non-pow2 via Bluestein).  Each axis is transformed by
+    moving it last and batching every other element into rows — one device
+    pass per axis.
+    """
+    import jax.numpy as jnp
+
+    from ..config import MAX_N
+    from .exact import _check_exact_n
+
+    xr = jnp.asarray(x, dtype=jnp.float32)
+    xi = None if imag is None else jnp.asarray(imag, dtype=jnp.float32)
+    if xi is not None and xi.shape != xr.shape:
+        raise ValueError(f"fftn: real and imag shapes differ: {xr.shape} vs {xi.shape}")
+    if xr.ndim == 0:
+        raise ValueError("fftn expects at least one axis")
+    axes = tuple(range(xr.ndim)) if axes is None else tuple(
+        a % xr.ndim for a in axes
+    )
+    if len(set(axes)) != len(axes):
+        raise ValueError(f"fftn: repeated axes {axes}")
+    for a in axes:
+        s = xr.shape[a]
+        if s < 2:
+            raise ValueError(f"fftn axis {a} has length {s} < 2")
+        if s > MAX_N:
+            raise ValueError(f"fftn axis {a} length {s} exceeds the maximum {MAX_N}")
+        _check_exact_n(s)
+    for a in axes:
+        n = xr.shape[a]
+        mr = jnp.moveaxis(xr, a, -1)
+        mi = None if xi is None else jnp.moveaxis(xi, a, -1)
+        lead = mr.shape[:-1]
+        b = int(np.prod(lead)) if lead else 1
+        rr, ri = _rows(
+            mr.reshape(b, n), None if mi is None else mi.reshape(b, n), n, sign
+        )
+        xr = jnp.moveaxis(rr.reshape(*lead, n), -1, a)
+        xi = jnp.moveaxis(ri.reshape(*lead, n), -1, a)
+    return xr, xi
+
+
+def fftn(x, axes=None):
+    """Host-convenience N-D forward FFT (``numpy.fft.fftn`` semantics)."""
+    yr, yi = fftn_device(np.asarray(x, dtype=np.float32), axes=axes)
+    return np.asarray(yr), np.asarray(yi)
+
+
+def ifftn(real, imag, axes=None):
+    """Host-convenience N-D inverse FFT, normalized by the product of the
+    transformed axis lengths (``numpy.fft.ifftn`` semantics)."""
+    xr = np.asarray(real, dtype=np.float32)
+    xi = np.asarray(imag, dtype=np.float32)
+    yr, yi = fftn_device(xr, xi, axes=axes, sign=+1)
+    ax = tuple(range(xr.ndim)) if axes is None else tuple(a % xr.ndim for a in axes)
+    s = np.float32(1.0 / np.prod([xr.shape[a] for a in ax]))
+    return np.asarray(yr) * s, np.asarray(yi) * s
 
 
 def fft2(x):

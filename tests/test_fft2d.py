@@ -81,3 +81,35 @@ def test_fft2_large_side_uses_staged_path(rng):
     scale = np.abs(ref).max()
     assert np.abs(re - ref.real).max() / scale < 1e-5
     assert np.abs(im - ref.imag).max() / scale < 1e-5
+
+
+def test_fftn_3d_matches_numpy(rng):
+    x = rng.uniform(-1.0, 1.0, (4, 8, 16)).astype(np.float32)
+    re, im = gf.fftn(x)
+    ref = np.fft.fftn(x.astype(np.float64))
+    scale = np.abs(ref).max()
+    assert np.abs(re - ref.real).max() / scale < 2e-5
+    assert np.abs(im - ref.imag).max() / scale < 2e-5
+
+
+def test_fftn_axes_subset_and_non_pow2(rng):
+    x = rng.uniform(-1.0, 1.0, (5, 12, 16)).astype(np.float32)
+    re, im = gf.fftn(x, axes=(1, 2))  # leading dim untouched; 12 via Bluestein
+    ref = np.fft.fftn(x.astype(np.float64), axes=(1, 2))
+    scale = np.abs(ref).max()
+    assert np.abs(re - ref.real).max() / scale < 3e-5
+    assert np.abs(im - ref.imag).max() / scale < 3e-5
+
+
+def test_ifftn_roundtrip(rng):
+    x = rng.uniform(-1.0, 1.0, (4, 8, 32)).astype(np.float32)
+    rr, ri = gf.ifftn(*gf.fftn(x))
+    assert np.abs(rr - x).max() < 1e-4
+    assert np.abs(ri).max() < 1e-4
+
+
+def test_fftn_errors():
+    with pytest.raises(ValueError):
+        gf.fftn(np.zeros((4, 1), np.float32))  # axis length < 2
+    with pytest.raises(ValueError):
+        gf.fftn(np.zeros((4, 8), np.float32), axes=(0, 0))  # repeated axes
