@@ -127,6 +127,8 @@ def fftn_device(x, imag=None, axes=None, sign: int = -1):
     axes = tuple(range(xr.ndim)) if axes is None else tuple(
         a % xr.ndim for a in axes
     )
+    if not axes:
+        raise ValueError("fftn: axes must name at least one axis")
     if len(set(axes)) != len(axes):
         raise ValueError(f"fftn: repeated axes {axes}")
     for a in axes:

@@ -113,3 +113,8 @@ def test_fftn_errors():
         gf.fftn(np.zeros((4, 1), np.float32))  # axis length < 2
     with pytest.raises(ValueError):
         gf.fftn(np.zeros((4, 8), np.float32), axes=(0, 0))  # repeated axes
+
+
+def test_fftn_rejects_empty_axes():
+    with pytest.raises(ValueError):
+        gf.fftn(np.zeros((4, 8), np.float32), axes=())
