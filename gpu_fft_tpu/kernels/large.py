@@ -29,7 +29,13 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..config import FUSED_MAX
-from ..plan import get_fused_plan, get_stage_a_plan, stage_a_col_tile
+from ..plan import (
+    get_fused_plan,
+    get_stage_a_plan,
+    stage_a_col_tile,
+    use_folded_layout,
+    wide_split_applies,
+)
 from .fused import stage_a
 from .fused_jnp import fused_fft_jnp, fused_fft_jnp_folded, stage_b_jnp
 
@@ -43,18 +49,15 @@ def transform_any(xr, xi, n: int, sign: int):
     """
     if n <= FUSED_MAX:
         b = xr.shape[0]
-        # Wide batches prefer the full-lane n2=128 split (see get_fused_plan).
-        wide = b >= 16 and n <= 16384
-        plan = get_fused_plan(n, sign, wide=wide)
-        # Layout choice, measured per-(B, n) on v5e (docs/ABLATION.md §7):
-        # the folded form (digit reversal as the final einsum's output
-        # permutation, zero transposes) wins at n <= 16384 at every batch
-        # (B=1 n=16384: 1.3 vs 3.1 us) and whenever B >= 2 at big n
-        # (B=2 n=65536: ~7.8 vs 10.5 us; B=16: 58 vs 80 us); only the
-        # single-signal big-n configs keep the transpose form, where XLA
-        # schedules the explicit transposes better and far more stably
-        # (iqr 0.03 vs ~1.5 us).
-        if plan.kind == "fourstep" and (n <= 16384 or b >= 2):
+        # Split and layout choices are the shared measured predicates in
+        # plan.py (single source of truth with describe_plan; evidence in
+        # docs/ABLATION.md §7): wide batches take the full-lane n2=128
+        # split; the folded layout (digit reversal as the final einsum's
+        # output permutation, zero transposes) wins everywhere except
+        # single/double-signal big n, where XLA schedules the explicit
+        # transposes better and far more stably (iqr 0.03 vs ~1.5 us).
+        plan = get_fused_plan(n, sign, wide=wide_split_applies(b, n))
+        if plan.kind == "fourstep" and use_folded_layout(b, n):
             return fused_fft_jnp_folded(xr, xi, plan)
         return fused_fft_jnp(xr, xi, plan)
 

@@ -16,10 +16,11 @@ __all__ = ["fft_convolve", "fft_convolve_device", "fftshift", "ifftshift"]
 def fft_convolve_device(a, b):
     """Device-resident full linear convolution of batched real rows.
 
-    ``a``: (B, la) and ``b``: (B, lb) (or 1-D, broadcast to a batch of 1)
-    f32 device arrays; returns the (B, la+lb-1) full convolution, staying on
-    device and jit-composable.  Host-side slicing conveniences (same/valid)
-    live in :func:`fft_convolve`.
+    ``a``: (B, la) and ``b``: (B, lb) f32 device arrays; a 1-D operand is
+    broadcast across the other's batch.  Returns the (B, la+lb-1) full
+    convolution — or 1-D when BOTH inputs were 1-D, matching the host
+    :func:`fft_convolve`.  Host-side slicing conveniences (same/valid) live
+    there too.
     """
     import jax.numpy as jnp
 
@@ -29,14 +30,24 @@ def fft_convolve_device(a, b):
 
     a = jnp.asarray(a, dtype=jnp.float32)
     b = jnp.asarray(b, dtype=jnp.float32)
+    squeeze = a.ndim == 1 and b.ndim == 1
     if a.ndim == 1:
         a = a[None]
     if b.ndim == 1:
         b = b[None]
-    if a.ndim != 2 or b.ndim != 2 or a.shape[0] != b.shape[0]:
+    if a.ndim != 2 or b.ndim != 2:
         raise ValueError(
-            f"fft_convolve_device expects matching (B, l) rows, got {a.shape} vs {b.shape}"
+            f"fft_convolve_device expects 1-D or (B, l) inputs, got {a.shape} vs {b.shape}"
         )
+    if a.shape[0] != b.shape[0]:
+        if a.shape[0] == 1:
+            a = jnp.broadcast_to(a, (b.shape[0], a.shape[1]))
+        elif b.shape[0] == 1:
+            b = jnp.broadcast_to(b, (a.shape[0], b.shape[1]))
+        else:
+            raise ValueError(
+                f"fft_convolve_device: batch sizes differ: {a.shape[0]} vs {b.shape[0]}"
+            )
     if a.shape[1] == 0 or b.shape[1] == 0:
         raise ValueError("fft_convolve_device expects non-empty signals")
     la, lb = a.shape[1], b.shape[1]
@@ -54,7 +65,8 @@ def fft_convolve_device(a, b):
     cr = ar * br - ai * bi
     ci = ar * bi + ai * br
     yr, _ = transform_any(cr, ci, m, +1)
-    return yr[:, :lfull] * jnp.float32(1.0 / m)
+    out = yr[:, :lfull] * jnp.float32(1.0 / m)
+    return out[0] if squeeze else out
 
 
 def fft_convolve(a, b, mode: str = "full"):

@@ -47,8 +47,6 @@ def _transform2d(xr, xi, sign: int):
     """Split-complex 2-D transform over the last two axes of (..., H, W)."""
     import jax.numpy as jnp
 
-    from .exact import _bluestein  # noqa: F401  (documented dependency)
-
     *lead, h, w = xr.shape
     b = int(np.prod(lead)) if lead else 1
     # Rows: all B*H rows in one batched 1-D transform.
@@ -124,9 +122,15 @@ def fftn_device(x, imag=None, axes=None, sign: int = -1):
         raise ValueError(f"fftn: real and imag shapes differ: {xr.shape} vs {xi.shape}")
     if xr.ndim == 0:
         raise ValueError("fftn expects at least one axis")
-    axes = tuple(range(xr.ndim)) if axes is None else tuple(
-        a % xr.ndim for a in axes
-    )
+    if axes is None:
+        axes = tuple(range(xr.ndim))
+    else:
+        norm = []
+        for a in axes:
+            if not -xr.ndim <= a < xr.ndim:  # numpy.fft.fftn raises too
+                raise ValueError(f"fftn: axis {a} out of range for rank {xr.ndim}")
+            norm.append(a % xr.ndim)
+        axes = tuple(norm)
     if not axes:
         raise ValueError("fftn: axes must name at least one axis")
     if len(set(axes)) != len(axes):
@@ -163,7 +167,7 @@ def ifftn(real, imag, axes=None):
     transformed axis lengths (``numpy.fft.ifftn`` semantics)."""
     xr = np.asarray(real, dtype=np.float32)
     xi = np.asarray(imag, dtype=np.float32)
-    yr, yi = fftn_device(xr, xi, axes=axes, sign=+1)
+    yr, yi = fftn_device(xr, xi, axes=axes, sign=+1)  # validates axes
     ax = tuple(range(xr.ndim)) if axes is None else tuple(a % xr.ndim for a in axes)
     s = np.float32(1.0 / np.prod([xr.shape[a] for a in ax]))
     return np.asarray(yr) * s, np.asarray(yi) * s

@@ -23,6 +23,30 @@ from .kernels.tables import dft_matrix_ext, twiddle_table
 __all__ = ["FusedPlan", "get_fused_plan", "balanced_split", "describe_plan"]
 
 
+# ── Shared dispatch predicates ───────────────────────────────────────────────
+# Single source of truth for the measured per-(B, n) selection; used by BOTH
+# the real dispatch (kernels/large.py) and describe_plan, so the
+# introspection can never drift from reality.  Evidence: docs/ABLATION.md.
+
+
+def wide_split_applies(b: int, n: int) -> bool:
+    """Wide batches use the full-lane n2 = 128 split (measured §7 addendum)."""
+    return b >= 16 and 256 <= n <= 16384
+
+
+def use_folded_layout(b: int, n: int) -> bool:
+    """Folded layout (digit reversal in the final einsum's output
+    permutation) wins except at single/double-signal big n (§7)."""
+    return n <= 16384 or b >= 2
+
+
+def fused_split(n: int, b: int) -> tuple[int, int]:
+    """The (n1, n2) factorization a (b, n) fused transform will use."""
+    if wide_split_applies(b, n):
+        return max(2, n // 128), min(128, n // 2)
+    return balanced_split(n)
+
+
 def balanced_split(n: int) -> tuple[int, int]:
     """Split power-of-two n into (n1, n2), n1 <= n2, n1 * n2 = n.
 
@@ -110,6 +134,9 @@ def describe_plan(n: int, batch: int = 1, real_input: bool = True) -> dict:
     users and debugging, mirroring the measured selection in
     ``kernels/large.py`` (docs/ABLATION.md).
 
+    Pure arithmetic — no tables are generated or cached (a staged plan's
+    table set can run to hundreds of MB at MAX_N).
+
     >>> describe_plan(256)["path"]
     'direct'
     >>> p = describe_plan(4096); (p["path"], p["layout"], p["split"])
@@ -128,28 +155,24 @@ def describe_plan(n: int, batch: int = 1, real_input: bool = True) -> dict:
         out.update(path="direct", engine="jnp matmul", split=(n, 1), layout=None)
         return out
     if n <= FUSED_MAX:
-        wide = batch >= 16 and n <= 16384
-        if wide:
-            n1, n2 = max(2, n // 128), min(128, n // 2)
-        else:
-            n1, n2 = balanced_split(n)
-        folded = n <= 16384 or batch >= 2
+        wide = wide_split_applies(batch, n)
+        n1, n2 = fused_split(n, batch)
         out.update(
             path="fourstep",
             engine="jnp einsum graph",
             split=(n1, n2),
             wide=wide,
-            layout="folded" if folded else "transpose",
+            layout="folded" if use_folded_layout(batch, n) else "transpose",
         )
         return out
-    plan = get_stage_a_plan(n, -1)
-    sb = plan["stage_b"]
+    n1 = _stage_a_n1(n)
+    n2 = n // n1
     out.update(
         path="staged",
         engine="pallas stage-A + folded-einsum stage-B",
-        split=(plan["n1"], plan["n2"]),
+        split=(n1, n2),
         layout="folded",
-        stage_b_split=None if sb is None else (sb["m1"], sb["m2"]),
+        stage_b_split=(n2 // 128, 128) if stage_b_plannable(n2) else None,
     )
     return out
 

@@ -64,12 +64,10 @@ def detect_chip() -> ChipSpec:
 
 
 def _fused_split(n: int, b: int) -> tuple[int, int]:
-    """Mirror the (wide-batch aware) fused factorization in transform_any."""
-    from ..plan import balanced_split
+    """The (wide-batch aware) fused factorization transform_any will use."""
+    from ..plan import fused_split
 
-    if b >= 16 and 256 <= n <= 16384:
-        return max(2, n // 128), min(128, n // 2)
-    return balanced_split(n)
+    return fused_split(n, b)
 
 
 def _stage_a_n1(n: int) -> int:

@@ -39,7 +39,9 @@ def main() -> int:
     while ran < args.iters:
         b = int(rng.choice([1, 2, 3, 8, 24, 96, 256, 1024]))
         n = 1 << int(rng.integers(1, 21))
-        if b * n * 4 > args.max_bytes:
+        # Peak footprint is ~8x the input: complex64 oracle (2x), two
+        # split-complex result pairs (4x), plus staged intermediates.
+        if b * n * 4 * 8 > args.max_bytes:
             continue
         ran += 1
         xs = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
@@ -48,7 +50,15 @@ def main() -> int:
             rr, ri = gf.ifft_device(yr, yi)
             spec = jnp.fft.fft(xs.astype(jnp.complex64))
             denom = jnp.max(jnp.abs(spec)) + 1e-9
-            fwd = float(jnp.max(jnp.abs(yr - jnp.real(spec))) / denom)
+            # Check BOTH components: real input has Re(conj X) == Re(X), so a
+            # conjugation regression would slip past a real-only gate.
+            fwd = float(
+                jnp.maximum(
+                    jnp.max(jnp.abs(yr - jnp.real(spec))),
+                    jnp.max(jnp.abs(yi - jnp.imag(spec))),
+                )
+                / denom
+            )
             rt = float(jnp.max(jnp.abs(rr - xs)))
             bound = 5.0 * np.log2(max(n, 2)) * float(np.finfo(np.float32).eps)
             good = fwd < 1e-4 and rt <= max(bound, 1e-5)

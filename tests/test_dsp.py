@@ -111,3 +111,18 @@ def test_fft_convolve_device_batched(rng):
         assert np.abs(out[i] - ref).max() / max(1.0, np.abs(ref).max()) < 1e-5
     with pytest.raises(ValueError):
         gf.fft_convolve_device(np.zeros((2, 4), np.float32), np.zeros((3, 4), np.float32))
+
+
+def test_fft_convolve_device_shape_contract(rng):
+    # 1-D x 1-D -> 1-D (matches the host API); 1-D kernel broadcasts over a
+    # batched signal.
+    out = np.asarray(gf.fft_convolve_device([1.0, 2.0, 3.0], [1.0, 1.0]))
+    assert out.shape == (4,)
+    assert np.allclose(out, [1.0, 3.0, 5.0, 3.0], atol=1e-5)
+    a = rng.uniform(-1.0, 1.0, (3, 50)).astype(np.float32)
+    k = rng.uniform(-1.0, 1.0, 5).astype(np.float32)
+    out = np.asarray(gf.fft_convolve_device(a, k))
+    assert out.shape == (3, 54)
+    for i in range(3):
+        ref = np.convolve(a[i].astype(np.float64), k.astype(np.float64))
+        assert np.abs(out[i] - ref).max() < 1e-4

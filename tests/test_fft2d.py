@@ -118,3 +118,15 @@ def test_fftn_errors():
 def test_fftn_rejects_empty_axes():
     with pytest.raises(ValueError):
         gf.fftn(np.zeros((4, 8), np.float32), axes=())
+
+
+def test_fftn_rejects_out_of_range_axes():
+    x = np.zeros((4, 8), np.float32)
+    with pytest.raises(ValueError):
+        gf.fftn(x, axes=(2,))
+    with pytest.raises(ValueError):
+        gf.fftn(x, axes=(-3,))
+    # valid negative axes still work
+    re, im = gf.fftn(np.random.default_rng(0).uniform(-1, 1, (4, 8)).astype(np.float32),
+                     axes=(-1,))
+    assert re.shape == (4, 8)
