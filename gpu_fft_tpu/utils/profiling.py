@@ -132,12 +132,21 @@ def chained_step_stats(
     want = int(np.ceil(min_span_s / max(pilot, 1e-9)))
     span = int(min(max_span, max(span, want)))
 
-    for _attempt in range(2):
+    good: list = []
+    for _attempt in range(3):
         samples = [sample(span) for _ in range(reps)]
         good = [s for s in samples if s > 0]
-        if good:
+        if not good:
+            span = min(max_span, span * 2)  # all noise: double the signal once
+            continue
+        # Close the adaptation loop: a noisy PILOT can overestimate the step
+        # and pick a span whose differenced signal is still below the
+        # readback jitter (the source of round-boundary "impossible" rows).
+        # Re-size from the measured median and re-measure.
+        med = float(np.median(good))
+        if med * span >= 0.5 * min_span_s or span >= max_span:
             break
-        span = min(max_span, span * 2)  # all noise: double the signal once
+        span = int(min(max_span, max(span * 2, np.ceil(min_span_s / max(med, 1e-9)))))
     suspect = len(good) < len(samples)
     if not good:
         # Even the doubled span drowned in noise; report the floor, flagged.
