@@ -19,7 +19,28 @@ Public facade (parity map to reference ``src/lib.rs``):
 """
 
 from .backends import Backend, available_backends, default_backend
-from .ops.dsp import fft_convolve, fft_convolve_device, fftshift, ifftshift
+from .ops.dct import (
+    dct,
+    dct_device,
+    dst,
+    dst_device,
+    idct,
+    idct_device,
+    idst,
+    idst_device,
+)
+from .ops.dsp import (
+    envelope,
+    fft_convolve,
+    fft_convolve_device,
+    fft_correlate,
+    fftshift,
+    hilbert,
+    hilbert_device,
+    ifftshift,
+    resample,
+    resample_device,
+)
 from .ops.exact import fft_exact, fft_exact_device, ifft_exact, ifft_exact_device
 from .ops.fft2d import (
     fft2,
@@ -36,7 +57,10 @@ from .ops.spectral import (
     psd_device,
     spectrogram,
     spectrogram_device,
+    welch,
+    welch_device,
 )
+from .ops.stft import istft, istft_device, stft, stft_device, window_table
 from .ops.transform import (
     fft,
     fft_batch,
@@ -88,8 +112,29 @@ __all__ = [
     "irfft_device",
     "fft_convolve",
     "fft_convolve_device",
+    "fft_correlate",
     "fftshift",
     "ifftshift",
+    "hilbert",
+    "hilbert_device",
+    "envelope",
+    "resample",
+    "resample_device",
+    "dct",
+    "idct",
+    "dst",
+    "idst",
+    "dct_device",
+    "idct_device",
+    "dst_device",
+    "idst_device",
+    "stft",
+    "istft",
+    "stft_device",
+    "istft_device",
+    "window_table",
+    "welch",
+    "welch_device",
     "next_power_of_two",
     "warmup",
     "psd",

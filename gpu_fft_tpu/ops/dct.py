@@ -1,0 +1,203 @@
+"""Discrete cosine / sine transforms (types II and III) via the FFT path.
+
+Extension beyond the reference surface.  DCT-II ("the DCT") is computed with
+Makhoul's reduction: permute the signal into even-index samples ascending
+followed by odd-index samples descending, take ONE same-length FFT through
+this library's measured path (any length — non-pow2 runs exactly via
+Bluestein), and rotate each bin by e^{-i*pi*k/(2n)}.  DCT-III inverts that
+factorization (it is the unnormalized inverse of DCT-II up to 2n).  The DSTs
+ride the classic index/sign identities to the DCT cores:
+
+    DST-II(x)[k]  = DCT-II(x~)[n-1-k],   x~[j] = (-1)^j x[j]
+    DST-III(y)[k] = (-1)^k DCT-III(y~)[k],  y~[j] = y[n-1-j]
+
+Conventions match ``scipy.fft.dct`` / ``dst`` (types 2 and 3, ``norm=None``
+unnormalized and ``norm='ortho'``), verified element-wise in the test suite.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+__all__ = [
+    "dct",
+    "idct",
+    "dst",
+    "idst",
+    "dct_device",
+    "idct_device",
+    "dst_device",
+    "idst_device",
+]
+
+
+@functools.lru_cache(maxsize=None)
+def _rotation(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """cos/sin of pi*k/(2n), k = 0..n-1, f64-generated f32 tables."""
+    ang = np.pi * np.arange(n, dtype=np.float64) / (2.0 * n)
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _makhoul_perm(n: int) -> np.ndarray:
+    """v[j] = x[perm[j]]: even indices ascending, then odd descending."""
+    perm = np.empty(n, dtype=np.int32)
+    half = (n + 1) // 2
+    perm[:half] = np.arange(0, n, 2)
+    perm[half:] = np.arange(1, n, 2)[::-1]
+    return perm
+
+
+@functools.lru_cache(maxsize=None)
+def _makhoul_unperm(n: int) -> np.ndarray:
+    """x[j] = v[unperm[j]] — the inverse gather of :func:`_makhoul_perm`."""
+    unperm = np.empty(n, dtype=np.int32)
+    unperm[_makhoul_perm(n)] = np.arange(n, dtype=np.int32)
+    return unperm
+
+
+def _dct2_core(x):
+    """Unnormalized DCT-II of (B, n) f32 rows: 2*sum x_j cos(pi*k*(2j+1)/2n)."""
+    from .exact import fft_exact_device
+
+    n = x.shape[-1]
+    v = x[:, _makhoul_perm(n)]
+    vr, vi = fft_exact_device(v)
+    c, s = _rotation(n)
+    # X_k = 2 * Re(e^{-i*pi*k/2n} V_k)
+    return 2.0 * (vr * c + vi * s)
+
+
+def _dct3_core(y):
+    """Unnormalized DCT-III of (B, n) f32 rows: y_0 + 2*sum_{j>=1} y_j cos(pi*j*(2k+1)/2n).
+
+    Inverts the Makhoul factorization: V_k = (e^{i*pi*k/2n}/2)(y_k - i*y_{n-k})
+    (with y_n := 0) is Hermitian for real y, so IFFT(V) is real; un-permuting
+    and scaling by 2n gives DCT-III.
+    """
+    import jax.numpy as jnp
+
+    from .exact import ifft_exact_device
+
+    n = y.shape[-1]
+    # t_k = y_{n-k} with t_0 = 0.
+    t = jnp.concatenate([jnp.zeros_like(y[:, :1]), jnp.flip(y[:, 1:], axis=-1)], axis=-1)
+    c, s = _rotation(n)
+    vr = 0.5 * (y * c + t * s)
+    vi = 0.5 * (y * s - t * c)
+    xr, _ = ifft_exact_device(vr, vi)
+    return (2.0 * n) * xr[:, _makhoul_unperm(n)]
+
+
+def _as_rows(x, name: str):
+    import jax.numpy as jnp
+
+    x = jnp.asarray(x, dtype=jnp.float32)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[None]
+    if x.ndim != 2 or x.shape[-1] < 1:
+        raise ValueError(f"{name} expects non-empty 1-D or (B, n) input, got shape {x.shape}")
+    return x, squeeze
+
+
+def _check_type_norm(type: int, norm, name: str) -> None:
+    if type not in (2, 3):
+        raise ValueError(f"{name} supports types 2 and 3, got {type}")
+    if norm not in (None, "ortho"):
+        raise ValueError(f"norm must be None or 'ortho', got {norm!r}")
+
+
+def dct_device(x, type: int = 2, norm: str | None = None):
+    """DCT of real rows (device, jit-composable; ``scipy.fft.dct`` types 2/3).
+
+    ``x``: (n,) or (B, n) f32, any length.  ``norm=None`` is the unnormalized
+    convention; ``norm='ortho'`` makes the transform orthonormal (so type 3
+    is exactly the inverse of type 2).
+    """
+    _check_type_norm(type, norm, "dct")
+    x, squeeze = _as_rows(x, "dct")
+    n = x.shape[-1]
+    if type == 2:
+        y = _dct2_core(x)
+        if norm == "ortho":
+            f = np.full(n, np.sqrt(1.0 / (2.0 * n)), dtype=np.float32)
+            f[0] = np.sqrt(1.0 / (4.0 * n))
+            y = y * f
+    else:
+        if norm == "ortho":
+            f = np.full(n, np.sqrt(1.0 / (2.0 * n)), dtype=np.float32)
+            f[0] = np.sqrt(1.0 / n)
+            x = x * f
+        y = _dct3_core(x)
+    return y[0] if squeeze else y
+
+
+def idct_device(y, type: int = 2, norm: str | None = None):
+    """Inverse DCT (device): ``idct(dct(x, type, norm), type, norm) == x``."""
+    _check_type_norm(type, norm, "idct")
+    inv_type = 5 - type  # 2 <-> 3
+    out = dct_device(y, type=inv_type, norm=norm)
+    if norm is None:
+        import jax.numpy as jnp
+
+        n = out.shape[-1]
+        out = out * jnp.float32(1.0 / (2.0 * n))
+    return out
+
+
+def dst_device(x, type: int = 2, norm: str | None = None):
+    """DST of real rows (device; ``scipy.fft.dst`` types 2/3)."""
+    import jax.numpy as jnp
+
+    _check_type_norm(type, norm, "dst")
+    x, squeeze = _as_rows(x, "dst")
+    n = x.shape[-1]
+    alt = np.resize(np.array([1.0, -1.0], dtype=np.float32), n)
+    if type == 2:
+        y = jnp.flip(_dct2_core(x * alt), axis=-1)
+        if norm == "ortho":
+            f = np.full(n, np.sqrt(1.0 / (2.0 * n)), dtype=np.float32)
+            f[-1] = np.sqrt(1.0 / (4.0 * n))
+            y = y * f
+    else:
+        if norm == "ortho":
+            f = np.full(n, np.sqrt(1.0 / (2.0 * n)), dtype=np.float32)
+            f[-1] = np.sqrt(1.0 / n)
+            x = x * f
+        y = _dct3_core(jnp.flip(x, axis=-1)) * alt
+    return y[0] if squeeze else y
+
+
+def idst_device(y, type: int = 2, norm: str | None = None):
+    """Inverse DST (device): ``idst(dst(x, type, norm), type, norm) == x``."""
+    _check_type_norm(type, norm, "idst")
+    out = dst_device(y, type=5 - type, norm=norm)
+    if norm is None:
+        import jax.numpy as jnp
+
+        n = out.shape[-1]
+        out = out * jnp.float32(1.0 / (2.0 * n))
+    return out
+
+
+def dct(x, type: int = 2, norm: str | None = None):
+    """Host-convenience DCT; see :func:`dct_device`.  NumPy in/out."""
+    return np.asarray(dct_device(np.asarray(x, dtype=np.float32), type, norm))
+
+
+def idct(y, type: int = 2, norm: str | None = None):
+    """Host-convenience inverse DCT; see :func:`idct_device`."""
+    return np.asarray(idct_device(np.asarray(y, dtype=np.float32), type, norm))
+
+
+def dst(x, type: int = 2, norm: str | None = None):
+    """Host-convenience DST; see :func:`dst_device`."""
+    return np.asarray(dst_device(np.asarray(x, dtype=np.float32), type, norm))
+
+
+def idst(y, type: int = 2, norm: str | None = None):
+    """Host-convenience inverse DST; see :func:`idst_device`."""
+    return np.asarray(idst_device(np.asarray(y, dtype=np.float32), type, norm))

@@ -10,7 +10,18 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["fft_convolve", "fft_convolve_device", "fftshift", "ifftshift"]
+__all__ = [
+    "fft_convolve",
+    "fft_convolve_device",
+    "fft_correlate",
+    "fftshift",
+    "ifftshift",
+    "hilbert",
+    "hilbert_device",
+    "envelope",
+    "resample",
+    "resample_device",
+]
 
 
 def fft_convolve_device(a, b):
@@ -123,6 +134,145 @@ def fft_convolve(a, b, mode: str = "full"):
         start = (min(la, lb) - 1) // 2
         return full[start : start + out_len].copy()
     return full[lb - 1 : la].copy()
+
+
+def fft_correlate(a, b, mode: str = "full"):
+    """Cross-correlation of two real 1-D signals via the FFT path.
+
+    Matches ``numpy.correlate(a, b, mode)`` (which slides the CONJUGATE-
+    reversed ``b`` across ``a``) up to f32 rounding: correlation is
+    convolution with the reversed kernel, so this reuses
+    :func:`fft_convolve`'s single batched pow2 pass.  Autocorrelation is
+    ``fft_correlate(x, x, "full")``.
+
+    >>> fft_correlate([1.0, 2.0, 3.0], [0.0, 1.0, 0.5]).round(5).tolist()
+    [0.5, 2.0, 3.5, 3.0, 0.0]
+    >>> fft_correlate([1.0, 2.0, 3.0], [1.0, 2.0, 3.0], mode="valid").round(4).tolist()
+    [14.0]
+    """
+    bv = np.asarray(b, dtype=np.float32)
+    if bv.ndim != 1 or bv.size == 0:
+        raise ValueError("fft_correlate expects two non-empty 1-D signals")
+    if mode == "valid":
+        # numpy.correlate 'valid' allows either operand to be the longer one.
+        av = np.asarray(a, dtype=np.float32)
+        if av.ndim != 1 or av.size == 0:
+            raise ValueError("fft_correlate expects two non-empty 1-D signals")
+        if av.shape[0] < bv.shape[0]:
+            # correlate(a, b, 'valid') == correlate(b, a, 'valid')[::-1]
+            return fft_correlate(bv, av, "valid")[::-1].copy()
+    return fft_convolve(a, bv[::-1].copy(), mode=mode)
+
+
+def hilbert_device(x):
+    """Analytic signal of real rows via the FFT (device, jit-composable).
+
+    ``x``: (n,) or (B, n) real f32, ANY length n >= 1 (non-pow2 lengths run
+    exactly through the Bluestein path).  Returns split-complex
+    ``(real, imag)`` of the analytic signal: real == x (up to rounding) and
+    imag is the Hilbert transform — ``scipy.signal.hilbert`` semantics.
+    """
+    import jax.numpy as jnp
+
+    from .exact import fft_exact_device, ifft_exact_device
+
+    x = jnp.asarray(x, dtype=jnp.float32)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[None]
+    if x.ndim != 2 or x.shape[-1] < 1:
+        raise ValueError(f"hilbert expects non-empty 1-D or (B, n) input, got {x.shape}")
+    n = x.shape[-1]
+    yr, yi = fft_exact_device(x)
+    # Analytic-signal spectrum gain: 1 at DC (and Nyquist when n is even),
+    # 2 on positive frequencies, 0 on negative frequencies.
+    h = np.zeros(n, dtype=np.float32)
+    h[0] = 1.0
+    if n % 2 == 0:
+        h[n // 2] = 1.0
+        h[1 : n // 2] = 2.0
+    else:
+        h[1 : (n + 1) // 2] = 2.0
+    ar, ai = ifft_exact_device(yr * h, yi * h)
+    return (ar[0], ai[0]) if squeeze else (ar, ai)
+
+
+def hilbert(x):
+    """Host-convenience analytic signal; see :func:`hilbert_device`.
+
+    Returns ``(real, imag)`` NumPy arrays — imag is the Hilbert transform.
+    """
+    ar, ai = hilbert_device(np.asarray(x, dtype=np.float32))
+    return np.asarray(ar), np.asarray(ai)
+
+
+def envelope(x):
+    """Instantaneous amplitude envelope |analytic signal| of a real signal.
+
+    The classic demodulation primitive: for ``x(t) = a(t) * cos(w t)`` with a
+    slowly-varying amplitude, returns ``a(t)``.
+    """
+    ar, ai = hilbert(x)
+    return np.sqrt(ar * ar + ai * ai)
+
+
+def resample_device(x, num: int):
+    """Fourier-domain resampling of real rows to ``num`` samples (device).
+
+    ``x``: (n,) or (B, n) real f32, any length.  Computes the exact length-n
+    spectrum, truncates (downsample) or zero-pads (upsample) it symmetrically
+    with the standard Nyquist-bin split/merge, and inverts at length num —
+    ``scipy.signal.resample`` semantics for real input.  Assumes the signal
+    is periodic (as that method does).
+    """
+    import jax.numpy as jnp
+
+    from .exact import fft_exact_device, ifft_exact_device
+
+    x = jnp.asarray(x, dtype=jnp.float32)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[None]
+    if x.ndim != 2 or x.shape[-1] < 1:
+        raise ValueError(f"resample expects non-empty 1-D or (B, n) input, got {x.shape}")
+    if num < 1:
+        raise ValueError(f"num must be >= 1, got {num}")
+    n = x.shape[-1]
+    yr, yi = fft_exact_device(x)
+    b = yr.shape[0]
+    zr = jnp.zeros((b, num), jnp.float32)
+    zi = jnp.zeros((b, num), jnp.float32)
+    nyq = min(n, num) // 2 + 1  # non-negative frequencies that survive
+    zr = zr.at[:, :nyq].set(yr[:, :nyq])
+    zi = zi.at[:, :nyq].set(yi[:, :nyq])
+    if min(n, num) > 2 * (nyq - 1):  # odd min length: no shared Nyquist bin
+        neg = min(n, num) - nyq
+    else:
+        neg = min(n, num) // 2 - 1
+    if neg > 0:
+        zr = zr.at[:, num - neg :].set(yr[:, n - neg :])
+        zi = zi.at[:, num - neg :].set(yi[:, n - neg :])
+    if min(n, num) % 2 == 0:
+        sh = min(n, num) // 2
+        if num < n:
+            # Downsample: the old +num/2 and -num/2 bins alias onto the new
+            # Nyquist bin; they sum (conjugates for real input -> 2*Re).
+            zr = zr.at[:, sh].add(yr[:, n - sh])
+            zi = zi.at[:, sh].add(yi[:, n - sh])
+        elif num > n:
+            # Upsample: split the old Nyquist across the two half-bins.
+            zr = zr.at[:, sh].mul(0.5)
+            zi = zi.at[:, sh].mul(0.5)
+            zr = zr.at[:, num - sh].set(zr[:, sh])
+            zi = zi.at[:, num - sh].set(zi[:, sh])
+    rr, _ = ifft_exact_device(zr, zi)
+    out = rr * jnp.float32(num / n)
+    return out[0] if squeeze else out
+
+
+def resample(x, num: int):
+    """Host-convenience Fourier resampling; see :func:`resample_device`."""
+    return np.asarray(resample_device(np.asarray(x, dtype=np.float32), num))
 
 
 def fftshift(x, axes=None):

@@ -21,6 +21,8 @@ __all__ = [
     "one_sided_bins",
     "spectrogram",
     "spectrogram_device",
+    "welch",
+    "welch_device",
 ]
 
 
@@ -114,15 +116,9 @@ def spectrogram_device(
     idx = starts[:, None] + jnp.arange(frame_size)[None, :]
     frames = x[idx]  # (num_frames, frame_size), one gather
     if window is not None:
-        m = np.arange(frame_size)
-        c = 2.0 * np.pi * m / frame_size
-        if window == "hann":
-            w = 0.5 - 0.5 * np.cos(c)
-        elif window == "hamming":
-            w = 0.54 - 0.46 * np.cos(c)
-        else:  # blackman
-            w = 0.42 - 0.5 * np.cos(c) + 0.08 * np.cos(2.0 * c)
-        frames = frames * w.astype(np.float32)[None]
+        from .stft import window_table
+
+        frames = frames * window_table(window, frame_size)[None]
     return power_spectrum_device(frames, one_sided=one_sided)
 
 
@@ -137,3 +133,89 @@ def spectrogram(
     return np.asarray(
         spectrogram_device(np.asarray(x, dtype=np.float32), frame_size, hop, one_sided, window)
     )
+
+
+def welch_device(
+    x,
+    fs: float = 1.0,
+    window: str | None = "hann",
+    nperseg: int = 256,
+    noverlap: int | None = None,
+    detrend: bool = True,
+    scaling: str = "density",
+):
+    """Welch averaged-periodogram PSD estimate (device, jit-composable).
+
+    Splits ``x`` into overlapping ``nperseg``-sample segments (power of two;
+    ``noverlap`` defaults to nperseg // 2), optionally removes each segment's
+    mean (``detrend``, scipy's "constant"), windows them, runs ONE batched
+    one-sided transform over all segments, and averages the per-bin power.
+    Interior bins are doubled (one-sided convention).  ``scaling``:
+    "density" (V**2/Hz, normalized by fs * sum(w**2)) or "spectrum" (V**2,
+    normalized by sum(w)**2) — ``scipy.signal.welch`` semantics, which this
+    matches to f32 rounding for periodic windows.
+
+    Returns ``(freqs, psd)``: freqs is a host NumPy array of the
+    nperseg // 2 + 1 bin frequencies; psd stays on device.
+    """
+    import jax.numpy as jnp
+
+    from .stft import window_table
+    from .transform import rfft_device
+
+    if scaling not in ("density", "spectrum"):
+        raise ValueError(f"scaling must be 'density' or 'spectrum', got {scaling!r}")
+    if nperseg < 2 or nperseg & (nperseg - 1):
+        raise ValueError(f"nperseg must be a power of two >= 2, got {nperseg}")
+    noverlap = nperseg // 2 if noverlap is None else noverlap
+    if not 0 <= noverlap < nperseg:
+        raise ValueError(f"noverlap must be in [0, nperseg), got {noverlap}")
+    if fs <= 0:
+        raise ValueError(f"fs must be positive, got {fs}")
+    hop = nperseg - noverlap
+    x = jnp.asarray(x, dtype=jnp.float32)
+    if x.ndim != 1:
+        raise ValueError(f"welch expects a 1-D signal, got shape {x.shape}")
+    n = x.shape[0]
+    num_seg = (n - nperseg) // hop + 1
+    if num_seg < 1:
+        raise ValueError(f"signal of {n} samples is shorter than one {nperseg} segment")
+    starts = jnp.arange(num_seg) * hop
+    idx = starts[:, None] + jnp.arange(nperseg)[None, :]
+    segs = x[idx]
+    if detrend:
+        segs = segs - jnp.mean(segs, axis=-1, keepdims=True)
+    w = window_table(window, nperseg)
+    yr, yi = rfft_device(segs * w[None])
+    power = jnp.mean(yr * yr + yi * yi, axis=0)  # (bins,)
+    w64 = w.astype(np.float64)
+    if scaling == "density":
+        scale = 1.0 / (fs * float(np.sum(w64 * w64)))
+    else:
+        scale = 1.0 / float(np.sum(w64)) ** 2
+    # One-sided doubling: every bin except DC and (even-n) Nyquist.
+    h = nperseg // 2 + 1
+    mult = np.full(h, 2.0, dtype=np.float32)
+    mult[0] = 1.0
+    mult[-1] = 1.0
+    freqs = np.arange(h, dtype=np.float64) * (fs / nperseg)
+    return freqs, power * (mult * np.float32(scale))
+
+
+def welch(
+    x,
+    fs: float = 1.0,
+    window: str | None = "hann",
+    nperseg: int = 256,
+    noverlap: int | None = None,
+    detrend: bool = True,
+    scaling: str = "density",
+):
+    """Host-convenience Welch PSD; see :func:`welch_device`.
+
+    Returns ``(freqs, psd)`` as NumPy arrays.
+    """
+    freqs, p = welch_device(
+        np.asarray(x, dtype=np.float32), fs, window, nperseg, noverlap, detrend, scaling
+    )
+    return freqs, np.asarray(p)

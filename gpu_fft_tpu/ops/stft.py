@@ -1,0 +1,166 @@
+"""Invertible short-time Fourier transform (STFT / ISTFT).
+
+Extension beyond the reference surface (it ships magnitude analysis only —
+``spectrogram`` here covers that): ``stft`` returns the COMPLEX one-sided
+frame spectra and ``istft`` reconstructs the signal by windowed overlap-add
+with per-sample window-power normalization (WOLA).  Because the synthesis
+stage weights each frame by the analysis window and divides by the
+accumulated window power, reconstruction is EXACT (to f32 rounding) at every
+sample the frames cover with nonzero window power — no COLA constraint on
+the hop is required.
+
+All frame transforms ride the library's single-pass batched device FFT (the
+launch-amortization pattern of reference ``src/fft.rs:191-205``): one
+gather -> one batched rfft for analysis, one batched irfft -> one
+scatter-add for synthesis.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["stft", "istft", "stft_device", "istft_device", "window_table"]
+
+_WINDOWS = ("rect", "hann", "hamming", "blackman")
+
+
+def window_table(window: str | None, frame_size: int) -> np.ndarray:
+    """Periodic (DFT-even) window of ``frame_size`` samples as f32.
+
+    ``window``: None/"rect", "hann", "hamming", or "blackman" — the same
+    family the spectrogram accepts.  Periodic form (denominator N, not N-1)
+    is the correct choice for spectral analysis and overlap-add.
+
+    >>> window_table("hann", 4).tolist()
+    [0.0, 0.5, 1.0, 0.5]
+    >>> window_table(None, 3).tolist()
+    [1.0, 1.0, 1.0]
+    """
+    if window is None or window == "rect":
+        return np.ones(frame_size, dtype=np.float32)
+    if window not in _WINDOWS:
+        raise ValueError(f"window must be one of {_WINDOWS} or None, got {window!r}")
+    c = 2.0 * np.pi * np.arange(frame_size) / frame_size
+    if window == "hann":
+        w = 0.5 - 0.5 * np.cos(c)
+    elif window == "hamming":
+        w = 0.54 - 0.46 * np.cos(c)
+    else:  # blackman
+        w = 0.42 - 0.5 * np.cos(c) + 0.08 * np.cos(2.0 * c)
+    return w.astype(np.float32)
+
+
+def _check_framing(frame_size: int, hop: int | None) -> int:
+    if frame_size < 2 or frame_size & (frame_size - 1):
+        raise ValueError(f"frame_size must be a power of two >= 2, got {frame_size}")
+    hop = frame_size // 2 if hop is None else hop
+    if hop < 1:
+        raise ValueError(f"hop must be >= 1, got {hop}")
+    return hop
+
+
+def stft_device(x, frame_size: int, hop: int | None = None, window: str | None = "hann"):
+    """Complex one-sided STFT of a 1-D signal (device, jit-composable).
+
+    ``x``: (n_samples,) real f32; ``frame_size``: power of two; ``hop``
+    defaults to frame_size // 2 (50% overlap).  Returns split-complex
+    ``(real, imag)`` arrays of shape (num_frames, frame_size // 2 + 1);
+    frames that would run past the end of the signal are dropped (same
+    framing as :func:`gpu_fft_tpu.spectrogram_device`).
+    """
+    import jax.numpy as jnp
+
+    from .transform import rfft_device
+
+    hop = _check_framing(frame_size, hop)
+    x = jnp.asarray(x, dtype=jnp.float32)
+    if x.ndim != 1:
+        raise ValueError(f"stft expects a 1-D signal, got shape {x.shape}")
+    n = x.shape[0]
+    num_frames = (n - frame_size) // hop + 1
+    if num_frames < 1:
+        raise ValueError(f"signal of {n} samples is shorter than one {frame_size} frame")
+    starts = jnp.arange(num_frames) * hop
+    idx = starts[:, None] + jnp.arange(frame_size)[None, :]
+    frames = x[idx] * window_table(window, frame_size)[None]
+    return rfft_device(frames)
+
+
+def istft_device(
+    real,
+    imag,
+    hop: int | None = None,
+    window: str | None = "hann",
+    length: int | None = None,
+):
+    """Inverse STFT by windowed overlap-add (device, jit-composable).
+
+    ``real, imag``: (num_frames, frame_size // 2 + 1) split-complex frame
+    spectra (the direct output of :func:`stft_device`, same ``hop`` and
+    ``window``).  Each reconstructed frame is weighted by the synthesis
+    window (= the analysis window) and the accumulation is divided by the
+    per-sample window power, so ``istft(stft(x)) == x`` to f32 rounding at
+    every covered sample.  ``length`` trims/zero-pads the tail (pass the
+    original signal length).
+    """
+    import jax.numpy as jnp
+
+    real = jnp.asarray(real, dtype=jnp.float32)
+    imag = jnp.asarray(imag, dtype=jnp.float32)
+    if real.shape != imag.shape or real.ndim != 2:
+        raise ValueError(
+            f"istft expects matching (num_frames, bins) arrays, got {real.shape} vs {imag.shape}"
+        )
+    num_frames, h = real.shape
+    frame_size = 2 * (h - 1)
+    if h < 2 or frame_size & (frame_size - 1):
+        raise ValueError(f"istft: expected frame_size//2 + 1 bins of a power of two, got {h}")
+    hop = _check_framing(frame_size, hop)
+
+    from .transform import irfft_device
+
+    frames = irfft_device(real, imag)  # (num_frames, frame_size)
+    w = window_table(window, frame_size)
+    frames = frames * w[None]
+
+    total = (num_frames - 1) * hop + frame_size
+    starts = jnp.arange(num_frames) * hop
+    idx = (starts[:, None] + jnp.arange(frame_size)[None, :]).reshape(-1)
+    num = jnp.zeros(total, jnp.float32).at[idx].add(frames.reshape(-1))
+    wsq = np.zeros(total, dtype=np.float64)
+    w64 = w.astype(np.float64)
+    for f in range(num_frames):  # host-side: window power is a static table
+        wsq[f * hop : f * hop + frame_size] += w64 * w64
+    den = np.where(wsq > 1e-10, wsq, 1.0).astype(np.float32)
+    y = num / den
+    if length is not None:
+        if length <= total:
+            y = y[:length]
+        else:
+            y = jnp.pad(y, (0, length - total))
+    return y
+
+
+def stft(x, frame_size: int, hop: int | None = None, window: str | None = "hann"):
+    """Host-convenience STFT; see :func:`stft_device`.  Returns NumPy arrays."""
+    r, i = stft_device(np.asarray(x, dtype=np.float32), frame_size, hop, window)
+    return np.asarray(r), np.asarray(i)
+
+
+def istft(
+    real,
+    imag,
+    hop: int | None = None,
+    window: str | None = "hann",
+    length: int | None = None,
+):
+    """Host-convenience inverse STFT; see :func:`istft_device`."""
+    return np.asarray(
+        istft_device(
+            np.asarray(real, dtype=np.float32),
+            np.asarray(imag, dtype=np.float32),
+            hop,
+            window,
+            length,
+        )
+    )

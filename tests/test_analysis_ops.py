@@ -1,0 +1,261 @@
+"""Tests for the round-2 analysis-op extensions: STFT/ISTFT, Welch, Hilbert,
+correlation, Fourier resampling, and DCT/DST.
+
+Oracle strategy follows the reference's cross-backend parity pattern
+(``tests/parity.rs``): an independent implementation — scipy.signal /
+scipy.fft / numpy — is the numerical truth, with f32-scaled tolerances.
+"""
+
+import numpy as np
+import pytest
+import scipy.fft
+import scipy.signal
+
+import gpu_fft_tpu as gf
+
+from conftest import assert_slice_approx
+
+
+# ── STFT / ISTFT ─────────────────────────────────────────────────────────────
+
+
+def _frames_oracle(x, frame_size, hop, window):
+    w = gf.window_table(window, frame_size)
+    num = (len(x) - frame_size) // hop + 1
+    return np.stack(
+        [np.fft.rfft(x[m * hop : m * hop + frame_size] * w) for m in range(num)]
+    )
+
+
+def test_stft_matches_windowed_rfft_frames(rng):
+    x = rng.standard_normal(4000).astype(np.float32)
+    for window in (None, "hann", "hamming"):
+        r, i = gf.stft(x, 256, hop=64, window=window)
+        ref = _frames_oracle(x, 256, 64, window)
+        assert r.shape == ref.shape == ((4000 - 256) // 64 + 1, 129)
+        assert_slice_approx(r, ref.real, 2e-3, f"stft real {window}")
+        assert_slice_approx(i, ref.imag, 2e-3, f"stft imag {window}")
+
+
+@pytest.mark.parametrize("window", [None, "hann", "hamming", "blackman"])
+@pytest.mark.parametrize("hop_div", [1, 2, 4])
+def test_istft_roundtrip_exact_on_covered_samples(rng, window, hop_div):
+    frame = 128
+    hop = frame // hop_div
+    x = rng.standard_normal(1024).astype(np.float32)
+    r, i = gf.stft(x, frame, hop=hop, window=window)
+    y = gf.istft(r, i, hop=hop, window=window, length=1024)
+    num_frames = (1024 - frame) // hop + 1
+    covered = (num_frames - 1) * hop + frame
+    # WOLA reconstruction is exact wherever accumulated window power > 0.
+    w = gf.window_table(window, frame).astype(np.float64)
+    wsq = np.zeros(covered)
+    for m in range(num_frames):
+        wsq[m * hop : m * hop + frame] += w * w
+    ok = wsq[:covered] > 1e-6
+    assert_slice_approx(y[:covered][ok], x[:covered][ok], 2e-3, "istft roundtrip")
+
+
+def test_istft_length_pads_and_trims(rng):
+    x = rng.standard_normal(512).astype(np.float32)
+    r, i = gf.stft(x, 128, hop=64)
+    assert gf.istft(r, i, hop=64, length=300).shape == (300,)
+    assert gf.istft(r, i, hop=64, length=700).shape == (700,)
+
+
+def test_stft_contracts():
+    with pytest.raises(ValueError):
+        gf.stft(np.zeros(100, np.float32), 100)  # not a power of two
+    with pytest.raises(ValueError):
+        gf.stft(np.zeros(10, np.float32), 64)  # shorter than one frame
+    with pytest.raises(ValueError):
+        gf.stft(np.zeros(512, np.float32), 64, window="bogus")
+    with pytest.raises(ValueError):
+        gf.istft(np.zeros((4, 33), np.float32), np.zeros((4, 32), np.float32))
+
+
+# ── Welch ────────────────────────────────────────────────────────────────────
+
+
+@pytest.mark.parametrize("scaling", ["density", "spectrum"])
+@pytest.mark.parametrize("window", ["hann", "hamming"])
+def test_welch_matches_scipy(rng, scaling, window):
+    fs = 200.0
+    t = np.arange(4096) / fs
+    x = (np.sin(2 * np.pi * 30.0 * t) + 0.3 * rng.standard_normal(t.size)).astype(
+        np.float32
+    )
+    f, p = gf.welch(x, fs=fs, window=window, nperseg=256, scaling=scaling)
+    f_ref, p_ref = scipy.signal.welch(
+        x, fs=fs, window=window, nperseg=256, scaling=scaling
+    )
+    assert_slice_approx(f, f_ref, 1e-9, "welch freqs")
+    scale = float(np.abs(p_ref).max())
+    assert_slice_approx(p / scale, p_ref / scale, 1e-4, "welch psd (relative)")
+
+
+def test_welch_detrend_and_overlap(rng):
+    x = (rng.standard_normal(2048) + 5.0).astype(np.float32)  # big DC offset
+    f, p = gf.welch(x, nperseg=128, noverlap=96)
+    f_ref, p_ref = scipy.signal.welch(x, nperseg=128, noverlap=96)
+    scale = float(np.abs(p_ref).max())
+    assert_slice_approx(p / scale, p_ref / scale, 1e-4, "welch detrend+overlap")
+    # detrend=False must differ at DC (the offset shows up).
+    _, p_no = gf.welch(x, nperseg=128, noverlap=96, detrend=False)
+    assert p_no[0] > p[0] * 100
+
+
+def test_welch_peak_at_signal_frequency(rng):
+    fs = 1000.0
+    t = np.arange(8192) / fs
+    x = np.sin(2 * np.pi * 125.0 * t).astype(np.float32)
+    f, p = gf.welch(x, fs=fs, nperseg=512)
+    assert abs(f[int(np.argmax(p))] - 125.0) < fs / 512
+
+
+def test_welch_contracts():
+    with pytest.raises(ValueError):
+        gf.welch(np.zeros(1024, np.float32), nperseg=100)
+    with pytest.raises(ValueError):
+        gf.welch(np.zeros(1024, np.float32), nperseg=128, noverlap=128)
+    with pytest.raises(ValueError):
+        gf.welch(np.zeros(1024, np.float32), scaling="bogus")
+    with pytest.raises(ValueError):
+        gf.welch(np.zeros(16, np.float32), nperseg=64)
+
+
+# ── Hilbert / envelope ───────────────────────────────────────────────────────
+
+
+@pytest.mark.parametrize("n", [256, 1000, 257])  # pow2, even non-pow2, odd
+def test_hilbert_matches_scipy(rng, n):
+    x = rng.standard_normal(n).astype(np.float32)
+    ar, ai = gf.hilbert(x)
+    ref = scipy.signal.hilbert(x.astype(np.float64))
+    assert_slice_approx(ar, ref.real, 2e-3, f"hilbert real n={n}")
+    assert_slice_approx(ai, ref.imag, 2e-3, f"hilbert imag n={n}")
+
+
+def test_hilbert_batched(rng):
+    x = rng.standard_normal((3, 512)).astype(np.float32)
+    ar, ai = gf.hilbert_device(x)
+    ref = scipy.signal.hilbert(x.astype(np.float64), axis=-1)
+    assert_slice_approx(np.asarray(ai), ref.imag, 2e-3, "hilbert batched")
+
+
+def test_envelope_recovers_amplitude_modulation():
+    t = np.arange(2048) / 2048.0
+    a = 1.0 + 0.5 * np.sin(2 * np.pi * 3.0 * t)  # slow AM
+    x = (a * np.cos(2 * np.pi * 200.0 * t)).astype(np.float32)
+    env = gf.envelope(x)
+    # Edges suffer from the finite-length analytic signal; check the interior.
+    assert_slice_approx(env[200:-200], a[200:-200], 2e-2, "envelope")
+
+
+# ── Correlation ──────────────────────────────────────────────────────────────
+
+
+@pytest.mark.parametrize("mode", ["full", "same", "valid"])
+def test_fft_correlate_matches_numpy(rng, mode):
+    a = rng.standard_normal(100).astype(np.float32)
+    b = rng.standard_normal(30).astype(np.float32)
+    got = gf.fft_correlate(a, b, mode=mode)
+    ref = np.correlate(a.astype(np.float64), b.astype(np.float64), mode=mode)
+    assert_slice_approx(got, ref, 2e-3, f"correlate {mode}")
+
+
+def test_fft_correlate_valid_shorter_first(rng):
+    a = rng.standard_normal(20).astype(np.float32)
+    b = rng.standard_normal(50).astype(np.float32)
+    got = gf.fft_correlate(a, b, mode="valid")
+    ref = np.correlate(a.astype(np.float64), b.astype(np.float64), mode="valid")
+    assert_slice_approx(got, ref, 2e-3, "correlate valid swapped")
+
+
+def test_autocorrelation_peak_at_zero_lag(rng):
+    x = rng.standard_normal(256).astype(np.float32)
+    c = gf.fft_correlate(x, x, mode="full")
+    assert int(np.argmax(c)) == 255  # zero lag at the center of 'full'
+    assert abs(c[255] - float(x.astype(np.float64) @ x.astype(np.float64))) < 1e-2
+
+
+# ── Fourier resampling ───────────────────────────────────────────────────────
+
+
+@pytest.mark.parametrize(
+    "n,num",
+    [(128, 64), (128, 256), (100, 40), (100, 250), (101, 37), (101, 202), (64, 63)],
+)
+def test_resample_matches_scipy(rng, n, num):
+    x = rng.standard_normal(n).astype(np.float32)
+    got = gf.resample(x, num)
+    ref = scipy.signal.resample(x.astype(np.float64), num)
+    assert got.shape == (num,)
+    assert_slice_approx(got, ref, 3e-3, f"resample {n}->{num}")
+
+
+def test_resample_batched_and_identity(rng):
+    x = rng.standard_normal((4, 96)).astype(np.float32)
+    same = np.asarray(gf.resample_device(x, 96))
+    assert_slice_approx(same, x, 2e-3, "resample identity")
+    up = np.asarray(gf.resample_device(x, 192))
+    ref = scipy.signal.resample(x.astype(np.float64), 192, axis=-1)
+    assert_slice_approx(up, ref, 3e-3, "resample batched up")
+
+
+def test_resample_contracts():
+    with pytest.raises(ValueError):
+        gf.resample(np.zeros(16, np.float32), 0)
+    with pytest.raises(ValueError):
+        gf.resample(np.zeros((2, 2, 2), np.float32), 4)
+
+
+# ── DCT / DST ────────────────────────────────────────────────────────────────
+
+
+@pytest.mark.parametrize("n", [64, 100, 101, 256])
+@pytest.mark.parametrize("type", [2, 3])
+@pytest.mark.parametrize("norm", [None, "ortho"])
+def test_dct_matches_scipy(rng, n, type, norm):
+    x = rng.standard_normal(n).astype(np.float32)
+    got = gf.dct(x, type=type, norm=norm)
+    ref = scipy.fft.dct(x.astype(np.float64), type=type, norm=norm)
+    scale = max(1.0, float(np.abs(ref).max()))
+    assert_slice_approx(got / scale, ref / scale, 2e-4, f"dct{type} n={n} {norm}")
+
+
+@pytest.mark.parametrize("n", [64, 100, 101])
+@pytest.mark.parametrize("type", [2, 3])
+@pytest.mark.parametrize("norm", [None, "ortho"])
+def test_dst_matches_scipy(rng, n, type, norm):
+    x = rng.standard_normal(n).astype(np.float32)
+    got = gf.dst(x, type=type, norm=norm)
+    ref = scipy.fft.dst(x.astype(np.float64), type=type, norm=norm)
+    scale = max(1.0, float(np.abs(ref).max()))
+    assert_slice_approx(got / scale, ref / scale, 2e-4, f"dst{type} n={n} {norm}")
+
+
+@pytest.mark.parametrize("fn,ifn", [(gf.dct, gf.idct), (gf.dst, gf.idst)])
+@pytest.mark.parametrize("type", [2, 3])
+@pytest.mark.parametrize("norm", [None, "ortho"])
+def test_dct_dst_roundtrip(rng, fn, ifn, type, norm):
+    x = rng.standard_normal(96).astype(np.float32)
+    y = ifn(fn(x, type=type, norm=norm), type=type, norm=norm)
+    assert_slice_approx(y, x, 2e-3, f"{fn.__name__} roundtrip type={type} {norm}")
+
+
+def test_dct_batched_device(rng):
+    x = rng.standard_normal((5, 80)).astype(np.float32)
+    got = np.asarray(gf.dct_device(x))
+    ref = scipy.fft.dct(x.astype(np.float64), axis=-1)
+    scale = float(np.abs(ref).max())
+    assert_slice_approx(got / scale, ref / scale, 2e-4, "dct batched")
+
+
+def test_dct_contracts():
+    with pytest.raises(ValueError):
+        gf.dct(np.zeros(16, np.float32), type=1)
+    with pytest.raises(ValueError):
+        gf.dct(np.zeros(16, np.float32), norm="forward")
+    with pytest.raises(ValueError):
+        gf.dst(np.zeros((2, 2, 2), np.float32))

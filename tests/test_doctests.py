@@ -9,6 +9,7 @@ import doctest
 
 import gpu_fft_tpu.ops.dsp
 import gpu_fft_tpu.ops.spectral
+import gpu_fft_tpu.ops.stft
 import gpu_fft_tpu.ops.transform
 import gpu_fft_tpu.plan
 import gpu_fft_tpu.utils.signal
@@ -36,7 +37,11 @@ def test_transform_doctests():
 
 
 def test_dsp_doctests():
-    _run(gpu_fft_tpu.ops.dsp, 3)
+    _run(gpu_fft_tpu.ops.dsp, 5)
+
+
+def test_stft_doctests():
+    _run(gpu_fft_tpu.ops.stft, 2)
 
 
 def test_plan_doctests():
