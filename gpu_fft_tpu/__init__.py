@@ -52,6 +52,12 @@ from .ops.fft2d import (
     ifftn,
 )
 from .ops.spectral import (
+    coherence,
+    coherence_device,
+    csd,
+    csd_device,
+    periodogram,
+    periodogram_device,
     power_spectrum_device,
     psd,
     psd_device,
@@ -135,6 +141,12 @@ __all__ = [
     "window_table",
     "welch",
     "welch_device",
+    "csd",
+    "csd_device",
+    "coherence",
+    "coherence_device",
+    "periodogram",
+    "periodogram_device",
     "next_power_of_two",
     "warmup",
     "psd",

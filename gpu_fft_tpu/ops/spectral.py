@@ -23,6 +23,12 @@ __all__ = [
     "spectrogram_device",
     "welch",
     "welch_device",
+    "csd",
+    "csd_device",
+    "coherence",
+    "coherence_device",
+    "periodogram",
+    "periodogram_device",
 ]
 
 
@@ -135,6 +141,67 @@ def spectrogram(
     )
 
 
+def _welch_scale_mult(window, nperseg: int, fs: float, scaling: str) -> np.ndarray:
+    """One-sided per-bin scale for Welch-family estimators (scipy semantics):
+    window normalization x interior-bin doubling."""
+    from .stft import window_table
+
+    w64 = window_table(window, nperseg).astype(np.float64)
+    if scaling == "density":
+        scale = 1.0 / (fs * float(np.sum(w64 * w64)))
+    else:
+        scale = 1.0 / float(np.sum(w64)) ** 2
+    h = nperseg // 2 + 1
+    mult = np.full(h, 2.0 * scale, dtype=np.float32)
+    mult[0] = scale
+    if nperseg % 2 == 0:
+        mult[-1] = scale
+    return mult
+
+
+def _segment_spectra(
+    x,
+    nperseg: int,
+    noverlap: int | None,
+    window: str | None,
+    detrend: bool,
+    fs: float,
+    scaling: str,
+    name: str,
+):
+    """Shared Welch-family front end: validate, segment, detrend, window,
+    and run ONE batched one-sided transform.  Returns split-complex
+    (num_seg, bins) device arrays."""
+    import jax.numpy as jnp
+
+    from .stft import window_table
+    from .transform import rfft_device
+
+    if scaling not in ("density", "spectrum"):
+        raise ValueError(f"scaling must be 'density' or 'spectrum', got {scaling!r}")
+    if nperseg < 2 or nperseg & (nperseg - 1):
+        raise ValueError(f"nperseg must be a power of two >= 2, got {nperseg}")
+    noverlap = nperseg // 2 if noverlap is None else noverlap
+    if not 0 <= noverlap < nperseg:
+        raise ValueError(f"noverlap must be in [0, nperseg), got {noverlap}")
+    if fs <= 0:
+        raise ValueError(f"fs must be positive, got {fs}")
+    hop = nperseg - noverlap
+    x = jnp.asarray(x, dtype=jnp.float32)
+    if x.ndim != 1:
+        raise ValueError(f"{name} expects a 1-D signal, got shape {x.shape}")
+    n = x.shape[0]
+    num_seg = (n - nperseg) // hop + 1
+    if num_seg < 1:
+        raise ValueError(f"signal of {n} samples is shorter than one {nperseg} segment")
+    starts = jnp.arange(num_seg) * hop
+    idx = starts[:, None] + jnp.arange(nperseg)[None, :]
+    segs = x[idx]
+    if detrend:
+        segs = segs - jnp.mean(segs, axis=-1, keepdims=True)
+    return rfft_device(segs * window_table(window, nperseg)[None])
+
+
 def welch_device(
     x,
     fs: float = 1.0,
@@ -160,46 +227,10 @@ def welch_device(
     """
     import jax.numpy as jnp
 
-    from .stft import window_table
-    from .transform import rfft_device
-
-    if scaling not in ("density", "spectrum"):
-        raise ValueError(f"scaling must be 'density' or 'spectrum', got {scaling!r}")
-    if nperseg < 2 or nperseg & (nperseg - 1):
-        raise ValueError(f"nperseg must be a power of two >= 2, got {nperseg}")
-    noverlap = nperseg // 2 if noverlap is None else noverlap
-    if not 0 <= noverlap < nperseg:
-        raise ValueError(f"noverlap must be in [0, nperseg), got {noverlap}")
-    if fs <= 0:
-        raise ValueError(f"fs must be positive, got {fs}")
-    hop = nperseg - noverlap
-    x = jnp.asarray(x, dtype=jnp.float32)
-    if x.ndim != 1:
-        raise ValueError(f"welch expects a 1-D signal, got shape {x.shape}")
-    n = x.shape[0]
-    num_seg = (n - nperseg) // hop + 1
-    if num_seg < 1:
-        raise ValueError(f"signal of {n} samples is shorter than one {nperseg} segment")
-    starts = jnp.arange(num_seg) * hop
-    idx = starts[:, None] + jnp.arange(nperseg)[None, :]
-    segs = x[idx]
-    if detrend:
-        segs = segs - jnp.mean(segs, axis=-1, keepdims=True)
-    w = window_table(window, nperseg)
-    yr, yi = rfft_device(segs * w[None])
+    yr, yi = _segment_spectra(x, nperseg, noverlap, window, detrend, fs, scaling, "welch")
     power = jnp.mean(yr * yr + yi * yi, axis=0)  # (bins,)
-    w64 = w.astype(np.float64)
-    if scaling == "density":
-        scale = 1.0 / (fs * float(np.sum(w64 * w64)))
-    else:
-        scale = 1.0 / float(np.sum(w64)) ** 2
-    # One-sided doubling: every bin except DC and (even-n) Nyquist.
-    h = nperseg // 2 + 1
-    mult = np.full(h, 2.0, dtype=np.float32)
-    mult[0] = 1.0
-    mult[-1] = 1.0
-    freqs = np.arange(h, dtype=np.float64) * (fs / nperseg)
-    return freqs, power * (mult * np.float32(scale))
+    freqs = np.arange(nperseg // 2 + 1, dtype=np.float64) * (fs / nperseg)
+    return freqs, power * _welch_scale_mult(window, nperseg, fs, scaling)
 
 
 def welch(
@@ -218,4 +249,167 @@ def welch(
     freqs, p = welch_device(
         np.asarray(x, dtype=np.float32), fs, window, nperseg, noverlap, detrend, scaling
     )
+    return freqs, np.asarray(p)
+
+
+def csd_device(
+    x,
+    y,
+    fs: float = 1.0,
+    window: str | None = "hann",
+    nperseg: int = 256,
+    noverlap: int | None = None,
+    detrend: bool = True,
+    scaling: str = "density",
+):
+    """Cross spectral density Pxy by Welch's method (device).
+
+    ``scipy.signal.csd`` semantics: Pxy = mean over segments of
+    conj(X) * Y with the same windowing/scaling as :func:`welch_device`
+    (welch(x) == csd(x, x) exactly).  Returns ``(freqs, (pxy_re, pxy_im))``
+    — split-complex, since Pxy is complex for distinct signals.
+    """
+    import jax.numpy as jnp
+
+    x = jnp.asarray(x, dtype=jnp.float32)
+    y = jnp.asarray(y, dtype=jnp.float32)
+    if x.shape != y.shape:
+        raise ValueError(f"csd: signals must share one shape, got {x.shape} vs {y.shape}")
+    xr, xi = _segment_spectra(x, nperseg, noverlap, window, detrend, fs, scaling, "csd")
+    yr, yi = _segment_spectra(y, nperseg, noverlap, window, detrend, fs, scaling, "csd")
+    # conj(X) * Y
+    pr = jnp.mean(xr * yr + xi * yi, axis=0)
+    pi = jnp.mean(xr * yi - xi * yr, axis=0)
+    mult = _welch_scale_mult(window, nperseg, fs, scaling)
+    freqs = np.arange(nperseg // 2 + 1, dtype=np.float64) * (fs / nperseg)
+    return freqs, (pr * mult, pi * mult)
+
+
+def csd(
+    x,
+    y,
+    fs: float = 1.0,
+    window: str | None = "hann",
+    nperseg: int = 256,
+    noverlap: int | None = None,
+    detrend: bool = True,
+    scaling: str = "density",
+):
+    """Host-convenience cross spectral density; see :func:`csd_device`."""
+    freqs, (pr, pi) = csd_device(
+        np.asarray(x, dtype=np.float32),
+        np.asarray(y, dtype=np.float32),
+        fs,
+        window,
+        nperseg,
+        noverlap,
+        detrend,
+        scaling,
+    )
+    return freqs, (np.asarray(pr), np.asarray(pi))
+
+
+def coherence_device(
+    x,
+    y,
+    fs: float = 1.0,
+    window: str | None = "hann",
+    nperseg: int = 256,
+    noverlap: int | None = None,
+):
+    """Magnitude-squared coherence Cxy = |Pxy|**2 / (Pxx * Pyy) (device).
+
+    ``scipy.signal.coherence`` semantics; Cxy in [0, 1] measures the linear
+    dependence of ``y`` on ``x`` per frequency bin.  One segmentation pass
+    per signal feeds all three Welch estimates (the scaling cancels, so none
+    is applied).
+    """
+    import jax.numpy as jnp
+
+    x = jnp.asarray(x, dtype=jnp.float32)
+    y = jnp.asarray(y, dtype=jnp.float32)
+    if x.shape != y.shape:
+        raise ValueError(f"coherence: signals must share one shape, got {x.shape} vs {y.shape}")
+    xr, xi = _segment_spectra(x, nperseg, noverlap, window, True, fs, "density", "coherence")
+    yr, yi = _segment_spectra(y, nperseg, noverlap, window, True, fs, "density", "coherence")
+    pxx = jnp.mean(xr * xr + xi * xi, axis=0)
+    pyy = jnp.mean(yr * yr + yi * yi, axis=0)
+    pr = jnp.mean(xr * yr + xi * yi, axis=0)
+    pi = jnp.mean(xr * yi - xi * yr, axis=0)
+    den = pxx * pyy
+    cxy = jnp.where(den > 0, (pr * pr + pi * pi) / jnp.where(den > 0, den, 1.0), 0.0)
+    freqs = np.arange(nperseg // 2 + 1, dtype=np.float64) * (fs / nperseg)
+    return freqs, cxy
+
+
+def coherence(
+    x,
+    y,
+    fs: float = 1.0,
+    window: str | None = "hann",
+    nperseg: int = 256,
+    noverlap: int | None = None,
+):
+    """Host-convenience magnitude-squared coherence; see :func:`coherence_device`."""
+    freqs, c = coherence_device(
+        np.asarray(x, dtype=np.float32), np.asarray(y, dtype=np.float32), fs, window, nperseg, noverlap
+    )
+    return freqs, np.asarray(c)
+
+
+def periodogram_device(
+    x,
+    fs: float = 1.0,
+    window: str | None = None,
+    detrend: bool = True,
+    scaling: str = "density",
+):
+    """Single-segment one-sided periodogram of the WHOLE signal (device).
+
+    ``scipy.signal.periodogram`` semantics (default boxcar window, constant
+    detrend): one exact length-n transform — any n, non-pow2 runs through
+    the Bluestein path — then per-bin power with the same window/one-sided
+    scaling as :func:`welch_device`.  Returns ``(freqs, psd)``.
+    """
+    import jax.numpy as jnp
+
+    from .exact import fft_exact_device
+    from .stft import window_table
+
+    if scaling not in ("density", "spectrum"):
+        raise ValueError(f"scaling must be 'density' or 'spectrum', got {scaling!r}")
+    if fs <= 0:
+        raise ValueError(f"fs must be positive, got {fs}")
+    x = jnp.asarray(x, dtype=jnp.float32)
+    if x.ndim != 1 or x.shape[0] < 2:
+        raise ValueError(f"periodogram expects a 1-D signal of >= 2 samples, got {x.shape}")
+    n = x.shape[0]
+    if detrend:
+        x = x - jnp.mean(x)
+    w = window_table(window, n)
+    yr, yi = fft_exact_device(x * w)
+    h = n // 2 + 1
+    power = yr[:h] ** 2 + yi[:h] ** 2
+    w64 = w.astype(np.float64)
+    if scaling == "density":
+        scale = 1.0 / (fs * float(np.sum(w64 * w64)))
+    else:
+        scale = 1.0 / float(np.sum(w64)) ** 2
+    mult = np.full(h, 2.0 * scale, dtype=np.float32)
+    mult[0] = scale
+    if n % 2 == 0:
+        mult[-1] = scale
+    freqs = np.arange(h, dtype=np.float64) * (fs / n)
+    return freqs, power * mult
+
+
+def periodogram(
+    x,
+    fs: float = 1.0,
+    window: str | None = None,
+    detrend: bool = True,
+    scaling: str = "density",
+):
+    """Host-convenience periodogram; see :func:`periodogram_device`."""
+    freqs, p = periodogram_device(np.asarray(x, dtype=np.float32), fs, window, detrend, scaling)
     return freqs, np.asarray(p)

@@ -3,8 +3,10 @@
 from .signal import (
     calculate_frequencies,
     calculate_one_sided_frequencies,
+    fftfreq,
     find_dominant_frequencies,
     generate_sine_wave,
+    rfftfreq,
 )
 
 __all__ = [
@@ -12,4 +14,6 @@ __all__ = [
     "calculate_frequencies",
     "calculate_one_sided_frequencies",
     "find_dominant_frequencies",
+    "fftfreq",
+    "rfftfreq",
 ]

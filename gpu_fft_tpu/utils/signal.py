@@ -13,6 +13,8 @@ __all__ = [
     "calculate_frequencies",
     "calculate_one_sided_frequencies",
     "find_dominant_frequencies",
+    "fftfreq",
+    "rfftfreq",
 ]
 
 
@@ -50,6 +52,29 @@ def calculate_one_sided_frequencies(n_total: int, sample_rate: float) -> np.ndar
     """
     k = np.arange(n_total // 2 + 1, dtype=np.float32)
     return (k * np.float32(sample_rate) / np.float32(n_total)).astype(np.float32)
+
+
+def fftfreq(n: int, d: float = 1.0) -> np.ndarray:
+    """Signed DFT bin frequencies, ``numpy.fft.fftfreq`` semantics: the
+    upper half of the spectrum maps to NEGATIVE frequencies (unlike
+    :func:`calculate_frequencies`, which mirrors the reference's unsigned
+    0..(n-1)·fs/n map).
+
+    >>> fftfreq(4, d=0.25).tolist()
+    [0.0, 1.0, -2.0, -1.0]
+    """
+    return np.fft.fftfreq(n, d=d).astype(np.float32)
+
+
+def rfftfreq(n: int, d: float = 1.0) -> np.ndarray:
+    """One-sided bin frequencies for ``rfft`` output, ``numpy.fft.rfftfreq``
+    semantics (equivalent to :func:`calculate_one_sided_frequencies` with
+    ``sample_rate = 1/d``).
+
+    >>> rfftfreq(8, d=0.01).tolist()
+    [0.0, 12.5, 25.0, 37.5, 50.0]
+    """
+    return np.fft.rfftfreq(n, d=d).astype(np.float32)
 
 
 def find_dominant_frequencies(psd, frequencies, threshold: float) -> list[tuple[float, float]]:

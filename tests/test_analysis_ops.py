@@ -124,6 +124,81 @@ def test_welch_contracts():
         gf.welch(np.zeros(16, np.float32), nperseg=64)
 
 
+# ── CSD / coherence / periodogram ────────────────────────────────────────────
+
+
+def test_csd_matches_scipy(rng):
+    fs = 100.0
+    t = np.arange(4096) / fs
+    x = (np.sin(2 * np.pi * 10 * t) + 0.5 * rng.standard_normal(t.size)).astype(np.float32)
+    y = (np.sin(2 * np.pi * 10 * t + 0.7) + 0.5 * rng.standard_normal(t.size)).astype(
+        np.float32
+    )
+    f, (pr, pi) = gf.csd(x, y, fs=fs, nperseg=256)
+    f_ref, p_ref = scipy.signal.csd(x, y, fs=fs, nperseg=256)
+    scale = float(np.abs(p_ref).max())
+    assert_slice_approx(pr / scale, p_ref.real / scale, 1e-4, "csd real")
+    assert_slice_approx(pi / scale, p_ref.imag / scale, 1e-4, "csd imag")
+
+
+def test_csd_self_is_welch(rng):
+    x = rng.standard_normal(2048).astype(np.float32)
+    f1, p = gf.welch(x, nperseg=128)
+    f2, (pr, pi) = gf.csd(x, x, nperseg=128)
+    assert_slice_approx(pr, p, 1e-6, "csd(x,x) == welch(x)")
+    assert_slice_approx(pi, np.zeros_like(pi), 1e-6, "csd(x,x) imag")
+
+
+def test_coherence_matches_scipy(rng):
+    fs = 100.0
+    t = np.arange(8192) / fs
+    s = np.sin(2 * np.pi * 12.5 * t)
+    x = (s + 0.1 * rng.standard_normal(t.size)).astype(np.float32)
+    y = (0.5 * s + 1.0 * rng.standard_normal(t.size)).astype(np.float32)
+    f, c = gf.coherence(x, y, fs=fs, nperseg=256)
+    f_ref, c_ref = scipy.signal.coherence(x, y, fs=fs, nperseg=256)
+    assert_slice_approx(c, c_ref, 1e-3, "coherence")
+    assert np.all(np.asarray(c) >= 0) and np.all(np.asarray(c) <= 1.0 + 1e-6)
+
+
+@pytest.mark.parametrize("n", [256, 1000, 999])
+@pytest.mark.parametrize("scaling", ["density", "spectrum"])
+def test_periodogram_matches_scipy(rng, n, scaling):
+    x = rng.standard_normal(n).astype(np.float32)
+    f, p = gf.periodogram(x, fs=50.0, scaling=scaling)
+    f_ref, p_ref = scipy.signal.periodogram(x, fs=50.0, scaling=scaling)
+    scale = max(1e-30, float(np.abs(p_ref).max()))
+    assert_slice_approx(f, f_ref, 1e-9, f"periodogram freqs n={n}")
+    assert_slice_approx(p / scale, p_ref / scale, 2e-4, f"periodogram n={n} {scaling}")
+
+
+def test_periodogram_hann_window(rng):
+    x = rng.standard_normal(512).astype(np.float32)
+    f, p = gf.periodogram(x, window="hann")
+    f_ref, p_ref = scipy.signal.periodogram(x, window="hann")
+    scale = float(np.abs(p_ref).max())
+    assert_slice_approx(p / scale, p_ref / scale, 2e-4, "periodogram hann")
+
+
+def test_spectral_family_contracts():
+    x = np.zeros(512, np.float32)
+    with pytest.raises(ValueError):
+        gf.csd(x, np.zeros(256, np.float32))
+    with pytest.raises(ValueError):
+        gf.coherence(x, np.zeros(256, np.float32))
+    with pytest.raises(ValueError):
+        gf.periodogram(np.zeros(1, np.float32))
+    with pytest.raises(ValueError):
+        gf.periodogram(x, scaling="bogus")
+
+
+def test_fftfreq_helpers():
+    assert_slice_approx(gf.utils.fftfreq(10, 0.1), np.fft.fftfreq(10, 0.1), 1e-6, "fftfreq")
+    assert_slice_approx(
+        gf.utils.rfftfreq(9, 0.2), np.fft.rfftfreq(9, 0.2), 1e-6, "rfftfreq"
+    )
+
+
 # ── Hilbert / envelope ───────────────────────────────────────────────────────
 
 
