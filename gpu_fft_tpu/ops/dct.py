@@ -40,22 +40,31 @@ def _rotation(n: int) -> tuple[np.ndarray, np.ndarray]:
     return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
 
 
-@functools.lru_cache(maxsize=None)
-def _makhoul_perm(n: int) -> np.ndarray:
-    """v[j] = x[perm[j]]: even indices ascending, then odd descending."""
-    perm = np.empty(n, dtype=np.int32)
-    half = (n + 1) // 2
-    perm[:half] = np.arange(0, n, 2)
-    perm[half:] = np.arange(1, n, 2)[::-1]
-    return perm
+def _makhoul_permute(x):
+    """v = [x[0::2] ‖ reversed(x[1::2])] along the last axis.
+
+    Strided slices + concat, NOT an index gather: arbitrary-index gathers
+    run on the TPU scalar core (~2 orders of magnitude slower than vector
+    slices at these shapes — see ops/stft.py:frame_signal).
+    """
+    import jax.numpy as jnp
+
+    return jnp.concatenate([x[:, 0::2], jnp.flip(x[:, 1::2], axis=-1)], axis=-1)
 
 
-@functools.lru_cache(maxsize=None)
-def _makhoul_unperm(n: int) -> np.ndarray:
-    """x[j] = v[unperm[j]] — the inverse gather of :func:`_makhoul_perm`."""
-    unperm = np.empty(n, dtype=np.int32)
-    unperm[_makhoul_perm(n)] = np.arange(n, dtype=np.int32)
-    return unperm
+def _makhoul_unpermute(v):
+    """Inverse of :func:`_makhoul_permute`: x[0::2] = v[:h], x[1::2] =
+    reversed(v[h:]) — realized as an interleaving stack, no gather."""
+    import jax.numpy as jnp
+
+    b, n = v.shape
+    h = (n + 1) // 2  # even-index count
+    a = v[:, :h]
+    rev = jnp.flip(v[:, h:], axis=-1)  # odd positions, ascending (n // 2 of them)
+    if n % 2 == 0:
+        return jnp.stack([a, rev], axis=-1).reshape(b, n)
+    body = jnp.stack([a[:, : h - 1], rev], axis=-1).reshape(b, n - 1)
+    return jnp.concatenate([body, a[:, h - 1 :]], axis=-1)
 
 
 def _dct2_core(x):
@@ -63,7 +72,7 @@ def _dct2_core(x):
     from .exact import fft_exact_device
 
     n = x.shape[-1]
-    v = x[:, _makhoul_perm(n)]
+    v = _makhoul_permute(x)
     vr, vi = fft_exact_device(v)
     c, s = _rotation(n)
     # X_k = 2 * Re(e^{-i*pi*k/2n} V_k)
@@ -88,7 +97,7 @@ def _dct3_core(y):
     vr = 0.5 * (y * c + t * s)
     vi = 0.5 * (y * s - t * c)
     xr, _ = ifft_exact_device(vr, vi)
-    return (2.0 * n) * xr[:, _makhoul_unperm(n)]
+    return (2.0 * n) * _makhoul_unpermute(xr)
 
 
 def _as_rows(x, name: str):

@@ -118,9 +118,9 @@ def spectrogram_device(
     num_frames = (n - frame_size) // hop + 1
     if num_frames < 1:
         raise ValueError(f"signal of {n} samples is shorter than one {frame_size} frame")
-    starts = jnp.arange(num_frames) * hop
-    idx = starts[:, None] + jnp.arange(frame_size)[None, :]
-    frames = x[idx]  # (num_frames, frame_size), one gather
+    from .stft import frame_signal
+
+    frames = frame_signal(x, frame_size, hop, num_frames)
     if window is not None:
         from .stft import window_table
 
@@ -174,7 +174,7 @@ def _segment_spectra(
     (num_seg, bins) device arrays."""
     import jax.numpy as jnp
 
-    from .stft import window_table
+    from .stft import frame_signal, window_table
     from .transform import rfft_device
 
     if scaling not in ("density", "spectrum"):
@@ -194,9 +194,7 @@ def _segment_spectra(
     num_seg = (n - nperseg) // hop + 1
     if num_seg < 1:
         raise ValueError(f"signal of {n} samples is shorter than one {nperseg} segment")
-    starts = jnp.arange(num_seg) * hop
-    idx = starts[:, None] + jnp.arange(nperseg)[None, :]
-    segs = x[idx]
+    segs = frame_signal(x, nperseg, hop, num_seg)
     if detrend:
         segs = segs - jnp.mean(segs, axis=-1, keepdims=True)
     return rfft_device(segs * window_table(window, nperseg)[None])

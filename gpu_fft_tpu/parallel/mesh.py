@@ -21,6 +21,7 @@ __all__ = [
     "fft_batch_sharded",
     "ifft_batch_sharded",
     "fft2_batch_sharded",
+    "welch_sharded",
 ]
 
 
@@ -80,6 +81,70 @@ def fft2_batch_sharded(x, mesh: Mesh, axis_name: str = "dp"):
 
     spec = P(axis_name, None, None)
     return _shard_map(local, mesh, (spec,), (spec, spec))(x)
+
+
+def welch_sharded(
+    x,
+    mesh: Mesh,
+    axis_name: str = "dp",
+    fs: float = 1.0,
+    window: str | None = "hann",
+    nperseg: int = 256,
+    noverlap: int | None = None,
+    detrend: bool = True,
+    scaling: str = "density",
+):
+    """Welch PSD of a long signal with the SEGMENTS sharded over the mesh.
+
+    The segment axis is this estimator's batch dimension: each device
+    windows and transforms its own slice of segments and reduces its partial
+    power sum; one ``psum`` over ``axis_name`` completes the average — the
+    collective-reduction pattern (vs the zero-comms batch sharding and the
+    all-to-all distributed transform).  Semantics identical to
+    :func:`gpu_fft_tpu.welch_device`; the segment count is truncated to a
+    multiple of the mesh axis size (trailing segments dropped).
+
+    Returns ``(freqs, psd)`` — psd replicated across devices.
+    """
+    import numpy as np
+
+    from ..ops.spectral import _welch_scale_mult
+    from ..ops.stft import window_table
+
+    if scaling not in ("density", "spectrum"):
+        raise ValueError(f"scaling must be 'density' or 'spectrum', got {scaling!r}")
+    if nperseg < 2 or nperseg & (nperseg - 1):
+        raise ValueError(f"nperseg must be a power of two >= 2, got {nperseg}")
+    noverlap = nperseg // 2 if noverlap is None else noverlap
+    if not 0 <= noverlap < nperseg:
+        raise ValueError(f"noverlap must be in [0, nperseg), got {noverlap}")
+    hop = nperseg - noverlap
+    x = jnp.asarray(x, dtype=jnp.float32)
+    if x.ndim != 1:
+        raise ValueError(f"welch_sharded expects a 1-D signal, got shape {x.shape}")
+    d = mesh.shape[axis_name]
+    num_seg = ((x.shape[0] - nperseg) // hop + 1) // d * d
+    if num_seg < d:
+        raise ValueError(
+            f"signal of {x.shape[0]} samples yields fewer than one {nperseg} "
+            f"segment per device ({d} devices)"
+        )
+    from ..ops.stft import frame_signal
+
+    segs = frame_signal(x, nperseg, hop, num_seg)  # sharded over rows below
+    w = window_table(window, nperseg)
+
+    def local(sl):
+        if detrend:
+            sl = sl - jnp.mean(sl, axis=-1, keepdims=True)
+        yr, yi = transform_any(sl * w[None], None, nperseg, -1)
+        h = nperseg // 2 + 1
+        part = jnp.sum(yr[:, :h] ** 2 + yi[:, :h] ** 2, axis=0)
+        return jax.lax.psum(part, axis_name) * jnp.float32(1.0 / num_seg)
+
+    power = _shard_map(local, mesh, (P(axis_name, None),), P())(segs)
+    freqs = np.arange(nperseg // 2 + 1, dtype=np.float64) * (fs / nperseg)
+    return freqs, power * _welch_scale_mult(window, nperseg, fs, scaling)
 
 
 def ifft_batch_sharded(xr, xi, mesh: Mesh, axis_name: str = "dp"):

@@ -40,6 +40,11 @@ __all__ = [
     "xla_fft_forward_step",
     "xla_fft_inverse_step",
     "xla_fft_roundtrip_step",
+    "stft_roundtrip_step",
+    "welch_step",
+    "dct_roundtrip_step",
+    "hilbert_step",
+    "resample_step",
 ]
 
 
@@ -340,6 +345,82 @@ def xla_fft_roundtrip_step(n: int):
 
     def step(x):
         return jnp.real(jnp.fft.ifft(jnp.fft.fft(x.astype(jnp.complex64))))
+
+    return step
+
+
+# ── Analysis-op steps (round-2 extension benchmarks) ─────────────────────────
+
+
+def stft_roundtrip_step(frame: int, hop: int):
+    """(1, L) -> istft(stft(x)): the full analysis+synthesis pipeline.
+
+    WOLA reconstruction is idempotent on covered samples, so chained values
+    stay bounded without rescaling.
+    """
+    from ..ops.stft import istft_device, stft_device
+
+    def step(x):
+        sr, si = stft_device(x[0], frame, hop)
+        return istft_device(sr, si, hop, length=x.shape[1])[None]
+
+    return step
+
+
+def welch_step(nperseg: int):
+    """(1, L) -> x + eps * tiled Welch PSD.
+
+    The PSD feeds back into the chained value (scaled far below the signal)
+    so the loop-carried dependency forces the full estimate each iteration —
+    XLA would hoist a pure p(x) computation out of the fori_loop otherwise.
+    """
+    import jax.numpy as jnp
+    import numpy as _np
+
+    from ..ops.spectral import welch_device
+
+    def step(x):
+        _, p = welch_device(x[0], nperseg=nperseg)
+        ln = x.shape[1]
+        tiled = jnp.tile(p, -(-ln // p.shape[0]))[:ln]
+        return x + tiled[None] * _np.float32(1e-6)
+
+    return step
+
+
+def dct_roundtrip_step():
+    """(B, n) -> idct(dct(x)) with orthonormal scaling (magnitude-stable)."""
+    from ..ops.dct import dct_device, idct_device
+
+    def step(x):
+        return idct_device(dct_device(x, norm="ortho"), norm="ortho")
+
+    return step
+
+
+def hilbert_step():
+    """(B, n) -> the Hilbert transform of x (imag of the analytic signal).
+
+    H(H(x)) = -x for zero-mean signals, so the chain is magnitude-stable.
+    """
+    from ..ops.dsp import hilbert_device
+
+    def step(x):
+        return hilbert_device(x)[1]
+
+    return step
+
+
+def resample_step(n: int, mid: int):
+    """(B, n) -> resample(resample(x, mid), n): down then back up.
+
+    After the first iteration the signal is band-limited to the mid rate, so
+    the chain reaches a stable fixed point.
+    """
+    from ..ops.dsp import resample_device
+
+    def step(x):
+        return resample_device(resample_device(x, mid), n)
 
     return step
 

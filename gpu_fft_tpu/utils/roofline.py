@@ -108,13 +108,26 @@ def transform_cost(b: int, n: int, kind: str = "fft") -> dict:
     roundtrip (fft + ifft), fft_sequential (same work as fft).
     """
     f32 = 4
-    if kind in ("fft", "fft_batch", "fft_sequential", "fft_batchsize"):
+    if kind in ("fft", "fft_batch", "fft_sequential", "fft_batchsize", "welch"):
+        # welch: (b, n) = (segments, nperseg); the gather/window/mean epilogue
+        # is O(bn) and excluded, so the SoL stays a true lower bound.
         flops = transform_flops(b, n, real_input=True)
         bytes_ = b * n * f32 * (1 + 2)  # read x, write (re, im)
     elif kind in ("ifft", "ifft_batch", "ifft_sequential"):
         flops = transform_flops(b, n, real_input=False) + 2.0 * b * n  # 1/N scale
         bytes_ = b * n * f32 * (2 + 2)
-    elif kind in ("roundtrip", "roundtrip_batch", "roundtrip_sequential"):
+    elif kind in (
+        "roundtrip",
+        "roundtrip_batch",
+        "roundtrip_sequential",
+        # Analysis ops that are a forward + inverse pair over their (b, n):
+        # stft roundtrip over (frames, frame_size), orthonormal dct+idct,
+        # hilbert (fft -> gain mask -> ifft), resample (fft@n + ifft@~n).
+        "stft_roundtrip",
+        "dct_roundtrip",
+        "hilbert",
+        "resample",
+    ):
         flops = (
             transform_flops(b, n, real_input=True)
             + transform_flops(b, n, real_input=False)

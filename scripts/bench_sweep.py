@@ -47,12 +47,17 @@ def main() -> None:
     from gpu_fft_tpu.utils import roofline
     from gpu_fft_tpu.utils.profiling import (
         chained_step_stats,
+        dct_roundtrip_step,
         fft_forward_step,
         fft_inverse_step,
         fft_roundtrip_step,
         fft_sequential_step,
+        hilbert_step,
         ifft_sequential_step,
+        resample_step,
         roundtrip_sequential_step,
+        stft_roundtrip_step,
+        welch_step,
         xla_fft_forward_step,
         xla_fft_inverse_step,
         xla_fft_roundtrip_step,
@@ -92,9 +97,12 @@ def main() -> None:
         "entries": [],
     }
 
-    def run(name, kind, backend, b, n, step):
+    def run(name, kind, backend, b, n, step, shape=None):
+        # ``shape`` overrides the step-input shape when it differs from the
+        # roofline (b, n) — e.g. stft/welch consume a (1, L) signal but their
+        # transform work is (num_frames, frame_size).
         try:
-            st = chained_step_stats(step, dev((b, n)), k1=50, k2=1050, reps=5)
+            st = chained_step_stats(step, dev(shape or (b, n)), k1=50, k2=1050, reps=5)
             melem = b * n / st.median_s / 1e6
             entry = {
                 "name": name,
@@ -204,6 +212,22 @@ def main() -> None:
             ifft_sequential_step(4096))
         run("roundtrip_sequential/pallas/b64_n4096", "roundtrip_sequential", "pallas", 64, 4096,
             roundtrip_sequential_step(4096))
+        # Analysis ops (round-2 extensions): end-to-end pipelines through the
+        # library transforms.  (b, n) below is the transform work each step
+        # performs; stft/welch consume a (1, L) signal (shape override).
+        sig_l = 16384
+        frames = (sig_l - 256) // 64 + 1
+        run("stft_roundtrip/pallas/f256_h64_L16384", "stft_roundtrip", "pallas",
+            frames, 256, stft_roundtrip_step(256, 64), shape=(1, sig_l))
+        wl = 65536
+        wseg = (wl - 256) // 128 + 1
+        run("welch/pallas/seg256_L65536", "welch", "pallas",
+            wseg, 256, welch_step(256), shape=(1, wl))
+        run("dct_roundtrip/pallas/b16_n4096", "dct_roundtrip", "pallas", 16, 4096,
+            dct_roundtrip_step())
+        run("hilbert/pallas/b16_n16384", "hilbert", "pallas", 16, 16384, hilbert_step())
+        run("resample/pallas/n65536_mid32768", "resample", "pallas", 1, 65536,
+            resample_step(65536, 32768))
 
     out = args.out or f"bench-results/raw_{time.strftime('%Y%m%d_%H%M%S')}.json"
     pathlib.Path(out).parent.mkdir(parents=True, exist_ok=True)

@@ -20,11 +20,84 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
+def analysis_soak(rng, iters: int) -> tuple[int, int]:
+    """Random-config identity checks over the analysis ops (round-2 wave).
+
+    Each op has a mathematical identity that needs no host oracle:
+    istft(stft(x)) == x on covered samples; idct(dct(x)) == x (both kinds,
+    both norms); Re(analytic(x)) == x; resample(resample(x, 2n), n) == x
+    (up-then-down through band-limited interpolation is exact).
+    """
+    import jax.numpy as jnp
+
+    import gpu_fft_tpu as gf
+
+    failures = 0
+    for _ in range(iters):
+        op = rng.choice(["stft", "dct", "dst", "hilbert", "resample"])
+        try:
+            if op == "stft":
+                frame = 1 << int(rng.integers(4, 10))
+                hop = max(1, frame >> int(rng.integers(1, 3)))
+                ln = frame * int(rng.integers(2, 30)) + int(rng.integers(0, frame))
+                window = rng.choice(["hann", "hamming", "blackman", "rect"])
+                x = rng.uniform(-1, 1, ln).astype(np.float32)
+                sr, si = gf.stft(x, frame, hop=hop, window=window)
+                y = gf.istft(sr, si, hop=hop, window=window, length=ln)
+                num = (ln - frame) // hop + 1
+                cov = (num - 1) * hop + frame
+                w = gf.window_table(window, frame).astype(np.float64)
+                wsq = np.zeros(cov)
+                for m in range(num):
+                    wsq[m * hop : m * hop + frame] += w * w
+                ok = wsq > 1e-6
+                err = float(np.abs(y[:cov][ok] - x[:cov][ok]).max())
+                good = err < 5e-3
+                desc = f"stft f={frame} h={hop} L={ln} w={window}"
+            elif op in ("dct", "dst"):
+                n = int(rng.integers(2, 20000))
+                b = int(rng.choice([1, 3, 8]))
+                type_ = int(rng.choice([2, 3]))
+                norm = rng.choice([None, "ortho"])
+                fn = gf.dct_device if op == "dct" else gf.dst_device
+                ifn = gf.idct_device if op == "dct" else gf.idst_device
+                x = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
+                y = np.asarray(ifn(fn(x, type=type_, norm=norm), type=type_, norm=norm))
+                err = float(np.abs(y - np.asarray(x)).max())
+                good = err < 5e-3
+                desc = f"{op}{type_} b={b} n={n} norm={norm}"
+            elif op == "hilbert":
+                n = int(rng.integers(2, 50000))
+                b = int(rng.choice([1, 4]))
+                x = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
+                ar, _ = gf.hilbert_device(x)
+                err = float(np.abs(np.asarray(ar) - np.asarray(x)).max())
+                good = err < 5e-3
+                desc = f"hilbert b={b} n={n}"
+            else:  # resample
+                n = int(rng.integers(2, 20000))
+                x = jnp.asarray(rng.uniform(-1, 1, (1, n)).astype(np.float32))
+                up = gf.resample_device(x, 2 * n)
+                y = np.asarray(gf.resample_device(up, n))
+                err = float(np.abs(y - np.asarray(x)).max())
+                good = err < 5e-3
+                desc = f"resample n={n}<->{2 * n}"
+        except Exception as e:
+            print(f"{op}: EXCEPTION {str(e)[:120]}", flush=True)
+            failures += 1
+            continue
+        print(f"{desc}: err {err:.1e} {'ok' if good else 'FAIL'}", flush=True)
+        failures += 0 if good else 1
+    return iters, failures
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--max-bytes", type=int, default=512 * 1024 * 1024)
+    ap.add_argument("--analysis-iters", type=int, default=None,
+                    help="analysis-op identity checks (default: iters // 2)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -69,6 +142,11 @@ def main() -> int:
         print(f"b={b:5d} n={n:8d}: fwd {fwd:.1e} roundtrip {rt:.1e} "
               f"{'ok' if good else 'FAIL'}", flush=True)
         failures += 0 if good else 1
+
+    a_iters = args.iters // 2 if args.analysis_iters is None else args.analysis_iters
+    a_ran, a_fail = analysis_soak(rng, a_iters)
+    ran += a_ran
+    failures += a_fail
     print(f"soak: {ran - failures}/{ran} ok")
     return 1 if failures else 0
 

@@ -126,6 +126,30 @@ def test_distributed_rejects_indivisible_batch(mesh2x4):
         distributed_fft(np.zeros((3, 4096), np.float32), mesh2x4, sp_axis="sp", dp_axis="dp")
 
 
+def test_welch_sharded_matches_single_chip(mesh8, rng):
+    from gpu_fft_tpu.ops.spectral import welch_device
+    from gpu_fft_tpu.parallel import welch_sharded
+
+    x = rng.standard_normal(128 * 65 + 64).astype(np.float32)  # 65 hop-128 segs
+    f, p = welch_sharded(x, mesh8, nperseg=256, fs=10.0)
+    # Oracle: single-chip welch over the same (truncated-to-64) segment set.
+    n_trunc = 128 * 63 + 256  # 64 segments exactly
+    f_ref, p_ref = welch_device(x[:n_trunc], nperseg=256, fs=10.0)
+    assert_slice_approx(f, f_ref, 1e-9, "welch_sharded freqs")
+    p, p_ref = np.asarray(p), np.asarray(p_ref)
+    scale = p_ref.max()
+    assert_slice_approx(p / scale, p_ref / scale, 1e-4, "welch_sharded psd")
+
+
+def test_welch_sharded_contracts(mesh8):
+    from gpu_fft_tpu.parallel import welch_sharded
+
+    with pytest.raises(ValueError):  # fewer than one segment per device
+        welch_sharded(np.zeros(600, np.float32), mesh8, nperseg=256)
+    with pytest.raises(ValueError):
+        welch_sharded(np.zeros((4, 4096), np.float32), mesh8)
+
+
 def test_fft2_batch_sharded_matches_oracle(mesh8, rng):
     x = rng.standard_normal((8, 16, 100)).astype(np.float32)  # non-pow2 width
     from gpu_fft_tpu.parallel import fft2_batch_sharded
