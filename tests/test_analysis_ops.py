@@ -124,6 +124,37 @@ def test_welch_contracts():
         gf.welch(np.zeros(16, np.float32), nperseg=64)
 
 
+def test_frame_signal_all_gcd_paths(rng):
+    """frame_signal's strided-slice form must equal the gather at every
+    (frame, hop) class: hop | frame, gcd < hop, coprime, and the
+    many-slices gather fallback."""
+    import jax.numpy as jnp
+
+    from gpu_fft_tpu.ops.stft import frame_signal
+
+    x = rng.standard_normal(4096).astype(np.float32)
+    xj = jnp.asarray(x)
+    for frame, hop in [(256, 64), (256, 96), (64, 7), (512, 3), (128, 128), (16, 40)]:
+        num = (4096 - frame) // hop + 1
+        got = np.asarray(frame_signal(xj, frame, hop, num))
+        ref = np.stack([x[m * hop : m * hop + frame] for m in range(num)])
+        assert_slice_approx(got, ref, 0.0, f"frame_signal f={frame} h={hop}")
+
+
+def test_overlap_add_all_gcd_paths(rng):
+    from gpu_fft_tpu.ops.stft import overlap_add
+
+    for frame, hop in [(256, 64), (256, 96), (64, 7), (512, 3), (128, 128), (16, 40)]:
+        num = 9
+        frames = rng.standard_normal((num, frame)).astype(np.float32)
+        total = (num - 1) * hop + frame + 5  # also exercises the tail pad
+        got = np.asarray(overlap_add(frames, hop, total))
+        ref = np.zeros(total, np.float64)
+        for m in range(num):
+            ref[m * hop : m * hop + frame] += frames[m].astype(np.float64)
+        assert_slice_approx(got, ref, 1e-4, f"overlap_add f={frame} h={hop}")
+
+
 # ── CSD / coherence / periodogram ────────────────────────────────────────────
 
 

@@ -61,3 +61,11 @@ def test_extensions_example():
     assert "60.00 Hz (exact)" in out
     assert "(3, 17)" in out
     assert "OK" in out and "FAIL" not in out
+
+
+def test_analysis_example():
+    import analysis
+
+    out = _run_capturing(analysis.main)
+    assert "Welch PSD peak: 125.0 Hz" in out
+    assert "[OK]" in out and "FAIL" not in out
