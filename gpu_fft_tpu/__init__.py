@@ -29,6 +29,7 @@ from .ops.dct import (
     idst,
     idst_device,
 )
+from .ops.czt import czt, czt_device, zoom_fft, zoom_fft_device
 from .ops.dsp import (
     envelope,
     fft_convolve,
@@ -112,6 +113,10 @@ __all__ = [
     "ifft_exact",
     "fft_exact_device",
     "ifft_exact_device",
+    "czt",
+    "czt_device",
+    "zoom_fft",
+    "zoom_fft_device",
     "rfft",
     "irfft",
     "rfft_device",

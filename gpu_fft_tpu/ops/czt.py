@@ -1,0 +1,167 @@
+"""Chirp-z transform and zoom FFT over the library's pow2 path.
+
+The CZT evaluates the z-transform on a logarithmic spiral
+``z_k = a * w**(-k)``, k = 0..m-1:
+
+    X_k = sum_j x_j * a**(-j) * w**(j*k)
+
+generalizing the DFT (``a = 1, w = exp(-2j*pi/n), m = n``) to arbitrary
+point counts, start phase, and spacing — the classic use is ``zoom_fft``:
+high-resolution analysis of a narrow frequency band without transforming
+(or even having) a longer signal.  Same Bluestein identity as
+``ops/exact.py`` (``jk = (j**2 + k**2 - (k-j)**2) / 2``) realized as one
+circular convolution through the measured pow2 transform path, but with
+independent input/output lengths and a general chirp.
+
+Conventions match ``scipy.signal.czt`` / ``scipy.signal.zoom_fft``
+(verified element-wise in the test suite).  Chirp tables are built on the
+host in f64; for unit-modulus ``w`` the phase is reduced mod 2*pi before
+cos/sin, so table error stays small through the supported sizes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ..config import MAX_N
+
+__all__ = ["czt", "czt_device", "zoom_fft", "zoom_fft_device"]
+
+
+@functools.lru_cache(maxsize=None)
+def _czt_plan(n: int, m: int, w: complex, a: complex) -> dict:
+    """Host-built f64 tables: premultiplier u_j = a^(-j) w^(j^2/2), kernel
+    spectrum K = FFT_L(wrapped w^(-j^2/2)), and postmultiplier p_k = w^(k^2/2)."""
+    L = 1
+    while L < n + m - 1:
+        L *= 2
+    jmax = max(n, m)
+    j = np.arange(jmax, dtype=np.int64)
+    e = j * j  # exact in int64 through MAX_N
+    logw = np.log(complex(w))  # principal branch
+    # w^(e/2) = exp((e/2) * logw); reduce the imaginary (phase) part mod 2*pi
+    # against e in int64-exact arithmetic to keep cos/sin accurate at large j.
+    ph = np.remainder(e.astype(np.float64) * (logw.imag * 0.5), 2.0 * np.pi)
+    mag = np.exp(e.astype(np.float64) * (logw.real * 0.5))
+    chirp = mag * (np.cos(ph) + 1j * np.sin(ph))  # w^(j^2/2)
+    ichirp = 1.0 / chirp  # w^(-j^2/2)
+
+    ja = np.arange(n, dtype=np.float64)
+    la = np.log(complex(a))
+    apow = np.exp(-ja * la.real) * np.exp(-1j * np.remainder(ja * la.imag, 2.0 * np.pi))
+    u = apow * chirp[:n]  # a^(-j) * w^(j^2/2)
+
+    kern = np.zeros(L, dtype=np.complex128)
+    kern[:m] = ichirp[:m]
+    if n > 1:
+        kern[L - n + 1 :] = ichirp[1:n][::-1]
+    kspec = np.fft.fft(kern)
+    return {
+        "L": L,
+        "ur": u.real.astype(np.float32), "ui": u.imag.astype(np.float32),
+        "kr": kspec.real.astype(np.float32), "ki": kspec.imag.astype(np.float32),
+        "pr": chirp[:m].real.astype(np.float32), "pi": chirp[:m].imag.astype(np.float32),
+    }
+
+
+def czt_device(x, m: int | None = None, w: complex | None = None, a: complex = 1 + 0j, imag=None):
+    """Chirp-z transform of real (or split-complex) rows (device).
+
+    ``x``: (n,) or (B, n) f32; ``m`` output points (default n); ``w`` ratio
+    between evaluation points (default ``exp(-2j*pi/m)``, the DFT spacing);
+    ``a`` the starting point.  Returns split-complex arrays of length m —
+    ``scipy.signal.czt`` semantics.
+    """
+    import jax.numpy as jnp
+
+    from ..kernels.large import transform_any
+
+    x = jnp.asarray(x, dtype=jnp.float32)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[None]
+    if x.ndim != 2 or x.shape[-1] < 1:
+        raise ValueError(f"czt expects non-empty 1-D or (B, n) input, got {x.shape}")
+    n = x.shape[-1]
+    m = n if m is None else m
+    if m < 1:
+        raise ValueError(f"czt needs m >= 1 output points, got {m}")
+    w = complex(np.exp(-2j * np.pi / m)) if w is None else complex(w)
+    if w == 0 or complex(a) == 0:
+        raise ValueError("czt requires nonzero w and a")
+    L = 1
+    while L < n + m - 1:
+        L *= 2
+    if L > MAX_N:
+        raise ValueError(
+            f"czt with n={n}, m={m} needs a {L}-point convolution, "
+            f"beyond the supported maximum {MAX_N}"
+        )
+    p = _czt_plan(n, m, w, complex(a))
+    xi = None
+    if imag is not None:
+        xi = jnp.asarray(imag, dtype=jnp.float32)
+        xi = xi[None] if squeeze else xi
+        if xi.shape != x.shape:
+            raise ValueError(f"czt: real and imag shapes differ: {x.shape} vs {xi.shape}")
+    # y = x * u
+    if xi is None:
+        yr = x * p["ur"]
+        yi = x * p["ui"]
+    else:
+        yr = x * p["ur"] - xi * p["ui"]
+        yi = x * p["ui"] + xi * p["ur"]
+    pad = ((0, 0), (0, p["L"] - n))
+    fr, fi = transform_any(jnp.pad(yr, pad), jnp.pad(yi, pad), p["L"], -1)
+    cr = fr * p["kr"] - fi * p["ki"]
+    ci = fr * p["ki"] + fi * p["kr"]
+    gr, gi = transform_any(cr, ci, p["L"], +1)  # unnormalized inverse
+    s = np.float32(1.0 / p["L"])
+    gr = gr[:, :m] * s
+    gi = gi[:, :m] * s
+    outr = gr * p["pr"] - gi * p["pi"]
+    outi = gr * p["pi"] + gi * p["pr"]
+    return (outr[0], outi[0]) if squeeze else (outr, outi)
+
+
+def czt(x, m: int | None = None, w: complex | None = None, a: complex = 1 + 0j):
+    """Host-convenience chirp-z transform; see :func:`czt_device`."""
+    yr, yi = czt_device(np.asarray(x, dtype=np.float32), m, w, a)
+    return np.asarray(yr), np.asarray(yi)
+
+
+def zoom_fft_device(x, fn, m: int | None = None, fs: float = 2.0):
+    """Zoomed DFT of real rows over the band ``fn = [f1, f2]`` (device).
+
+    Evaluates m equally-spaced spectrum points from f1 to f2 (endpoint
+    excluded: step = (f2 - f1) / m) without computing the full transform —
+    ``scipy.signal.zoom_fft`` semantics.  A scalar ``fn`` means [0, fn];
+    ``m`` defaults to the signal length; ``fs`` is the sample rate.
+
+    Returns split-complex (re, im) of the m band samples.
+    """
+    import jax.numpy as jnp
+
+    xa = jnp.asarray(x, dtype=jnp.float32)
+    n = xa.shape[-1]
+    if np.ndim(fn) == 0:
+        f1, f2 = 0.0, float(fn)
+    else:
+        fn = np.asarray(fn, dtype=np.float64)
+        if fn.shape != (2,):
+            raise ValueError(f"fn must be a scalar or [f1, f2], got shape {fn.shape}")
+        f1, f2 = float(fn[0]), float(fn[1])
+    m = n if m is None else m
+    if fs <= 0:
+        raise ValueError(f"fs must be positive, got {fs}")
+    w = complex(np.exp(-2j * np.pi * (f2 - f1) / (m * fs)))
+    a = complex(np.exp(2j * np.pi * f1 / fs))
+    return czt_device(xa, m=m, w=w, a=a)
+
+
+def zoom_fft(x, fn, m: int | None = None, fs: float = 2.0):
+    """Host-convenience zoom FFT; see :func:`zoom_fft_device`."""
+    yr, yi = zoom_fft_device(np.asarray(x, dtype=np.float32), fn, m, fs)
+    return np.asarray(yr), np.asarray(yi)

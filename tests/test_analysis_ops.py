@@ -316,6 +316,84 @@ def test_resample_contracts():
         gf.resample(np.zeros((2, 2, 2), np.float32), 4)
 
 
+# ── CZT / zoom FFT ───────────────────────────────────────────────────────────
+
+
+@pytest.mark.parametrize("n,m", [(100, 100), (100, 37), (64, 200), (101, 101)])
+def test_czt_default_matches_scipy(rng, n, m):
+    x = rng.standard_normal(n).astype(np.float32)
+    gr, gi = gf.czt(x, m=m)
+    ref = scipy.signal.czt(x.astype(np.float64), m=m)
+    scale = float(np.abs(ref).max())
+    assert_slice_approx((gr + 1j * gi).real / scale, ref.real / scale, 2e-4, f"czt {n}->{m}")
+    assert_slice_approx(gi / scale, ref.imag / scale, 2e-4, f"czt imag {n}->{m}")
+
+
+def test_czt_equals_fft_at_dft_params(rng):
+    x = rng.standard_normal(256).astype(np.float32)
+    gr, gi = gf.czt(x)
+    ref = np.fft.fft(x.astype(np.float64))
+    assert_slice_approx(gr, ref.real, 1e-2, "czt==fft real")
+    assert_slice_approx(gi, ref.imag, 1e-2, "czt==fft imag")
+
+
+def test_czt_custom_w_a_matches_scipy(rng):
+    x = rng.standard_normal(80).astype(np.float32)
+    w = np.exp(-2j * np.pi / 97) * 1.001  # mild spiral
+    a = np.exp(2j * np.pi * 0.13) * 0.998
+    gr, gi = gf.czt(x, m=50, w=complex(w), a=complex(a))
+    ref = scipy.signal.czt(x.astype(np.float64), m=50, w=w, a=a)
+    scale = float(np.abs(ref).max())
+    assert_slice_approx(gr / scale, ref.real / scale, 5e-4, "czt spiral real")
+    assert_slice_approx(gi / scale, ref.imag / scale, 5e-4, "czt spiral imag")
+
+
+@pytest.mark.parametrize("fn", [[100.0, 150.0], 80.0])
+def test_zoom_fft_matches_scipy(rng, fn):
+    fs = 400.0
+    x = rng.standard_normal(1000).astype(np.float32)
+    gr, gi = gf.zoom_fft(x, fn, m=128, fs=fs)
+    ref = scipy.signal.zoom_fft(x.astype(np.float64), fn, m=128, fs=fs)
+    scale = float(np.abs(ref).max())
+    assert_slice_approx(gr / scale, ref.real / scale, 2e-4, "zoom_fft real")
+    assert_slice_approx(gi / scale, ref.imag / scale, 2e-4, "zoom_fft imag")
+
+
+def test_zoom_fft_resolves_close_tones(rng):
+    # Two tones 0.3 Hz apart in an 8-second record (intrinsic resolution
+    # 0.125 Hz): the 256-point zoom over [99, 101] Hz shows both peaks at
+    # ~0.008 Hz spacing without computing an 8000-point spectrum.
+    fs = 1000.0
+    t = np.arange(8000) / fs
+    x = (np.sin(2 * np.pi * 99.8 * t) + np.sin(2 * np.pi * 100.1 * t)).astype(np.float32)
+    gr, gi = gf.zoom_fft(x, [99.0, 101.0], m=256, fs=fs)
+    mag = np.hypot(gr, gi)
+    freqs = 99.0 + np.arange(256) * (2.0 / 256)
+    peaks = [
+        freqs[i]
+        for i in range(1, 255)
+        if mag[i] > mag[i - 1] and mag[i] > mag[i + 1] and mag[i] > mag.max() * 0.5
+    ]
+    assert any(abs(p - 99.8) < 0.05 for p in peaks), peaks
+    assert any(abs(p - 100.1) < 0.05 for p in peaks), peaks
+
+
+def test_czt_batched_and_contracts(rng):
+    x = rng.standard_normal((3, 64)).astype(np.float32)
+    gr, gi = gf.czt_device(x, m=40)
+    ref = scipy.signal.czt(x.astype(np.float64), m=40, axis=-1)
+    scale = float(np.abs(ref).max())
+    assert_slice_approx(np.asarray(gr) / scale, ref.real / scale, 2e-4, "czt batched")
+    with pytest.raises(ValueError):
+        gf.czt(np.zeros(16, np.float32), m=0)
+    with pytest.raises(ValueError):
+        gf.czt(np.zeros(16, np.float32), w=0.0)
+    with pytest.raises(ValueError):
+        gf.zoom_fft(np.zeros(16, np.float32), [1.0, 2.0, 3.0])
+    with pytest.raises(ValueError):
+        gf.zoom_fft(np.zeros(16, np.float32), 1.0, fs=-1.0)
+
+
 # ── DCT / DST ────────────────────────────────────────────────────────────────
 
 
