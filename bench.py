@@ -213,6 +213,28 @@ def main() -> None:
     measure("fft2_256x512", fft2_step(256, 512), dev((256, 512)), b=256, n=512, kind="fft2")
     measure("fft_exact_n48000", exact_step(48000), dev((1, 48000)), b=1, n=48000, kind="fft_exact")
 
+    # Analysis-op pipelines (round-2 wave; gather-free framing/overlap-add).
+    # (b, n) is the transform work — (num_frames, frame) — while the step
+    # consumes a (1, L) signal.
+    from gpu_fft_tpu.utils.profiling import stft_roundtrip_step, welch_step
+
+    measure(
+        "stft_roundtrip_f256_h64_L16384",
+        stft_roundtrip_step(256, 64),
+        dev((1, 16384)),
+        b=(16384 - 256) // 64 + 1,
+        n=256,
+        kind="stft_roundtrip",
+    )
+    measure(
+        "welch_seg256_L65536",
+        welch_step(256),
+        dev((1, 65536)),
+        b=(65536 - 256) // 128 + 1,
+        n=256,
+        kind="welch",
+    )
+
     # ── Backend comparison: XLA vendor FFT (compare_bench.rs analog) ────────
     measure("xla_fft_n65536", xla_fft_forward_step(65536), dev((1, 65536)), b=1, n=65536, kind="fft")
     measure(

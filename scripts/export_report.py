@@ -332,6 +332,43 @@ def chart_roundtrip(entries, path):
     return True
 
 
+def chart_analysis_ops(entries, path):
+    """Analysis-op pipelines (round-2 extensions): time + %SoL per op."""
+    import matplotlib
+
+    matplotlib.use("svg")
+    import matplotlib.pyplot as plt
+
+    kinds = ["stft_roundtrip", "welch", "dct_roundtrip", "hilbert", "resample", "fft_exact", "fft2"]
+    rows = []
+    for k in kinds:
+        for e in entries:
+            if e["kind"] == k:
+                label = e["name"].split("/")[-1]
+                rows.append((f"{k}\n{label}", e["per_call_us"], e.get("pct_sol")))
+                break
+    if not rows:
+        return False
+    fig, ax = plt.subplots(figsize=(8.0, 4.2), facecolor=SURFACE)
+    _style(ax)
+    xs = range(len(rows))
+    bars = ax.bar(xs, [r[1] for r in rows], 0.6, color=C_PALLAS, zorder=3)
+    for rect, (_, v, sol) in zip(bars, rows):
+        note = f"{v:.1f} µs" + (f"\n{sol:.0f}% SoL" if sol is not None else "")
+        ax.annotate(note, (rect.get_x() + rect.get_width() / 2, rect.get_height()),
+                    textcoords="offset points", xytext=(0, 3), ha="center",
+                    fontsize=8, color=TEXT_2)
+    ax.set_xticks(list(xs))
+    ax.set_xticklabels([r[0] for r in rows], fontsize=7)
+    ax.set_ylabel("device time per pipeline (µs)", color=TEXT_2)
+    ax.set_title("Analysis-op pipelines (extensions beyond reference parity)",
+                 color=TEXT, fontsize=12)
+    fig.tight_layout()
+    fig.savefig(path, facecolor=SURFACE)
+    plt.close(fig)
+    return True
+
+
 def render_markdown(raw, charts, out_md):
     lines = [
         "# gpu_fft_tpu benchmark report",
@@ -444,6 +481,8 @@ def main() -> None:
         charts.append(("Inverse latency", "charts/inverse_latency.svg"))
     if chart_roundtrip(entries, out / "charts" / "roundtrip_family.svg"):
         charts.append(("Roundtrip family", "charts/roundtrip_family.svg"))
+    if chart_analysis_ops(entries, out / "charts" / "analysis_ops.svg"):
+        charts.append(("Analysis-op pipelines", "charts/analysis_ops.svg"))
 
     render_markdown(raw, charts, out / "latest.md")
     # Timestamped archive (the reference's bench-results/archive layout,
