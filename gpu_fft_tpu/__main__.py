@@ -8,6 +8,7 @@ Commands:
   demo       the end-to-end sine -> FFT -> PSD -> peak -> IFFT workload
   backends   enumerate available backends and roundtrip through each
   bench      quick on-device benchmark of one (batch, n) configuration
+  plan       explain how a (batch, n) transform will dispatch (no device)
 """
 
 from __future__ import annotations
@@ -72,13 +73,21 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_plan(args) -> int:
+    from gpu_fft_tpu.plan import describe_plan
+
+    try:
+        info = describe_plan(args.n, batch=args.batch)
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 2
+    width = max(len(k) for k in info)
+    for k, v in info.items():
+        print(f"{k:{width}s}  {v}")
+    return 0
+
+
 def main(argv=None) -> int:
-    # Persistent compilation cache: repeat CLI invocations skip the
-    # tens-of-seconds first-compile behind a remote-compile transport.
-    from gpu_fft_tpu.config import enable_compilation_cache
-
-    enable_compilation_cache()
-
     parser = argparse.ArgumentParser(prog="gpu_fft_tpu", description=__doc__)
     sub = parser.add_subparsers(dest="command", required=True)
     sub.add_parser("demo", help="end-to-end signal-processing demo")
@@ -86,8 +95,20 @@ def main(argv=None) -> int:
     pb = sub.add_parser("bench", help="quick on-device benchmark")
     pb.add_argument("--batch", type=int, default=1)
     pb.add_argument("-n", type=int, default=65536)
+    pp = sub.add_parser("plan", help="dispatch introspection (pure arithmetic)")
+    pp.add_argument("--batch", type=int, default=1)
+    pp.add_argument("-n", type=int, default=65536)
     args = parser.parse_args(argv)
-    return {"demo": cmd_demo, "backends": cmd_backends, "bench": cmd_bench}[args.command](args)
+    if args.command != "plan":
+        # Persistent compilation cache: repeat CLI invocations skip the
+        # tens-of-seconds first-compile behind a remote-compile transport.
+        # (``plan`` is pure arithmetic — it never touches a device.)
+        from gpu_fft_tpu.config import enable_compilation_cache
+
+        enable_compilation_cache()
+    return {"demo": cmd_demo, "backends": cmd_backends, "bench": cmd_bench, "plan": cmd_plan}[
+        args.command
+    ](args)
 
 
 if __name__ == "__main__":

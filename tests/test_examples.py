@@ -54,6 +54,15 @@ def test_cli_bench_rejects_bad_n(capsys):
     assert main(["bench", "-n", "100"]) == 2
 
 
+def test_cli_plan(capsys):
+    from gpu_fft_tpu.__main__ import main
+
+    assert main(["plan", "-n", "1048576"]) == 0
+    out = capsys.readouterr().out
+    assert "staged" in out and "(128, 8192)" in out
+    assert main(["plan", "-n", "100"]) == 2
+
+
 def test_extensions_example():
     import extensions
 
