@@ -138,28 +138,38 @@ def _check_framing(frame_size: int, hop: int | None) -> int:
 
 
 def stft_device(x, frame_size: int, hop: int | None = None, window: str | None = "hann"):
-    """Complex one-sided STFT of a 1-D signal (device, jit-composable).
+    """Complex one-sided STFT (device, jit-composable).
 
-    ``x``: (n_samples,) real f32; ``frame_size``: power of two; ``hop``
-    defaults to frame_size // 2 (50% overlap).  Returns split-complex
-    ``(real, imag)`` arrays of shape (num_frames, frame_size // 2 + 1);
-    frames that would run past the end of the signal are dropped (same
+    ``x``: (n_samples,) real f32, or (channels, n_samples) for multi-channel
+    input; ``frame_size``: power of two; ``hop`` defaults to
+    frame_size // 2 (50% overlap).  Returns split-complex ``(real, imag)``
+    arrays of shape (num_frames, frame_size // 2 + 1) — with a leading
+    channel axis for 2-D input; ALL channels ride one batched transform.
+    Frames that would run past the end of the signal are dropped (same
     framing as :func:`gpu_fft_tpu.spectrogram_device`).
     """
+    import jax
     import jax.numpy as jnp
 
     from .transform import rfft_device
 
     hop = _check_framing(frame_size, hop)
     x = jnp.asarray(x, dtype=jnp.float32)
-    if x.ndim != 1:
-        raise ValueError(f"stft expects a 1-D signal, got shape {x.shape}")
-    n = x.shape[0]
+    if x.ndim not in (1, 2):
+        raise ValueError(f"stft expects a 1-D signal or (channels, n), got shape {x.shape}")
+    n = x.shape[-1]
     num_frames = (n - frame_size) // hop + 1
     if num_frames < 1:
         raise ValueError(f"signal of {n} samples is shorter than one {frame_size} frame")
+    w = window_table(window, frame_size)
+    if x.ndim == 2:
+        c = x.shape[0]
+        frames = jax.vmap(lambda row: frame_signal(row, frame_size, hop, num_frames))(x)
+        fr, fi = rfft_device(frames.reshape(c * num_frames, frame_size) * w[None])
+        h = frame_size // 2 + 1
+        return fr.reshape(c, num_frames, h), fi.reshape(c, num_frames, h)
     frames = frame_signal(x, frame_size, hop, num_frames)
-    return rfft_device(frames * window_table(window, frame_size)[None])
+    return rfft_device(frames * w[None])
 
 
 def istft_device(
@@ -179,14 +189,18 @@ def istft_device(
     every covered sample.  ``length`` trims/zero-pads the tail (pass the
     original signal length).
     """
+    import jax
     import jax.numpy as jnp
 
     real = jnp.asarray(real, dtype=jnp.float32)
     imag = jnp.asarray(imag, dtype=jnp.float32)
-    if real.shape != imag.shape or real.ndim != 2:
+    if real.shape != imag.shape or real.ndim not in (2, 3):
         raise ValueError(
-            f"istft expects matching (num_frames, bins) arrays, got {real.shape} vs {imag.shape}"
+            f"istft expects matching (num_frames, bins) or (channels, num_frames, bins) "
+            f"arrays, got {real.shape} vs {imag.shape}"
         )
+    if real.ndim == 3:  # multi-channel: one synthesis per channel
+        return jax.vmap(lambda r, i: istft_device(r, i, hop, window, length))(real, imag)
     num_frames, h = real.shape
     frame_size = 2 * (h - 1)
     if h < 2 or frame_size & (frame_size - 1):

@@ -56,6 +56,20 @@ def test_istft_roundtrip_exact_on_covered_samples(rng, window, hop_div):
     assert_slice_approx(y[:covered][ok], x[:covered][ok], 2e-3, "istft roundtrip")
 
 
+def test_stft_multichannel_matches_per_channel(rng):
+    x = rng.standard_normal((3, 2048)).astype(np.float32)
+    r, i = gf.stft_device(x, 256, hop=64)
+    assert r.shape == (3, (2048 - 256) // 64 + 1, 129)
+    for c in range(3):
+        rc, ic = gf.stft(x[c], 256, hop=64)
+        assert_slice_approx(np.asarray(r[c]), rc, 1e-4, f"stft channel {c} real")
+        assert_slice_approx(np.asarray(i[c]), ic, 1e-4, f"stft channel {c} imag")
+    y = np.asarray(gf.istft_device(r, i, hop=64, length=2048))
+    assert y.shape == (3, 2048)
+    cov = ((2048 - 256) // 64) * 64 + 256
+    assert_slice_approx(y[:, 1 : cov - 256], x[:, 1 : cov - 256], 2e-3, "istft channels")
+
+
 def test_istft_length_pads_and_trims(rng):
     x = rng.standard_normal(512).astype(np.float32)
     r, i = gf.stft(x, 128, hop=64)
