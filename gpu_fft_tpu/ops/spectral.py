@@ -188,16 +188,27 @@ def _segment_spectra(
         raise ValueError(f"fs must be positive, got {fs}")
     hop = nperseg - noverlap
     x = jnp.asarray(x, dtype=jnp.float32)
-    if x.ndim != 1:
-        raise ValueError(f"{name} expects a 1-D signal, got shape {x.shape}")
-    n = x.shape[0]
+    if x.ndim not in (1, 2):
+        raise ValueError(f"{name} expects a 1-D signal or (channels, n), got shape {x.shape}")
+    n = x.shape[-1]
     num_seg = (n - nperseg) // hop + 1
     if num_seg < 1:
         raise ValueError(f"signal of {n} samples is shorter than one {nperseg} segment")
-    segs = frame_signal(x, nperseg, hop, num_seg)
+    if x.ndim == 2:  # multi-channel: all channels ride one batched transform
+        import jax
+
+        c = x.shape[0]
+        segs = jax.vmap(lambda row: frame_signal(row, nperseg, hop, num_seg))(x)
+        segs = segs.reshape(c * num_seg, nperseg)
+    else:
+        segs = frame_signal(x, nperseg, hop, num_seg)
     if detrend:
         segs = segs - jnp.mean(segs, axis=-1, keepdims=True)
-    return rfft_device(segs * window_table(window, nperseg)[None])
+    yr, yi = rfft_device(segs * window_table(window, nperseg)[None])
+    if x.ndim == 2:
+        h = nperseg // 2 + 1
+        return yr.reshape(c, num_seg, h), yi.reshape(c, num_seg, h)
+    return yr, yi
 
 
 def welch_device(
@@ -221,12 +232,15 @@ def welch_device(
     matches to f32 rounding for periodic windows.
 
     Returns ``(freqs, psd)``: freqs is a host NumPy array of the
-    nperseg // 2 + 1 bin frequencies; psd stays on device.
+    nperseg // 2 + 1 bin frequencies; psd stays on device.  A 2-D
+    ``(channels, n)`` input yields a ``(channels, bins)`` psd (per-row
+    estimates, ``scipy.signal.welch`` axis=-1 semantics), all channels in
+    one batched transform.
     """
     import jax.numpy as jnp
 
     yr, yi = _segment_spectra(x, nperseg, noverlap, window, detrend, fs, scaling, "welch")
-    power = jnp.mean(yr * yr + yi * yi, axis=0)  # (bins,)
+    power = jnp.mean(yr * yr + yi * yi, axis=-2)  # (bins,) or (channels, bins)
     freqs = np.arange(nperseg // 2 + 1, dtype=np.float64) * (fs / nperseg)
     return freqs, power * _welch_scale_mult(window, nperseg, fs, scaling)
 
@@ -276,8 +290,8 @@ def csd_device(
     xr, xi = _segment_spectra(x, nperseg, noverlap, window, detrend, fs, scaling, "csd")
     yr, yi = _segment_spectra(y, nperseg, noverlap, window, detrend, fs, scaling, "csd")
     # conj(X) * Y
-    pr = jnp.mean(xr * yr + xi * yi, axis=0)
-    pi = jnp.mean(xr * yi - xi * yr, axis=0)
+    pr = jnp.mean(xr * yr + xi * yi, axis=-2)
+    pi = jnp.mean(xr * yi - xi * yr, axis=-2)
     mult = _welch_scale_mult(window, nperseg, fs, scaling)
     freqs = np.arange(nperseg // 2 + 1, dtype=np.float64) * (fs / nperseg)
     return freqs, (pr * mult, pi * mult)
@@ -330,10 +344,10 @@ def coherence_device(
         raise ValueError(f"coherence: signals must share one shape, got {x.shape} vs {y.shape}")
     xr, xi = _segment_spectra(x, nperseg, noverlap, window, True, fs, "density", "coherence")
     yr, yi = _segment_spectra(y, nperseg, noverlap, window, True, fs, "density", "coherence")
-    pxx = jnp.mean(xr * xr + xi * xi, axis=0)
-    pyy = jnp.mean(yr * yr + yi * yi, axis=0)
-    pr = jnp.mean(xr * yr + xi * yi, axis=0)
-    pi = jnp.mean(xr * yi - xi * yr, axis=0)
+    pxx = jnp.mean(xr * xr + xi * xi, axis=-2)
+    pyy = jnp.mean(yr * yr + yi * yi, axis=-2)
+    pr = jnp.mean(xr * yr + xi * yi, axis=-2)
+    pi = jnp.mean(xr * yi - xi * yr, axis=-2)
     den = pxx * pyy
     cxy = jnp.where(den > 0, (pr * pr + pi * pi) / jnp.where(den > 0, den, 1.0), 0.0)
     freqs = np.arange(nperseg // 2 + 1, dtype=np.float64) * (fs / nperseg)

@@ -127,6 +127,15 @@ def test_welch_peak_at_signal_frequency(rng):
     assert abs(f[int(np.argmax(p))] - 125.0) < fs / 512
 
 
+def test_welch_multichannel_matches_scipy(rng):
+    x = rng.standard_normal((3, 2048)).astype(np.float32)
+    f, p = gf.welch(x, fs=50.0, nperseg=128)
+    f_ref, p_ref = scipy.signal.welch(x, fs=50.0, nperseg=128, axis=-1)
+    assert np.asarray(p).shape == (3, 65)
+    scale = float(np.abs(p_ref).max())
+    assert_slice_approx(np.asarray(p) / scale, p_ref / scale, 1e-4, "welch channels")
+
+
 def test_welch_contracts():
     with pytest.raises(ValueError):
         gf.welch(np.zeros(1024, np.float32), nperseg=100)
