@@ -43,6 +43,15 @@ from .ops.dsp import (
     resample_device,
 )
 from .ops.exact import fft_exact, fft_exact_device, ifft_exact, ifft_exact_device
+from .ops.filter import (
+    fftfilt,
+    fftfilt_device,
+    filtfilt_fir,
+    firwin,
+    freqz_fir,
+    oaconvolve,
+    oaconvolve_device,
+)
 from .ops.fft2d import (
     fft2,
     fft2_device,
@@ -124,6 +133,13 @@ __all__ = [
     "fft_convolve",
     "fft_convolve_device",
     "fft_correlate",
+    "oaconvolve",
+    "oaconvolve_device",
+    "firwin",
+    "fftfilt",
+    "fftfilt_device",
+    "filtfilt_fir",
+    "freqz_fir",
     "fftshift",
     "ifftshift",
     "hilbert",

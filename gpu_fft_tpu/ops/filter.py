@@ -1,0 +1,322 @@
+"""FFT-domain FIR filtering: overlap-add convolution, design, application.
+
+Extension beyond the reference surface (it ships transforms + PSD only).
+The centerpiece is :func:`oaconvolve` — overlap-add block convolution for
+signals far longer than one transform: the signal is cut into blocks that
+all ride ONE batched fused transform (the launch-amortization pattern of
+reference ``src/fft.rs:191-205``), multiplied by the kernel's spectrum, and
+re-assembled with a vectorized tail-shift overlap-add (static slices and
+pads only — arbitrary-index scatters run on the TPU scalar core, see
+``docs/ALGORITHM.md`` §4d).  Memory stays bounded by the block size no
+matter how long the signal is, unlike :func:`~gpu_fft_tpu.fft_convolve`
+which needs one transform spanning the whole output.
+
+On top of it: :func:`firwin` (window-method FIR design,
+``scipy.signal.firwin`` semantics), :func:`fftfilt` (causal FIR filtering,
+``scipy.signal.lfilter(h, [1], x)`` semantics), :func:`filtfilt_fir`
+(zero-phase forward-backward filtering), and :func:`freqz_fir` (frequency
+response via the device rfft).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "oaconvolve",
+    "oaconvolve_device",
+    "firwin",
+    "fftfilt",
+    "fftfilt_device",
+    "filtfilt_fir",
+    "freqz_fir",
+]
+
+
+def _best_block_fft_size(lh: int, n: int) -> int:
+    """Pick the overlap-add block transform length m (a power of two).
+
+    Classic cost-per-input-sample model: each length-m block transform
+    covers L = m - lh + 1 fresh samples at ~m·log2(m) work, so minimize
+    m·log2(m) / (m - lh + 1) over powers of two.  Candidates stay within
+    the fused single-kernel range so every block rides the fast path.
+    """
+    from ..config import FUSED_MAX
+    from .transform import next_power_of_two
+
+    lo = max(2 * next_power_of_two(max(lh, 1)), 32)
+    best, best_cost = lo, float("inf")
+    m = lo
+    while m <= FUSED_MAX:
+        cost = m * np.log2(m) / (m - lh + 1)
+        if cost < best_cost:
+            best, best_cost = m, cost
+        if m >= n + lh - 1:  # one block already covers everything
+            break
+        m *= 2
+    return best
+
+
+def oaconvolve_device(x, h, block: int | None = None):
+    """Device-resident overlap-add full convolution of batched real rows.
+
+    ``x``: (n,) or (B, n) real f32 signal rows; ``h``: (lh,) or (B, lh)
+    real f32 kernel (a 1-D kernel broadcasts across the batch).  Returns
+    the (B, n+lh-1) full linear convolution — 1-D when both inputs were.
+
+    ``block`` overrides the block transform length (power of two,
+    >= 2*lh); by default a cost model picks it.  jit-composable: all
+    shapes are static, the block spectra ride one batched transform, and
+    the overlap-add is a single shifted tail addition (no scatters).
+    """
+    import jax.numpy as jnp
+
+    from ..kernels.large import transform_any
+    from .transform import next_power_of_two
+
+    x = jnp.asarray(x, dtype=jnp.float32)
+    h = jnp.asarray(h, dtype=jnp.float32)
+    squeeze = x.ndim == 1 and h.ndim == 1
+    if x.ndim == 1:
+        x = x[None]
+    if h.ndim == 1:
+        h = h[None]
+    if x.ndim != 2 or h.ndim != 2:
+        raise ValueError(
+            f"oaconvolve_device expects 1-D or (B, l) inputs, got {x.shape} vs {h.shape}"
+        )
+    if x.shape[1] == 0 or h.shape[1] == 0:
+        raise ValueError("oaconvolve_device expects non-empty signals")
+    if x.shape[0] != h.shape[0]:
+        if h.shape[0] == 1:
+            h = jnp.broadcast_to(h, (x.shape[0], h.shape[1]))
+        elif x.shape[0] == 1:
+            x = jnp.broadcast_to(x, (h.shape[0], x.shape[1]))
+        else:
+            raise ValueError(
+                f"oaconvolve_device: batch sizes differ: {x.shape[0]} vs {h.shape[0]}"
+            )
+    if x.shape[1] < h.shape[1]:  # convolution commutes; keep the kernel short
+        x, h = h, x
+    b, n = x.shape
+    lh = h.shape[1]
+    lfull = n + lh - 1
+
+    m = _best_block_fft_size(lh, n) if block is None else int(block)
+    if block is not None:
+        if m & (m - 1) or m < 2 * lh:
+            raise ValueError(f"block must be a power of two >= 2*len(h), got {block}")
+    if m >= next_power_of_two(lfull):
+        # One block covers the whole output: plain single-transform path.
+        from .dsp import fft_convolve_device
+
+        out = fft_convolve_device(x, h)
+        return out[0] if squeeze else out
+
+    hop = m - lh + 1  # fresh input samples per block
+    nblocks = -(-n // hop)
+    xp = jnp.pad(x, ((0, 0), (0, nblocks * hop - n))).reshape(b, nblocks, hop)
+    xp = jnp.pad(xp, ((0, 0), (0, 0), (0, m - hop)))  # (b, nblocks, m)
+
+    # Kernel spectrum once, block spectra in ONE batched fused transform.
+    hr, hi = transform_any(jnp.pad(h, ((0, 0), (0, m - lh))), None, m, -1)
+    xr, xi = transform_any(xp.reshape(b * nblocks, m), None, m, -1)
+    xr = xr.reshape(b, nblocks, m)
+    xi = xi.reshape(b, nblocks, m)
+    cr = xr * hr[:, None, :] - xi * hi[:, None, :]
+    ci = xr * hi[:, None, :] + xi * hr[:, None, :]
+    yr, _ = transform_any(
+        cr.reshape(b * nblocks, m), ci.reshape(b * nblocks, m), m, +1
+    )
+    blocks = yr.reshape(b, nblocks, m) * jnp.float32(1.0 / m)
+
+    # Overlap-add: block k spans [k*hop, k*hop + m).  Since m <= 2*hop
+    # (cost model guarantees m >= 2*lh so the tail lh-1 < hop), each tail
+    # lands entirely inside the NEXT block's span: one shifted addition.
+    t = m - hop  # tail length = lh - 1
+    main = blocks[:, :, :hop]
+    tails = blocks[:, :, hop:]  # (b, nblocks, t)
+    shifted = jnp.pad(tails, ((0, 0), (1, 0), (0, hop - t)))[:, :-1]
+    out = (main + shifted).reshape(b, nblocks * hop)
+    out = jnp.concatenate([out, jnp.pad(tails[:, -1], ((0, 0), (0, hop - t)))], axis=1)
+    out = out[:, :lfull]
+    return out[0] if squeeze else out
+
+
+def oaconvolve(x, h, mode: str = "full", block: int | None = None):
+    """Overlap-add linear convolution of real 1-D signals.
+
+    ``scipy.signal.oaconvolve`` semantics for real input: cuts the longer
+    operand into blocks so arbitrarily long signals convolve in bounded
+    memory through the batched fused transform.  ``mode``: "full"
+    (default), "same" (centered, len max(la, lb)), or "valid".
+
+    >>> oaconvolve([1.0, 2.0, 3.0], [1.0, 1.0]).round(5).tolist()
+    [1.0, 3.0, 5.0, 3.0]
+    >>> oaconvolve([1.0, 2.0, 3.0, 4.0], [1.0, 1.0], mode="same").round(5).tolist()
+    [1.0, 3.0, 5.0, 7.0]
+    """
+    xv = np.asarray(x, dtype=np.float32)
+    hv = np.asarray(h, dtype=np.float32)
+    if xv.ndim != 1 or hv.ndim != 1 or xv.size == 0 or hv.size == 0:
+        raise ValueError("oaconvolve expects two non-empty 1-D signals")
+    if mode not in ("full", "same", "valid"):
+        raise ValueError(f"mode must be full|same|valid, got {mode!r}")
+    la, lb = xv.shape[0], hv.shape[0]
+    if mode == "valid" and la < lb:
+        raise ValueError("valid mode requires len(x) >= len(h)")
+    full = np.asarray(oaconvolve_device(xv, hv, block=block))
+    if mode == "full":
+        return full
+    if mode == "same":
+        out_len = max(la, lb)
+        start = (min(la, lb) - 1) // 2
+        return full[start : start + out_len].copy()
+    return full[lb - 1 : la].copy()
+
+
+def _symmetric_window(window: str | None, numtaps: int) -> np.ndarray:
+    """Symmetric (filter-design) window, f64 — denominator N-1, not N."""
+    if window is None or window == "rect":
+        return np.ones(numtaps)
+    if numtaps == 1:
+        return np.ones(1)
+    c = 2.0 * np.pi * np.arange(numtaps) / (numtaps - 1)
+    if window == "hann":
+        return 0.5 - 0.5 * np.cos(c)
+    if window == "hamming":
+        return 0.54 - 0.46 * np.cos(c)
+    if window == "blackman":
+        return 0.42 - 0.5 * np.cos(c) + 0.08 * np.cos(2.0 * c)
+    raise ValueError(f"window must be rect|hann|hamming|blackman or None, got {window!r}")
+
+
+def firwin(
+    numtaps: int,
+    cutoff,
+    *,
+    window: str | None = "hamming",
+    pass_zero: bool = True,
+    scale: bool = True,
+    fs: float = 2.0,
+) -> np.ndarray:
+    """Window-method FIR filter design (``scipy.signal.firwin`` semantics).
+
+    ``numtaps`` linear-phase taps; ``cutoff`` is a scalar or ascending list
+    of band edges in the same units as ``fs`` (default fs=2 means cutoffs
+    are normalized to the Nyquist frequency).  ``pass_zero=True`` makes the
+    first band a passband (lowpass / bandstop); False starts with a
+    stopband (highpass / bandpass).  Each band contributes a windowed ideal
+    (sinc) response; ``scale`` normalizes unity gain at the center of the
+    first passband.  Returns f64 taps (design is host-side math).
+
+    >>> float(firwin(11, 0.4).sum().round(6))  # unity DC gain when scaled
+    1.0
+    """
+    if numtaps < 1:
+        raise ValueError(f"numtaps must be >= 1, got {numtaps}")
+    edges = np.atleast_1d(np.asarray(cutoff, dtype=np.float64)) / (fs / 2.0)
+    if edges.ndim != 1 or edges.size == 0:
+        raise ValueError("cutoff must be a scalar or 1-D sequence")
+    if np.any(edges <= 0.0) or np.any(edges >= 1.0):
+        raise ValueError("cutoff frequencies must lie strictly inside (0, fs/2)")
+    if np.any(np.diff(edges) <= 0.0):
+        raise ValueError("cutoff must be strictly increasing")
+
+    pass_nyquist = bool(edges.size & 1) ^ pass_zero
+    if pass_nyquist and numtaps % 2 == 0:
+        raise ValueError(
+            "an even-numtaps filter has zero response at Nyquist; "
+            "use odd numtaps for highpass/bandstop designs"
+        )
+    bands = np.concatenate(
+        [[0.0] if pass_zero else [], edges, [1.0] if pass_nyquist else []]
+    ).reshape(-1, 2)
+
+    k = np.arange(numtaps, dtype=np.float64) - (numtaps - 1) / 2.0
+    h = np.zeros(numtaps)
+    for left, right in bands:
+        h += right * np.sinc(right * k) - left * np.sinc(left * k)
+    h *= _symmetric_window(window, numtaps)
+    if scale:
+        left, right = bands[0]
+        fc = 0.0 if left == 0.0 else (1.0 if right == 1.0 else 0.5 * (left + right))
+        h /= np.sum(h * np.cos(np.pi * k * fc))
+    return h
+
+
+def fftfilt_device(x, h):
+    """Causal FIR filtering of batched rows on device (jit-composable).
+
+    ``y[k] = sum_j h[j] * x[k-j]`` — ``scipy.signal.lfilter(h, [1], x)``
+    semantics: output has the input's length (the convolution tail is
+    dropped).  Rides :func:`oaconvolve_device`.
+    """
+    import jax.numpy as jnp
+
+    x = jnp.asarray(x, dtype=jnp.float32)
+    n = x.shape[-1]
+    full = oaconvolve_device(x, h)
+    return full[..., :n]
+
+
+def fftfilt(x, h):
+    """Host-convenience causal FIR filter; see :func:`fftfilt_device`.
+
+    >>> np.abs(fftfilt([1.0, 0.0, 0.0, 2.0], [1.0, 0.5])).round(5).tolist()
+    [1.0, 0.5, 0.0, 2.0]
+    """
+    return np.asarray(fftfilt_device(np.asarray(x, dtype=np.float32), h))
+
+
+def filtfilt_fir(x, h, padlen: int | None = None):
+    """Zero-phase FIR filtering: forward pass, reverse, filter again, reverse.
+
+    ``scipy.signal.filtfilt(h, [1], x)`` semantics including the default
+    odd-reflection edge extension (``padlen = 3*len(h)`` unless given).
+    The magnitude response is applied twice (|H|²) and the phase cancels —
+    the standard offline filtering primitive.
+    """
+    xv = np.asarray(x, dtype=np.float32)
+    hv = np.asarray(h, dtype=np.float32)
+    if xv.ndim != 1 or hv.ndim != 1 or xv.size == 0 or hv.size == 0:
+        raise ValueError("filtfilt_fir expects two non-empty 1-D signals")
+    pad = 3 * hv.shape[0] if padlen is None else int(padlen)
+    if pad >= xv.shape[0]:
+        raise ValueError(
+            f"padlen ({pad}) must be less than len(x) ({xv.shape[0]})"
+        )
+    if pad > 0:
+        head = 2.0 * xv[0] - xv[pad:0:-1]
+        tail = 2.0 * xv[-1] - xv[-2 : -pad - 2 : -1]
+        ext = np.concatenate([head, xv, tail]).astype(np.float32)
+    else:
+        ext = xv
+    y = np.asarray(fftfilt_device(ext, hv))[::-1]
+    y = np.asarray(fftfilt_device(y.copy(), hv))[::-1]
+    return y[pad : pad + xv.shape[0]].copy() if pad > 0 else y.copy()
+
+
+def freqz_fir(h, n: int = 512, fs: float = 2.0 * np.pi):
+    """Frequency response of an FIR filter at ``n`` points on [0, fs/2).
+
+    ``scipy.signal.freqz(h, worN=n)`` semantics: evaluates H(e^{jw}) on the
+    upper half of the unit circle (endpoint excluded) — computed as the
+    first ``n`` bins of a length-2n transform of the zero-padded taps,
+    through the device rfft.  Returns ``(w, Hr, Hi)`` NumPy arrays.
+    """
+    from .exact import fft_exact_device
+
+    hv = np.asarray(h, dtype=np.float32)
+    if hv.ndim != 1 or hv.size == 0:
+        raise ValueError("freqz_fir expects non-empty 1-D taps")
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    m = 2 * n
+    if hv.shape[0] > m:
+        raise ValueError(f"n must be >= len(h)/2 = {hv.shape[0] / 2:.0f}, got {n}")
+    padded = np.zeros(m, dtype=np.float32)
+    padded[: hv.shape[0]] = hv
+    yr, yi = fft_exact_device(padded[None])
+    w = np.arange(n) * (fs / m)
+    return w, np.asarray(yr[0, :n]), np.asarray(yi[0, :n])

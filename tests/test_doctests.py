@@ -8,6 +8,7 @@ pass ``pytest --doctest-modules gpu_fft_tpu/ops gpu_fft_tpu/utils``.
 import doctest
 
 import gpu_fft_tpu.ops.dsp
+import gpu_fft_tpu.ops.filter
 import gpu_fft_tpu.ops.spectral
 import gpu_fft_tpu.ops.stft
 import gpu_fft_tpu.ops.transform
@@ -38,6 +39,10 @@ def test_transform_doctests():
 
 def test_dsp_doctests():
     _run(gpu_fft_tpu.ops.dsp, 5)
+
+
+def test_filter_doctests():
+    _run(gpu_fft_tpu.ops.filter, 4)
 
 
 def test_stft_doctests():

@@ -1,0 +1,257 @@
+"""Tests for the FIR filtering family: overlap-add convolution, window-method
+design, causal and zero-phase application, frequency response.
+
+Oracle strategy follows the reference's cross-backend parity pattern
+(``tests/parity.rs``): scipy.signal is the numerical truth, with f32-scaled
+tolerances.
+"""
+
+import numpy as np
+import pytest
+import scipy.signal
+
+import gpu_fft_tpu as gf
+
+from conftest import assert_slice_approx
+
+
+# ── oaconvolve ───────────────────────────────────────────────────────────────
+
+
+@pytest.mark.parametrize("n,lh", [(2000, 33), (20000, 64), (50000, 257), (5000, 1)])
+def test_oaconvolve_matches_scipy_full(rng, n, lh):
+    x = rng.standard_normal(n).astype(np.float32)
+    h = rng.standard_normal(lh).astype(np.float32)
+    got = gf.oaconvolve(x, h)
+    ref = scipy.signal.oaconvolve(x.astype(np.float64), h.astype(np.float64))
+    assert got.shape == (n + lh - 1,)
+    scale = max(1.0, np.abs(ref).max())
+    assert_slice_approx(got / scale, ref / scale, 2e-3, f"oaconvolve n={n} lh={lh}")
+
+
+@pytest.mark.parametrize("mode", ["full", "same", "valid"])
+def test_oaconvolve_modes_match_numpy(rng, mode):
+    x = rng.standard_normal(3000).astype(np.float32)
+    h = rng.standard_normal(41).astype(np.float32)
+    got = gf.oaconvolve(x, h, mode=mode)
+    ref = np.convolve(x.astype(np.float64), h.astype(np.float64), mode=mode)
+    assert got.shape == ref.shape
+    scale = max(1.0, np.abs(ref).max())
+    assert_slice_approx(got / scale, ref / scale, 2e-3, f"oaconvolve mode={mode}")
+
+
+def test_oaconvolve_commutes_when_kernel_longer(rng):
+    x = rng.standard_normal(50).astype(np.float32)
+    h = rng.standard_normal(4000).astype(np.float32)
+    got = gf.oaconvolve(x, h)
+    ref = np.convolve(x.astype(np.float64), h.astype(np.float64))
+    scale = max(1.0, np.abs(ref).max())
+    assert_slice_approx(got / scale, ref / scale, 2e-3, "oaconvolve swapped")
+
+
+def test_oaconvolve_agrees_with_fft_convolve(rng):
+    x = rng.standard_normal(10000).astype(np.float32)
+    h = rng.standard_normal(100).astype(np.float32)
+    a = gf.oaconvolve(x, h)
+    b = gf.fft_convolve(x, h)
+    scale = max(1.0, np.abs(b).max())
+    assert_slice_approx(a / scale, b / scale, 2e-3, "oaconvolve vs fft_convolve")
+
+
+def test_oaconvolve_device_batched_matches_rows(rng):
+    x = rng.standard_normal((3, 8000)).astype(np.float32)
+    h = rng.standard_normal(65).astype(np.float32)
+    out = np.asarray(gf.oaconvolve_device(x, h))
+    assert out.shape == (3, 8000 + 64)
+    for i in range(3):
+        ref = np.convolve(x[i].astype(np.float64), h.astype(np.float64))
+        scale = max(1.0, np.abs(ref).max())
+        assert_slice_approx(out[i] / scale, ref / scale, 2e-3, f"batched row {i}")
+
+
+def test_oaconvolve_device_batched_kernels(rng):
+    x = rng.standard_normal((2, 6000)).astype(np.float32)
+    h = rng.standard_normal((2, 33)).astype(np.float32)
+    out = np.asarray(gf.oaconvolve_device(x, h))
+    for i in range(2):
+        ref = np.convolve(x[i].astype(np.float64), h[i].astype(np.float64))
+        scale = max(1.0, np.abs(ref).max())
+        assert_slice_approx(out[i] / scale, ref / scale, 2e-3, f"per-row kernel {i}")
+
+
+def test_oaconvolve_block_override(rng):
+    x = rng.standard_normal(12000).astype(np.float32)
+    h = rng.standard_normal(50).astype(np.float32)
+    ref = np.convolve(x.astype(np.float64), h.astype(np.float64))
+    scale = max(1.0, np.abs(ref).max())
+    for block in (256, 1024, 4096):
+        got = gf.oaconvolve(x, h, block=block)
+        assert_slice_approx(got / scale, ref / scale, 2e-3, f"block={block}")
+
+
+def test_oaconvolve_tiny_delegates_to_single_transform(rng):
+    x = rng.standard_normal(40).astype(np.float32)
+    h = rng.standard_normal(7).astype(np.float32)
+    got = gf.oaconvolve(x, h)
+    ref = np.convolve(x, h)
+    assert_slice_approx(got, ref, 1e-3, "tiny")
+
+
+def test_oaconvolve_contract_errors(rng):
+    with pytest.raises(ValueError):
+        gf.oaconvolve([], [1.0])
+    with pytest.raises(ValueError):
+        gf.oaconvolve([1.0], [1.0], mode="nope")
+    with pytest.raises(ValueError):
+        gf.oaconvolve([1.0, 2.0], [1.0, 2.0, 3.0], mode="valid")
+    with pytest.raises(ValueError):
+        gf.oaconvolve(np.ones(5000), np.ones(100), block=100)  # not pow2
+    with pytest.raises(ValueError):
+        gf.oaconvolve(np.ones(5000), np.ones(100), block=128)  # < 2*lh
+    with pytest.raises(ValueError):
+        gf.oaconvolve_device(np.ones((2, 50)), np.ones((3, 5)))
+
+
+def test_oaconvolve_jit_composable(rng):
+    import jax
+
+    x = rng.standard_normal((2, 5000)).astype(np.float32)
+    h = rng.standard_normal(33).astype(np.float32)
+    f = jax.jit(lambda a: gf.oaconvolve_device(a, h))
+    out = np.asarray(f(x))
+    ref = np.asarray(gf.oaconvolve_device(x, h))
+    assert_slice_approx(out, ref, 1e-5, "jit vs eager")
+
+
+# ── firwin ───────────────────────────────────────────────────────────────────
+
+
+@pytest.mark.parametrize("numtaps", [5, 16, 65, 128])
+def test_firwin_lowpass_matches_scipy(numtaps):
+    got = gf.firwin(numtaps, 0.3)
+    ref = scipy.signal.firwin(numtaps, 0.3)
+    np.testing.assert_allclose(got, ref, atol=1e-12)
+
+
+@pytest.mark.parametrize("window", ["hamming", "hann", "blackman", "rect"])
+def test_firwin_windows_match_scipy(window):
+    sc_win = {"rect": "boxcar"}.get(window, window)
+    got = gf.firwin(33, 0.25, window=window)
+    ref = scipy.signal.firwin(33, 0.25, window=sc_win)
+    np.testing.assert_allclose(got, ref, atol=1e-12)
+
+
+def test_firwin_highpass_matches_scipy():
+    got = gf.firwin(31, 0.4, pass_zero=False)
+    ref = scipy.signal.firwin(31, 0.4, pass_zero=False)
+    np.testing.assert_allclose(got, ref, atol=1e-12)
+
+
+def test_firwin_bandpass_matches_scipy():
+    got = gf.firwin(65, [0.2, 0.5], pass_zero=False)
+    ref = scipy.signal.firwin(65, [0.2, 0.5], pass_zero=False)
+    np.testing.assert_allclose(got, ref, atol=1e-12)
+
+
+def test_firwin_bandstop_matches_scipy():
+    got = gf.firwin(65, [0.2, 0.5], pass_zero=True)
+    ref = scipy.signal.firwin(65, [0.2, 0.5], pass_zero=True)
+    np.testing.assert_allclose(got, ref, atol=1e-12)
+
+
+def test_firwin_fs_and_scale_match_scipy():
+    got = gf.firwin(41, 100.0, fs=1000.0, scale=False)
+    ref = scipy.signal.firwin(41, 100.0, fs=1000.0, scale=False)
+    np.testing.assert_allclose(got, ref, atol=1e-12)
+
+
+def test_firwin_contract_errors():
+    with pytest.raises(ValueError):
+        gf.firwin(0, 0.5)
+    with pytest.raises(ValueError):
+        gf.firwin(10, 0.0)  # edge at DC
+    with pytest.raises(ValueError):
+        gf.firwin(10, 1.0)  # edge at Nyquist
+    with pytest.raises(ValueError):
+        gf.firwin(10, [0.5, 0.3])  # not increasing
+    with pytest.raises(ValueError):
+        gf.firwin(10, 0.4, pass_zero=False)  # even taps, Nyquist passband
+
+
+# ── fftfilt / filtfilt ───────────────────────────────────────────────────────
+
+
+def test_fftfilt_matches_lfilter(rng):
+    x = rng.standard_normal(5000).astype(np.float32)
+    h = gf.firwin(51, 0.2).astype(np.float32)
+    got = gf.fftfilt(x, h)
+    ref = scipy.signal.lfilter(h.astype(np.float64), [1.0], x.astype(np.float64))
+    assert got.shape == x.shape
+    assert_slice_approx(got, ref, 2e-3, "fftfilt vs lfilter")
+
+
+def test_fftfilt_device_batched(rng):
+    x = rng.standard_normal((4, 3000)).astype(np.float32)
+    h = gf.firwin(31, 0.35).astype(np.float32)
+    out = np.asarray(gf.fftfilt_device(x, h))
+    assert out.shape == x.shape
+    for i in range(4):
+        ref = scipy.signal.lfilter(h.astype(np.float64), [1.0], x[i].astype(np.float64))
+        assert_slice_approx(out[i], ref, 2e-3, f"fftfilt row {i}")
+
+
+def test_filtfilt_matches_scipy(rng):
+    x = rng.standard_normal(4000).astype(np.float32)
+    h = gf.firwin(21, 0.25).astype(np.float32)
+    got = gf.filtfilt_fir(x, h)
+    ref = scipy.signal.filtfilt(h.astype(np.float64), [1.0], x.astype(np.float64))
+    assert got.shape == x.shape
+    assert_slice_approx(got, ref, 5e-3, "filtfilt vs scipy")
+
+
+def test_filtfilt_zero_phase(rng):
+    # A low-frequency sine passes through filtfilt with no phase shift.
+    t = np.arange(4096, dtype=np.float32)
+    x = np.sin(2 * np.pi * 0.01 * t).astype(np.float32)
+    h = gf.firwin(65, 0.2).astype(np.float32)
+    y = gf.filtfilt_fir(x, h)
+    core = slice(200, -200)  # away from edge transients
+    assert_slice_approx(y[core], x[core], 2e-2, "zero phase passband")
+
+
+def test_filtfilt_padlen_contract():
+    with pytest.raises(ValueError):
+        gf.filtfilt_fir(np.ones(10, np.float32), np.ones(4, np.float32))  # padlen >= n
+
+
+# ── freqz ────────────────────────────────────────────────────────────────────
+
+
+def test_freqz_matches_scipy():
+    h = gf.firwin(51, 0.3).astype(np.float32)
+    w, hr, hi = gf.freqz_fir(h, n=256)
+    w_ref, h_ref = scipy.signal.freqz(h.astype(np.float64), worN=256)
+    np.testing.assert_allclose(w, w_ref, atol=1e-6)
+    assert_slice_approx(hr, h_ref.real, 2e-3, "freqz real")
+    assert_slice_approx(hi, h_ref.imag, 2e-3, "freqz imag")
+
+
+def test_freqz_fs_units():
+    h = gf.firwin(21, 100.0, fs=1000.0).astype(np.float32)
+    w, hr, hi = gf.freqz_fir(h, n=128, fs=1000.0)
+    assert w[0] == 0.0 and w[-1] < 500.0
+    # Passband gain ~1 at DC, stopband ~0 near Nyquist.
+    assert abs(np.hypot(hr[0], hi[0]) - 1.0) < 1e-2
+    assert np.hypot(hr[-1], hi[-1]) < 1e-2
+
+
+def test_firwin_filter_attenuates_stopband(rng):
+    # End-to-end: design + apply kills an out-of-band tone.
+    t = np.arange(8192, dtype=np.float32)
+    lo = np.sin(2 * np.pi * 0.02 * t)
+    hi = np.sin(2 * np.pi * 0.35 * t)
+    h = gf.firwin(129, 0.2).astype(np.float32)
+    y = gf.filtfilt_fir((lo + hi).astype(np.float32), h)
+    core = slice(300, -300)
+    resid = y[core] - lo[core]
+    assert np.abs(resid).max() < 5e-2, f"stopband leak {np.abs(resid).max()}"
