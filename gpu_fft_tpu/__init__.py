@@ -44,6 +44,8 @@ from .ops.dsp import (
 )
 from .ops.exact import fft_exact, fft_exact_device, ifft_exact, ifft_exact_device
 from .ops.filter import (
+    fft_convolve2d,
+    fft_convolve2d_device,
     fftfilt,
     fftfilt_device,
     filtfilt_fir,
@@ -140,6 +142,8 @@ __all__ = [
     "fftfilt_device",
     "filtfilt_fir",
     "freqz_fir",
+    "fft_convolve2d",
+    "fft_convolve2d_device",
     "fftshift",
     "ifftshift",
     "hilbert",

@@ -30,6 +30,8 @@ __all__ = [
     "fftfilt_device",
     "filtfilt_fir",
     "freqz_fir",
+    "fft_convolve2d",
+    "fft_convolve2d_device",
 ]
 
 
@@ -173,6 +175,91 @@ def oaconvolve(x, h, mode: str = "full", block: int | None = None):
         start = (min(la, lb) - 1) // 2
         return full[start : start + out_len].copy()
     return full[lb - 1 : la].copy()
+
+
+def fft_convolve2d_device(x, k):
+    """Device-resident full 2-D linear convolution of batched real images.
+
+    ``x``: (H, W) or (B, H, W) real f32 images; ``k``: (kh, kw) or
+    (B, kh, kw) real f32 kernel (an unbatched kernel broadcasts across the
+    batch).  Returns the (B, H+kh-1, W+kw-1) full convolution — unbatched
+    when both inputs were.  Both operands ride the 2-D pow2 transform
+    (``ops/fft2d.py``: every row/column pass is one batched matmul sweep);
+    jit-composable.
+    """
+    import jax.numpy as jnp
+
+    from .fft2d import fft2_device, ifft2_device
+    from .transform import next_power_of_two
+
+    x = jnp.asarray(x, dtype=jnp.float32)
+    k = jnp.asarray(k, dtype=jnp.float32)
+    squeeze = x.ndim == 2 and k.ndim == 2
+    if x.ndim == 2:
+        x = x[None]
+    if k.ndim == 2:
+        k = k[None]
+    if x.ndim != 3 or k.ndim != 3:
+        raise ValueError(
+            f"fft_convolve2d_device expects 2-D or (B, H, W) inputs, got "
+            f"{x.shape} vs {k.shape}"
+        )
+    if x.shape[1] * x.shape[2] == 0 or k.shape[1] * k.shape[2] == 0:
+        raise ValueError("fft_convolve2d_device expects non-empty images")
+    if x.shape[0] != k.shape[0]:
+        if k.shape[0] == 1:
+            k = jnp.broadcast_to(k, (x.shape[0],) + k.shape[1:])
+        elif x.shape[0] == 1:
+            x = jnp.broadcast_to(x, (k.shape[0],) + x.shape[1:])
+        else:
+            raise ValueError(
+                f"fft_convolve2d_device: batch sizes differ: {x.shape[0]} vs {k.shape[0]}"
+            )
+    h, w = x.shape[1], x.shape[2]
+    kh, kw = k.shape[1], k.shape[2]
+    oh, ow = h + kh - 1, w + kw - 1
+    m1 = max(2, next_power_of_two(oh))
+    m2 = max(2, next_power_of_two(ow))
+    xp = jnp.pad(x, ((0, 0), (0, m1 - h), (0, m2 - w)))
+    kp = jnp.pad(k, ((0, 0), (0, m1 - kh), (0, m2 - kw)))
+    ar, ai = fft2_device(xp)
+    br, bi = fft2_device(kp)
+    cr = ar * br - ai * bi
+    ci = ar * bi + ai * br
+    yr, _ = ifft2_device(cr, ci)
+    out = yr[:, :oh, :ow]
+    return out[0] if squeeze else out
+
+
+def fft_convolve2d(x, k, mode: str = "full"):
+    """2-D linear convolution of real images via the pow2 fft2 path.
+
+    ``scipy.signal.convolve2d`` semantics with boundary='fill': ``mode`` is
+    "full" (default, (H+kh-1, W+kw-1)), "same" (centered, x's shape), or
+    "valid" ((H-kh+1, W-kw+1); requires the image to be at least the
+    kernel's size).
+
+    >>> img = np.array([[1.0, 2.0], [3.0, 4.0]])
+    >>> fft_convolve2d(img, np.array([[1.0, 1.0]])).round(5).tolist()
+    [[1.0, 3.0, 2.0], [3.0, 7.0, 4.0]]
+    """
+    xv = np.asarray(x, dtype=np.float32)
+    kv = np.asarray(k, dtype=np.float32)
+    if xv.ndim != 2 or kv.ndim != 2 or xv.size == 0 or kv.size == 0:
+        raise ValueError("fft_convolve2d expects two non-empty 2-D images")
+    if mode not in ("full", "same", "valid"):
+        raise ValueError(f"mode must be full|same|valid, got {mode!r}")
+    h, w = xv.shape
+    kh, kw = kv.shape
+    if mode == "valid" and (h < kh or w < kw):
+        raise ValueError("valid mode requires the image to be at least the kernel size")
+    full = np.asarray(fft_convolve2d_device(xv, kv))
+    if mode == "full":
+        return full
+    if mode == "same":
+        r0, c0 = (kh - 1) // 2, (kw - 1) // 2
+        return full[r0 : r0 + h, c0 : c0 + w].copy()
+    return full[kh - 1 : h, kw - 1 : w].copy()
 
 
 def _symmetric_window(window: str | None, numtaps: int) -> np.ndarray:

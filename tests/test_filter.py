@@ -255,3 +255,71 @@ def test_firwin_filter_attenuates_stopband(rng):
     core = slice(300, -300)
     resid = y[core] - lo[core]
     assert np.abs(resid).max() < 5e-2, f"stopband leak {np.abs(resid).max()}"
+
+
+# ── fft_convolve2d ───────────────────────────────────────────────────────────
+
+
+@pytest.mark.parametrize("shape,kshape", [((64, 96), (5, 7)), ((33, 50), (8, 3)), ((17, 17), (17, 17))])
+def test_fft_convolve2d_matches_scipy_full(rng, shape, kshape):
+    x = rng.standard_normal(shape).astype(np.float32)
+    k = rng.standard_normal(kshape).astype(np.float32)
+    got = gf.fft_convolve2d(x, k)
+    ref = scipy.signal.convolve2d(x.astype(np.float64), k.astype(np.float64))
+    assert got.shape == ref.shape
+    scale = max(1.0, np.abs(ref).max())
+    assert_slice_approx(got / scale, ref / scale, 2e-3, f"conv2d {shape}x{kshape}")
+
+
+@pytest.mark.parametrize("mode", ["full", "same", "valid"])
+def test_fft_convolve2d_modes_match_scipy(rng, mode):
+    x = rng.standard_normal((40, 60)).astype(np.float32)
+    k = rng.standard_normal((6, 9)).astype(np.float32)
+    got = gf.fft_convolve2d(x, k, mode=mode)
+    ref = scipy.signal.convolve2d(x.astype(np.float64), k.astype(np.float64), mode=mode)
+    assert got.shape == ref.shape
+    scale = max(1.0, np.abs(ref).max())
+    assert_slice_approx(got / scale, ref / scale, 2e-3, f"conv2d mode={mode}")
+
+
+def test_fft_convolve2d_device_batched(rng):
+    x = rng.standard_normal((3, 32, 48)).astype(np.float32)
+    k = rng.standard_normal((5, 5)).astype(np.float32)
+    out = np.asarray(gf.fft_convolve2d_device(x, k))
+    assert out.shape == (3, 36, 52)
+    for i in range(3):
+        ref = scipy.signal.convolve2d(x[i].astype(np.float64), k.astype(np.float64))
+        scale = max(1.0, np.abs(ref).max())
+        assert_slice_approx(out[i] / scale, ref / scale, 2e-3, f"conv2d row {i}")
+
+
+def test_fft_convolve2d_batched_kernels(rng):
+    x = rng.standard_normal((2, 24, 24)).astype(np.float32)
+    k = rng.standard_normal((2, 3, 7)).astype(np.float32)
+    out = np.asarray(gf.fft_convolve2d_device(x, k))
+    for i in range(2):
+        ref = scipy.signal.convolve2d(x[i].astype(np.float64), k[i].astype(np.float64))
+        scale = max(1.0, np.abs(ref).max())
+        assert_slice_approx(out[i] / scale, ref / scale, 2e-3, f"per-image kernel {i}")
+
+
+def test_fft_convolve2d_contract_errors(rng):
+    with pytest.raises(ValueError):
+        gf.fft_convolve2d(np.ones((0, 3), np.float32), np.ones((2, 2), np.float32))
+    with pytest.raises(ValueError):
+        gf.fft_convolve2d(np.ones((4, 4), np.float32), np.ones((2, 2), np.float32), mode="nope")
+    with pytest.raises(ValueError):
+        gf.fft_convolve2d(np.ones((2, 2), np.float32), np.ones((4, 4), np.float32), mode="valid")
+    with pytest.raises(ValueError):
+        gf.fft_convolve2d_device(np.ones((2, 4, 4)), np.ones((3, 2, 2)))
+
+
+def test_fft_convolve2d_jit_composable(rng):
+    import jax
+
+    x = rng.standard_normal((2, 30, 40)).astype(np.float32)
+    k = rng.standard_normal((4, 4)).astype(np.float32)
+    f = jax.jit(lambda a: gf.fft_convolve2d_device(a, k))
+    out = np.asarray(f(x))
+    ref = np.asarray(gf.fft_convolve2d_device(x, k))
+    assert_slice_approx(out, ref, 1e-5, "conv2d jit vs eager")
