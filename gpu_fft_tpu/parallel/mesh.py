@@ -22,6 +22,7 @@ __all__ = [
     "ifft_batch_sharded",
     "fft2_batch_sharded",
     "welch_sharded",
+    "oaconvolve_sharded",
 ]
 
 
@@ -145,6 +146,60 @@ def welch_sharded(
     power = _shard_map(local, mesh, (P(axis_name, None),), P())(segs)
     freqs = np.arange(nperseg // 2 + 1, dtype=np.float64) * (fs / nperseg)
     return freqs, power * _welch_scale_mult(window, nperseg, fs, scaling)
+
+
+def oaconvolve_sharded(x, h, mesh: Mesh, axis_name: str = "dp"):
+    """FIR convolution of a LONG signal with the signal sharded over the mesh.
+
+    The overlap-add identity distributes: cut ``x`` into one contiguous
+    chunk per device, convolve each chunk locally (through
+    :func:`gpu_fft_tpu.oaconvolve_device`'s batched block path), and the
+    only cross-chip dependency is each chunk's length-(lh-1) convolution
+    tail, which belongs at the head of the NEXT device's span — one
+    ``lax.ppermute`` neighbor exchange over ICI.  This is the library's
+    point-to-point collective pattern (vs zero-comms batch sharding, the
+    all-to-all distributed transform, and the psum Welch reduction).
+
+    ``x``: (n,) real f32; ``h``: (lh,) taps with 2 <= lh <= n/d + 1.
+    Returns the full (n + lh - 1,) linear convolution.
+    """
+    from ..ops.filter import oaconvolve_device
+
+    x = jnp.asarray(x, dtype=jnp.float32)
+    h = jnp.asarray(h, dtype=jnp.float32)
+    if x.ndim != 1 or h.ndim != 1:
+        raise ValueError(
+            f"oaconvolve_sharded expects 1-D signal and taps, got {x.shape} vs {h.shape}"
+        )
+    n, lh = x.shape[0], h.shape[0]
+    d = mesh.shape[axis_name]
+    if lh < 2:
+        raise ValueError(f"oaconvolve_sharded needs len(h) >= 2, got {lh}")
+    chunk = -(-n // d)
+    if lh - 1 > chunk:
+        raise ValueError(
+            f"taps ({lh}) must fit one device's chunk ({chunk}); "
+            "use fewer devices or the single-chip oaconvolve"
+        )
+    xp = jnp.pad(x, (0, d * chunk - n))
+    t = lh - 1
+    last = d - 1
+
+    def local(xl):
+        full = oaconvolve_device(xl, h)  # (1, chunk + t)
+        main, tail = full[:, :chunk], full[:, chunk:]
+        # Tail of device i belongs at the head of device i+1's span.
+        recv = jax.lax.ppermute(tail, axis_name, [(i, i + 1) for i in range(last)])
+        main = main.at[:, :t].add(recv)
+        # Only the LAST device's tail survives as the global convolution tail.
+        idx = jax.lax.axis_index(axis_name)
+        gtail = jax.lax.psum(jnp.where(idx == last, tail, 0.0), axis_name)
+        return main, gtail
+
+    main, gtail = _shard_map(
+        local, mesh, (P(axis_name),), (P(axis_name), P(None, None))
+    )(xp.reshape(d, chunk))
+    return jnp.concatenate([main.reshape(-1), gtail[0]])[: n + lh - 1]
 
 
 def ifft_batch_sharded(xr, xi, mesh: Mesh, axis_name: str = "dp"):

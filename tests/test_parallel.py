@@ -161,3 +161,37 @@ def test_fft2_batch_sharded_matches_oracle(mesh8, rng):
     assert np.abs(np.asarray(yi) - ref.imag).max() / scale < 3e-5
     with pytest.raises(ValueError):
         fft2_batch_sharded(np.zeros((3, 16, 16), np.float32), mesh8)
+
+
+def test_oaconvolve_sharded_matches_oracle(mesh8, rng):
+    from gpu_fft_tpu.parallel import oaconvolve_sharded
+
+    x = rng.standard_normal(40000).astype(np.float32)  # not divisible by 8
+    h = rng.standard_normal(129).astype(np.float32)
+    got = np.asarray(oaconvolve_sharded(x, h, mesh8))
+    ref = np.convolve(x.astype(np.float64), h.astype(np.float64))
+    assert got.shape == ref.shape
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 3e-5
+
+
+def test_oaconvolve_sharded_jit(mesh8, rng):
+    import jax
+
+    from gpu_fft_tpu.parallel import oaconvolve_sharded
+
+    x = rng.standard_normal(16384).astype(np.float32)
+    h = rng.standard_normal(64).astype(np.float32)
+    f = jax.jit(lambda a: oaconvolve_sharded(a, h, mesh8))
+    got = np.asarray(f(x))
+    ref = np.asarray(oaconvolve_sharded(x, h, mesh8))
+    assert np.abs(got - ref).max() / max(1.0, np.abs(ref).max()) < 1e-5
+
+
+def test_oaconvolve_sharded_contracts(mesh8):
+    from gpu_fft_tpu.parallel import oaconvolve_sharded
+
+    with pytest.raises(ValueError):  # single tap: no tail to exchange
+        oaconvolve_sharded(np.ones(1024, np.float32), np.ones(1, np.float32), mesh8)
+    with pytest.raises(ValueError):  # taps longer than one device's chunk
+        oaconvolve_sharded(np.ones(64, np.float32), np.ones(32, np.float32), mesh8)
