@@ -51,6 +51,9 @@ from .ops.filter import (
     filtfilt_fir,
     firwin,
     freqz_fir,
+    kaiser_atten,
+    kaiser_beta,
+    kaiserord,
     oaconvolve,
     oaconvolve_device,
 )
@@ -144,6 +147,9 @@ __all__ = [
     "freqz_fir",
     "fft_convolve2d",
     "fft_convolve2d_device",
+    "kaiserord",
+    "kaiser_beta",
+    "kaiser_atten",
     "fftshift",
     "ifftshift",
     "hilbert",

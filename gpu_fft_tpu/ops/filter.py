@@ -32,6 +32,9 @@ __all__ = [
     "freqz_fir",
     "fft_convolve2d",
     "fft_convolve2d_device",
+    "kaiserord",
+    "kaiser_beta",
+    "kaiser_atten",
 ]
 
 
@@ -262,8 +265,15 @@ def fft_convolve2d(x, k, mode: str = "full"):
     return full[kh - 1 : h, kw - 1 : w].copy()
 
 
-def _symmetric_window(window: str | None, numtaps: int) -> np.ndarray:
-    """Symmetric (filter-design) window, f64 — denominator N-1, not N."""
+def _symmetric_window(window, numtaps: int) -> np.ndarray:
+    """Symmetric (filter-design) window, f64 — denominator N-1, not N.
+
+    ``window`` may also be ``("kaiser", beta)``.
+    """
+    if isinstance(window, tuple):
+        if len(window) != 2 or window[0] != "kaiser":
+            raise ValueError(f"tuple windows must be ('kaiser', beta), got {window!r}")
+        return np.kaiser(numtaps, float(window[1]))
     if window is None or window == "rect":
         return np.ones(numtaps)
     if numtaps == 1:
@@ -275,7 +285,54 @@ def _symmetric_window(window: str | None, numtaps: int) -> np.ndarray:
         return 0.54 - 0.46 * np.cos(c)
     if window == "blackman":
         return 0.42 - 0.5 * np.cos(c) + 0.08 * np.cos(2.0 * c)
-    raise ValueError(f"window must be rect|hann|hamming|blackman or None, got {window!r}")
+    raise ValueError(
+        f"window must be rect|hann|hamming|blackman, ('kaiser', beta), or None, "
+        f"got {window!r}"
+    )
+
+
+def kaiser_beta(a: float) -> float:
+    """Kaiser shape parameter beta for ``a`` dB of stopband attenuation
+    (the standard Kaiser empirical formula; ``scipy.signal.kaiser_beta``).
+
+    >>> round(kaiser_beta(60.0), 4)
+    5.6533
+    """
+    if a > 50.0:
+        return 0.1102 * (a - 8.7)
+    if a > 21.0:
+        return 0.5842 * (a - 21.0) ** 0.4 + 0.07886 * (a - 21.0)
+    return 0.0
+
+
+def kaiser_atten(numtaps: int, width: float) -> float:
+    """Attenuation (dB) a ``numtaps``-tap Kaiser filter reaches with a
+    transition band of ``width`` (normalized to Nyquist) —
+    ``scipy.signal.kaiser_atten``.
+
+    >>> round(kaiser_atten(81, 0.1), 4)
+    65.3783
+    """
+    return 2.285 * (numtaps - 1) * np.pi * width + 7.95
+
+
+def kaiserord(ripple: float, width: float) -> tuple[int, float]:
+    """Kaiser-window design: (numtaps, beta) reaching ``ripple`` dB of
+    attenuation with a ``width`` transition band (normalized to Nyquist) —
+    ``scipy.signal.kaiserord`` semantics.  Feed the result to
+    :func:`firwin` as ``firwin(numtaps, cutoff, window=("kaiser", beta))``.
+
+    >>> kaiserord(60.0, 0.1)
+    (74, 5.65326)
+    """
+    a = abs(ripple)
+    if a < 8.0:
+        raise ValueError(
+            "ripple attenuation is too small for the Kaiser formula (< 8 dB)"
+        )
+    beta = kaiser_beta(a)
+    numtaps = (a - 7.95) / (2.285 * np.pi * width) + 1
+    return int(np.ceil(numtaps)), beta
 
 
 def firwin(

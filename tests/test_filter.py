@@ -323,3 +323,33 @@ def test_fft_convolve2d_jit_composable(rng):
     out = np.asarray(f(x))
     ref = np.asarray(gf.fft_convolve2d_device(x, k))
     assert_slice_approx(out, ref, 1e-5, "conv2d jit vs eager")
+
+
+# ── kaiser design ────────────────────────────────────────────────────────────
+
+
+def test_kaiser_helpers_match_scipy():
+    for a in (20.0, 40.0, 60.0, 90.0):
+        assert abs(gf.kaiser_beta(a) - scipy.signal.kaiser_beta(a)) < 1e-12
+    assert abs(gf.kaiser_atten(81, 0.1) - scipy.signal.kaiser_atten(81, 0.1)) < 1e-12
+    assert gf.kaiserord(60.0, 0.1) == scipy.signal.kaiserord(60.0, 0.1)
+    assert gf.kaiserord(65.0, 0.05) == scipy.signal.kaiserord(65.0, 0.05)
+    with pytest.raises(ValueError):
+        gf.kaiserord(5.0, 0.1)
+
+
+def test_firwin_kaiser_matches_scipy():
+    numtaps, beta = gf.kaiserord(60.0, 0.1)
+    got = gf.firwin(numtaps, 0.3, window=("kaiser", beta))
+    ref = scipy.signal.firwin(numtaps, 0.3, window=("kaiser", beta))
+    np.testing.assert_allclose(got, ref, atol=1e-12)
+
+
+def test_firwin_kaiser_meets_design_attenuation(rng):
+    # End-to-end: a kaiserord design reaches its promised stopband floor.
+    numtaps, beta = gf.kaiserord(60.0, 0.2)
+    h = gf.firwin(numtaps, 0.5, window=("kaiser", beta))
+    w, hr, hi = gf.freqz_fir(h.astype(np.float32), n=512)
+    mag = np.hypot(hr, hi)
+    stop = mag[w / np.pi > 0.5 + 0.1]  # beyond cutoff + half the width
+    assert 20 * np.log10(stop.max()) < -58.0, f"stopband {20*np.log10(stop.max()):.1f} dB"
