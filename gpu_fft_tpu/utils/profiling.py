@@ -411,6 +411,43 @@ def hilbert_step():
     return step
 
 
+def oaconvolve_step(n: int, taps):
+    """(1, n) -> x + eps * the causal FIR filtering of x through the
+    overlap-add block path.
+
+    The filtered signal feeds back (scaled far below the signal) so the
+    loop-carried dependency forces the whole block pipeline each iteration.
+    """
+    import jax.numpy as jnp
+    import numpy as _np
+
+    from ..ops.filter import oaconvolve_device
+
+    h = jnp.asarray(_np.asarray(taps, dtype=_np.float32))
+
+    def step(x):
+        y = oaconvolve_device(x, h)[:, :n]
+        return x + y * _np.float32(1e-6)
+
+    return step
+
+
+def conv2d_step(kern):
+    """(B, H, W) -> x + eps * the full 2-D convolution cropped to (H, W)."""
+    import jax.numpy as jnp
+    import numpy as _np
+
+    from ..ops.filter import fft_convolve2d_device
+
+    k = jnp.asarray(_np.asarray(kern, dtype=_np.float32))
+
+    def step(x):
+        y = fft_convolve2d_device(x, k)[:, : x.shape[1], : x.shape[2]]
+        return x + y * _np.float32(1e-6)
+
+    return step
+
+
 def resample_step(n: int, mid: int):
     """(B, n) -> resample(resample(x, mid), n): down then back up.
 

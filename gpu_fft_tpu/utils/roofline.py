@@ -134,6 +134,26 @@ def transform_cost(b: int, n: int, kind: str = "fft") -> dict:
             + 2.0 * b * n
         )
         bytes_ = b * n * f32 * (1 + 2)  # x in, (re,im) of the roundtrip out
+    elif kind in ("oaconvolve", "fftfilt"):
+        # Overlap-add FIR: (b, n) = (blocks, block transform length m).
+        # Forward real blocks + spectrum product + inverse complex + 1/m.
+        flops = (
+            transform_flops(b, n, real_input=True)
+            + transform_flops(b, n, real_input=False)
+            + 8.0 * b * n
+        )
+        bytes_ = b * n * f32 * (1 + 1)  # real blocks in, real blocks out
+    elif kind == "conv2d":
+        # 2-D FFT convolution of ONE image: (b, n) = padded (m1, m2).
+        # Forward 2-D (real rows + complex cols), spectrum product,
+        # inverse 2-D (complex both passes); kernel spectrum amortized.
+        flops = (
+            transform_flops(b, n, real_input=True)
+            + transform_flops(b, n, real_input=False)
+            + 2 * transform_flops(n, b, real_input=False)
+            + 8.0 * b * n
+        )
+        bytes_ = b * n * f32 * (1 + 1)
     elif kind == "fft2":
         # b here means H (rows) and n means W: row pass + column pass.
         flops = transform_flops(b, n, real_input=True) + transform_flops(

@@ -47,6 +47,7 @@ def main() -> None:
     from gpu_fft_tpu.utils import roofline
     from gpu_fft_tpu.utils.profiling import (
         chained_step_stats,
+        conv2d_step,
         dct_roundtrip_step,
         fft_forward_step,
         fft_inverse_step,
@@ -54,6 +55,7 @@ def main() -> None:
         fft_sequential_step,
         hilbert_step,
         ifft_sequential_step,
+        oaconvolve_step,
         resample_step,
         roundtrip_sequential_step,
         stft_roundtrip_step,
@@ -228,6 +230,20 @@ def main() -> None:
         run("hilbert/pallas/b16_n16384", "hilbert", "pallas", 16, 16384, hilbert_step())
         run("resample/pallas/n65536_mid32768", "resample", "pallas", 1, 65536,
             resample_step(65536, 32768))
+        # FIR filtering family (round-2 filter wave): streaming overlap-add
+        # convolution and 2-D image convolution.  Roofline (b, n) is the
+        # block/padded transform the step actually runs.
+        from gpu_fft_tpu.ops.filter import _best_block_fft_size, firwin
+
+        sig_n, taps_n = 262144, 257
+        blk = _best_block_fft_size(taps_n, sig_n)
+        nblk = -(-sig_n // (blk - taps_n + 1))
+        run(f"oaconvolve/pallas/L{sig_n}_t{taps_n}", "oaconvolve", "pallas",
+            nblk, blk, oaconvolve_step(sig_n, firwin(taps_n, 0.25)),
+            shape=(1, sig_n))
+        kern2d = rng.standard_normal((17, 17)).astype(np.float32)
+        run("conv2d/pallas/496x496_k17", "conv2d", "pallas", 512, 512,
+            conv2d_step(kern2d), shape=(1, 496, 496))
 
     out = args.out or f"bench-results/raw_{time.strftime('%Y%m%d_%H%M%S')}.json"
     pathlib.Path(out).parent.mkdir(parents=True, exist_ok=True)

@@ -339,7 +339,8 @@ def chart_analysis_ops(entries, path):
     matplotlib.use("svg")
     import matplotlib.pyplot as plt
 
-    kinds = ["stft_roundtrip", "welch", "dct_roundtrip", "hilbert", "resample", "fft_exact", "fft2"]
+    kinds = ["stft_roundtrip", "welch", "dct_roundtrip", "hilbert", "resample",
+             "fft_exact", "fft2", "oaconvolve", "conv2d"]
     rows = []
     for k in kinds:
         for e in entries:

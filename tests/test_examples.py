@@ -78,3 +78,11 @@ def test_analysis_example():
     out = _run_capturing(analysis.main)
     assert "Welch PSD peak: 125.0 Hz" in out
     assert "[OK]" in out and "FAIL" not in out
+
+
+def test_filtering_example():
+    import filtering
+
+    out = _run_capturing(filtering.main)
+    assert "Kaiser lowpass" in out
+    assert "[OK]" in out and "FAIL" not in out

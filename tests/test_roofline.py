@@ -57,3 +57,13 @@ def test_extension_kinds():
     # Bluestein pays two 131072-point complex transforms.
     assert ce["flops"] > 2 * roofline.transform_cost(1, 1 << 17, "fft")["flops"] * 0.5
     assert np.isfinite(ce["flops"]) and ce["bytes"] == 48000 * 4 * 3
+
+
+def test_filter_kinds():
+    oa = roofline.transform_cost(64, 4096, "oaconvolve")
+    rt = roofline.transform_cost(64, 4096, "roundtrip")
+    assert oa["flops"] > rt["flops"]  # roundtrip + spectrum product
+    assert oa["bytes"] == 64 * 4096 * 4 * 2
+    c2 = roofline.transform_cost(512, 512, "conv2d")
+    f2 = roofline.transform_cost(512, 512, "fft2")
+    assert c2["flops"] > f2["flops"] * 1.8  # forward + inverse 2-D pass
