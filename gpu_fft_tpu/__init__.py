@@ -103,7 +103,7 @@ from .ops.transform import (
 from .plan import describe_plan
 from . import utils
 
-__version__ = "0.5.0"
+__version__ = "0.6.0"
 
 __all__ = [
     "fft",

@@ -34,7 +34,7 @@ def analysis_soak(rng, iters: int) -> tuple[int, int]:
 
     failures = 0
     for _ in range(iters):
-        op = rng.choice(["stft", "dct", "dst", "hilbert", "resample"])
+        op = rng.choice(["stft", "dct", "dst", "hilbert", "resample", "oaconvolve", "conv2d"])
         try:
             if op == "stft":
                 frame = 1 << int(rng.integers(4, 10))
@@ -74,7 +74,7 @@ def analysis_soak(rng, iters: int) -> tuple[int, int]:
                 err = float(np.abs(np.asarray(ar) - np.asarray(x)).max())
                 good = err < 5e-3
                 desc = f"hilbert b={b} n={n}"
-            else:  # resample
+            elif op == "resample":
                 n = int(rng.integers(2, 20000))
                 x = jnp.asarray(rng.uniform(-1, 1, (1, n)).astype(np.float32))
                 up = gf.resample_device(x, 2 * n)
@@ -82,6 +82,35 @@ def analysis_soak(rng, iters: int) -> tuple[int, int]:
                 err = float(np.abs(y - np.asarray(x)).max())
                 good = err < 5e-3
                 desc = f"resample n={n}<->{2 * n}"
+            elif op == "oaconvolve":
+                # Cross-check the block path against the independent
+                # single-transform path, both on device.
+                n = int(rng.integers(100, 150000))
+                lh = int(rng.integers(2, 513))
+                b = int(rng.choice([1, 4]))
+                x = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
+                h = jnp.asarray(rng.uniform(-1, 1, lh).astype(np.float32))
+                ya = np.asarray(gf.oaconvolve_device(x, h))
+                yb = np.asarray(gf.fft_convolve_device(x, h))
+                scale = max(1.0, float(np.abs(yb).max()))
+                err = float(np.abs(ya - yb).max()) / scale
+                good = err < 5e-3
+                desc = f"oaconvolve b={b} n={n} lh={lh}"
+            else:  # conv2d: separable-kernel identity vs two 1-D passes
+                hgt = int(rng.integers(8, 200))
+                wid = int(rng.integers(8, 200))
+                kh = int(rng.integers(2, 17))
+                kw = int(rng.integers(2, 17))
+                x = jnp.asarray(rng.uniform(-1, 1, (hgt, wid)).astype(np.float32))
+                u = rng.uniform(-1, 1, kh).astype(np.float32)
+                v = rng.uniform(-1, 1, kw).astype(np.float32)
+                y2 = np.asarray(gf.fft_convolve2d_device(x, jnp.asarray(np.outer(u, v))))
+                rows = gf.fft_convolve_device(x, jnp.asarray(v))  # (hgt, wid+kw-1)
+                cols = np.asarray(gf.fft_convolve_device(rows.T, jnp.asarray(u))).T
+                scale = max(1.0, float(np.abs(cols).max()))
+                err = float(np.abs(y2 - cols).max()) / scale
+                good = err < 5e-3
+                desc = f"conv2d {hgt}x{wid} k{kh}x{kw}"
         except Exception as e:
             print(f"{op}: EXCEPTION {str(e)[:120]}", flush=True)
             failures += 1
