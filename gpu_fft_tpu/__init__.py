@@ -44,6 +44,7 @@ from .ops.dsp import (
 )
 from .ops.exact import fft_exact, fft_exact_device, ifft_exact, ifft_exact_device
 from .ops.filter import (
+    FIRStream,
     fft_convolve2d,
     fft_convolve2d_device,
     fftfilt,
@@ -150,6 +151,7 @@ __all__ = [
     "kaiserord",
     "kaiser_beta",
     "kaiser_atten",
+    "FIRStream",
     "fftshift",
     "ifftshift",
     "hilbert",

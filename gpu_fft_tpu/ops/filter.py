@@ -35,6 +35,7 @@ __all__ = [
     "kaiserord",
     "kaiser_beta",
     "kaiser_atten",
+    "FIRStream",
 ]
 
 
@@ -439,6 +440,76 @@ def filtfilt_fir(x, h, padlen: int | None = None):
     y = np.asarray(fftfilt_device(ext, hv))[::-1]
     y = np.asarray(fftfilt_device(y.copy(), hv))[::-1]
     return y[pad : pad + xv.shape[0]].copy() if pad > 0 else y.copy()
+
+
+class FIRStream:
+    """Stateful streaming FIR filter: process a long/live signal chunk by
+    chunk with exact causal (``lfilter``) semantics across chunk
+    boundaries.
+
+    The serving-side counterpart of :func:`fftfilt`: the kernel's spectrum
+    at the chunk's block length is precomputed once; each ``step`` runs one
+    batched block convolution of its chunk and carries the length-(lh-1)
+    convolution tail into the next chunk.  ``step`` is pure and
+    jit/scan-composable — state in, state out, nothing hidden::
+
+        stream = FIRStream(h, chunk=4096, batch=B)
+        state = stream.init()
+        for chunk in chunks:                  # or lax.scan(stream.step, ...)
+            state, y = stream.step(state, chunk)
+
+    Concatenated outputs equal ``fftfilt(concat(chunks), h)`` to f32
+    rounding.  ``batch`` rows stream independently (same taps).
+    """
+
+    def __init__(self, h, chunk: int = 4096, batch: int = 1):
+        import jax.numpy as jnp
+
+        h = np.asarray(h, dtype=np.float32)
+        if h.ndim != 1 or h.size == 0:
+            raise ValueError("FIRStream expects non-empty 1-D taps")
+        if chunk < 1 or batch < 1:
+            raise ValueError(f"chunk and batch must be >= 1, got {chunk}, {batch}")
+        self.taps = int(h.size)
+        self.chunk = int(chunk)
+        self.batch = int(batch)
+        self._h = jnp.asarray(h)
+
+    def init(self):
+        """Zero carry state: (batch, taps-1) of pending convolution tail."""
+        import jax.numpy as jnp
+
+        return jnp.zeros((self.batch, max(self.taps - 1, 1)), jnp.float32)
+
+    def step(self, state, x):
+        """One chunk in, one chunk out.  ``x``: (batch, chunk) (or (chunk,)
+        when batch == 1).  Returns ``(new_state, y)`` with ``y`` shaped
+        like ``x``."""
+        import jax.numpy as jnp
+
+        x = jnp.asarray(x, dtype=jnp.float32)
+        squeeze = x.ndim == 1
+        if squeeze:
+            x = x[None]
+        if x.shape != (self.batch, self.chunk):
+            raise ValueError(
+                f"FIRStream.step expects ({self.batch}, {self.chunk}) chunks, "
+                f"got {x.shape}"
+            )
+        full = oaconvolve_device(x, self._h)  # (batch, chunk + taps - 1)
+        t = self.taps - 1
+        y = full[:, : self.chunk]
+        if t > 0:
+            # Previous chunks' pending tail overlaps this chunk's head.
+            m = min(t, self.chunk)
+            y = y.at[:, :m].add(state[:, :m])
+            carry = full[:, self.chunk :]
+            if t > self.chunk:
+                # Taps longer than the chunk: part of the old tail is still
+                # pending beyond this chunk; shift it forward and add.
+                carry = carry + jnp.pad(state[:, self.chunk :], ((0, 0), (0, self.chunk)))
+            state = carry
+        return state, (y[0] if squeeze else y)
 
 
 def freqz_fir(h, n: int = 512, fs: float = 2.0 * np.pi):

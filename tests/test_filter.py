@@ -353,3 +353,65 @@ def test_firwin_kaiser_meets_design_attenuation(rng):
     mag = np.hypot(hr, hi)
     stop = mag[w / np.pi > 0.5 + 0.1]  # beyond cutoff + half the width
     assert 20 * np.log10(stop.max()) < -58.0, f"stopband {20*np.log10(stop.max()):.1f} dB"
+
+
+# ── FIRStream ────────────────────────────────────────────────────────────────
+
+
+@pytest.mark.parametrize("chunk,taps", [(512, 33), (256, 257), (128, 300), (1024, 2)])
+def test_firstream_matches_offline(rng, chunk, taps):
+    # Concatenated streaming output == offline causal filtering.
+    h = rng.standard_normal(taps).astype(np.float32)
+    x = rng.standard_normal(8 * chunk).astype(np.float32)
+    stream = gf.FIRStream(h, chunk=chunk)
+    state = stream.init()
+    outs = []
+    for i in range(8):
+        state, y = stream.step(state, x[i * chunk : (i + 1) * chunk])
+        outs.append(np.asarray(y))
+    got = np.concatenate(outs)
+    ref = scipy.signal.lfilter(h.astype(np.float64), [1.0], x.astype(np.float64))
+    scale = max(1.0, np.abs(ref).max())
+    assert_slice_approx(got / scale, ref / scale, 2e-3, f"stream c={chunk} t={taps}")
+
+
+def test_firstream_batched_scan(rng):
+    import jax
+    from jax import lax
+
+    h = rng.standard_normal(65).astype(np.float32)
+    x = rng.standard_normal((3, 10, 512)).astype(np.float32)  # (B, steps, chunk)
+    stream = gf.FIRStream(h, chunk=512, batch=3)
+
+    @jax.jit
+    def run(xs):
+        def body(state, chunk):
+            state, y = stream.step(state, chunk)
+            return state, y
+
+        _, ys = lax.scan(body, stream.init(), jnp_swap(xs))
+        return ys
+
+    import jax.numpy as jnp
+
+    def jnp_swap(a):
+        return jnp.swapaxes(jnp.asarray(a), 0, 1)  # scan over steps
+
+    ys = np.asarray(run(x))  # (steps, B, chunk)
+    got = np.concatenate([ys[s] for s in range(10)], axis=-1)
+    for b in range(3):
+        ref = scipy.signal.lfilter(
+            h.astype(np.float64), [1.0], x[b].reshape(-1).astype(np.float64)
+        )
+        scale = max(1.0, np.abs(ref).max())
+        assert_slice_approx(got[b] / scale, ref / scale, 2e-3, f"scan stream row {b}")
+
+
+def test_firstream_contract_errors(rng):
+    with pytest.raises(ValueError):
+        gf.FIRStream(np.zeros(0, np.float32))
+    with pytest.raises(ValueError):
+        gf.FIRStream(np.ones(4, np.float32), chunk=0)
+    stream = gf.FIRStream(np.ones(4, np.float32), chunk=64)
+    with pytest.raises(ValueError):
+        stream.step(stream.init(), np.ones(32, np.float32))  # wrong chunk size
