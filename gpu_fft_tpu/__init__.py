@@ -55,6 +55,7 @@ from .ops.filter import (
     kaiser_atten,
     kaiser_beta,
     kaiserord,
+    minimum_phase,
     oaconvolve,
     oaconvolve_device,
 )
@@ -152,6 +153,7 @@ __all__ = [
     "kaiser_beta",
     "kaiser_atten",
     "FIRStream",
+    "minimum_phase",
     "fftshift",
     "ifftshift",
     "hilbert",

@@ -36,6 +36,7 @@ __all__ = [
     "kaiser_beta",
     "kaiser_atten",
     "FIRStream",
+    "minimum_phase",
 ]
 
 
@@ -440,6 +441,48 @@ def filtfilt_fir(x, h, padlen: int | None = None):
     y = np.asarray(fftfilt_device(ext, hv))[::-1]
     y = np.asarray(fftfilt_device(y.copy(), hv))[::-1]
     return y[pad : pad + xv.shape[0]].copy() if pad > 0 else y.copy()
+
+
+def minimum_phase(h, n_fft: int | None = None, *, half: bool = True) -> np.ndarray:
+    """Minimum-phase FIR from a linear-phase prototype (homomorphic method,
+    ``scipy.signal.minimum_phase`` semantics).
+
+    The classic real-cepstrum construction (Oppenheim & Schafer §13):
+    take log|H| on a dense grid, keep the causal part of the cepstrum
+    (fold negative quefrencies onto positive), exponentiate back.  With
+    ``half=True`` (default) the result has (len(h)+1)//2 taps and its
+    magnitude approximates sqrt(|H|) — the "filter the signal twice" use;
+    ``half=False`` keeps len(h) taps approximating |H| itself.  Design is
+    host-side f64 math like :func:`firwin`.
+    """
+    if np.iscomplexobj(h):
+        raise ValueError("minimum_phase expects real taps")
+    hv = np.asarray(h, dtype=np.float64)
+    if hv.ndim != 1 or hv.size < 2:
+        raise ValueError("minimum_phase expects a 1-D filter with >= 2 taps")
+    n = hv.size
+    if n_fft is None:
+        n_fft = 1 << int(np.ceil(np.log2(2 * (n - 1) / 0.01)))
+    if n_fft < n:
+        raise ValueError(f"n_fft ({n_fft}) must be >= len(h) ({n})")
+
+    mag = np.abs(np.fft.fft(hv, n_fft))
+    # Regularize spectral nulls before the log (standard homomorphic trick).
+    mag += 1e-7 * mag[mag > 0].min()
+    logmag = np.log(mag)
+    if half:
+        logmag *= 0.5
+    cep = np.fft.ifft(logmag).real
+    # Fold anti-causal quefrencies onto causal ones: minimum-phase cepstrum.
+    win = np.zeros(n_fft)
+    win[0] = 1.0
+    stop = (n_fft + 1) // 2
+    win[1:stop] = 2.0
+    if n_fft % 2 == 0:
+        win[stop] = 1.0
+    h_min = np.fft.ifft(np.exp(np.fft.fft(cep * win))).real
+    n_out = (n // 2) + (n % 2) if half else n
+    return h_min[:n_out]
 
 
 class FIRStream:

@@ -415,3 +415,33 @@ def test_firstream_contract_errors(rng):
     stream = gf.FIRStream(np.ones(4, np.float32), chunk=64)
     with pytest.raises(ValueError):
         stream.step(stream.init(), np.ones(32, np.float32))  # wrong chunk size
+
+
+# ── minimum_phase ────────────────────────────────────────────────────────────
+
+
+@pytest.mark.parametrize("taps", [31, 32, 65, 128])
+@pytest.mark.parametrize("half", [True, False])
+def test_minimum_phase_matches_scipy(taps, half):
+    h = gf.firwin(taps, 0.3)
+    got = gf.minimum_phase(h, half=half)
+    ref = scipy.signal.minimum_phase(h, half=half)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_minimum_phase_is_minimum_phase():
+    # All zeros of the result lie inside (or on) the unit circle.
+    h = gf.firwin(65, 0.4)
+    hm = gf.minimum_phase(h)
+    roots = np.roots(hm)
+    assert np.abs(roots).max() < 1.0 + 1e-6
+
+
+def test_minimum_phase_contract_errors():
+    with pytest.raises(ValueError):
+        gf.minimum_phase(np.ones(1))
+    with pytest.raises(ValueError):
+        gf.minimum_phase(np.ones(8), n_fft=4)
+    with pytest.raises(ValueError):
+        gf.minimum_phase(np.ones(8, np.complex128))
