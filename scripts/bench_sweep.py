@@ -44,6 +44,11 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from gpu_fft_tpu.config import enable_compilation_cache
+
+    enable_compilation_cache()  # first sweep through the tunnel is ~20 min of
+    # compiles otherwise; cache hits only affect compile time, not timings.
+
     from gpu_fft_tpu.utils import roofline
     from gpu_fft_tpu.utils.profiling import (
         chained_step_stats,

@@ -460,7 +460,9 @@ def main() -> None:
     if args.raw:
         raw_path = pathlib.Path(args.raw)
     else:
-        candidates = sorted(out.glob("raw_*.json"))
+        # Most recent by mtime: lexicographic order would rank a stale
+        # "raw_latest.json" above every timestamped "raw_2026...json".
+        candidates = sorted(out.glob("raw_*.json"), key=lambda p: p.stat().st_mtime)
         if not candidates:
             sys.exit("no raw_*.json found; run scripts/bench_sweep.py first")
         raw_path = candidates[-1]
