@@ -26,15 +26,49 @@ __all__ = ["stft", "istft", "stft_device", "istft_device", "window_table", "fram
 # near-coprime (frame, hop) pairs — every power-of-two hop stays well under.
 _MAX_SLICES = 256
 
-_WINDOWS = ("rect", "hann", "hamming", "blackman")
+_WINDOWS = ("rect", "hann", "hamming", "blackman", "bartlett", "blackmanharris", "flattop")
+
+# Cosine-sum coefficients, alternating signs: w = Σ (−1)^j a_j cos(j·c).
+_COSINE_COEFFS = {
+    "hann": (0.5, 0.5),
+    "hamming": (0.54, 0.46),
+    "blackman": (0.42, 0.5, 0.08),
+    "blackmanharris": (0.35875, 0.48829, 0.14128, 0.01168),
+    "flattop": (0.21557895, 0.41663158, 0.277263158, 0.083578947, 0.006947368),
+}
 
 
-def window_table(window: str | None, frame_size: int) -> np.ndarray:
+def _symmetric_table(window, m: int) -> np.ndarray:
+    """Symmetric window of ``m`` samples, f64 (scipy fftbins=False form)."""
+    if m <= 1:
+        return np.ones(max(m, 0))
+    if isinstance(window, tuple):
+        if len(window) != 2 or window[0] != "kaiser":
+            raise ValueError(f"tuple windows must be ('kaiser', beta), got {window!r}")
+        return np.kaiser(m, float(window[1]))
+    if window == "bartlett":
+        return np.bartlett(m)
+    coeffs = _COSINE_COEFFS.get(window)
+    if coeffs is None:
+        raise ValueError(
+            f"window must be one of {_WINDOWS}, ('kaiser', beta), or None, got {window!r}"
+        )
+    c = 2.0 * np.pi * np.arange(m) / (m - 1)
+    w = np.zeros(m)
+    for j, a in enumerate(coeffs):
+        w += (-1.0) ** j * a * np.cos(j * c)
+    return w
+
+
+def window_table(window, frame_size: int) -> np.ndarray:
     """Periodic (DFT-even) window of ``frame_size`` samples as f32.
 
-    ``window``: None/"rect", "hann", "hamming", or "blackman" — the same
-    family the spectrogram accepts.  Periodic form (denominator N, not N-1)
-    is the correct choice for spectral analysis and overlap-add.
+    ``window``: None/"rect", "hann", "hamming", "blackman", "bartlett",
+    "blackmanharris", "flattop", or ``("kaiser", beta)`` — accepted by every
+    windowed estimator (stft/welch/csd/coherence/periodogram/spectrogram).
+    Periodic form (the symmetric window of frame_size+1 samples with the
+    last dropped — scipy's fftbins=True) is the correct choice for
+    spectral analysis and overlap-add.
 
     >>> window_table("hann", 4).tolist()
     [0.0, 0.5, 1.0, 0.5]
@@ -43,16 +77,9 @@ def window_table(window: str | None, frame_size: int) -> np.ndarray:
     """
     if window is None or window == "rect":
         return np.ones(frame_size, dtype=np.float32)
-    if window not in _WINDOWS:
-        raise ValueError(f"window must be one of {_WINDOWS} or None, got {window!r}")
-    c = 2.0 * np.pi * np.arange(frame_size) / frame_size
-    if window == "hann":
-        w = 0.5 - 0.5 * np.cos(c)
-    elif window == "hamming":
-        w = 0.54 - 0.46 * np.cos(c)
-    else:  # blackman
-        w = 0.42 - 0.5 * np.cos(c) + 0.08 * np.cos(2.0 * c)
-    return w.astype(np.float32)
+    if frame_size <= 1:  # degenerate: scipy returns ones
+        return np.ones(max(frame_size, 0), dtype=np.float32)
+    return _symmetric_table(window, frame_size + 1)[:frame_size].astype(np.float32)
 
 
 def frame_signal(x, frame_size: int, hop: int, num_frames: int):

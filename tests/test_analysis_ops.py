@@ -466,3 +466,43 @@ def test_dct_contracts():
         gf.dct(np.zeros(16, np.float32), norm="forward")
     with pytest.raises(ValueError):
         gf.dst(np.zeros((2, 2, 2), np.float32))
+
+
+# ── extended window family ───────────────────────────────────────────────────
+
+
+@pytest.mark.parametrize(
+    "window", ["hann", "hamming", "blackman", "bartlett", "blackmanharris",
+               "flattop", ("kaiser", 8.6)]
+)
+@pytest.mark.parametrize("n", [7, 64, 255, 256])
+def test_window_table_matches_scipy_periodic(window, n):
+    got = gf.window_table(window, n)
+    ref = scipy.signal.get_window(window, n, fftbins=True)
+    np.testing.assert_allclose(got, ref, atol=2e-7)
+
+
+def test_welch_with_extended_windows(rng):
+    x = rng.standard_normal(8192).astype(np.float32)
+    for window in ("blackmanharris", "flattop", ("kaiser", 12.0)):
+        f, p = gf.welch(x, nperseg=256, window=window)
+        sw = window
+        f_ref, p_ref = scipy.signal.welch(x, nperseg=256, window=sw)
+        scale = p_ref.max()
+        assert_slice_approx(p / scale, p_ref / scale, 2e-3, f"welch {window}")
+
+
+def test_stft_roundtrip_with_kaiser_window(rng):
+    x = rng.standard_normal(2048).astype(np.float32)
+    r, i = gf.stft(x, 256, hop=64, window=("kaiser", 8.6))
+    y = gf.istft(r, i, hop=64, window=("kaiser", 8.6), length=2048)
+    num = (2048 - 256) // 64 + 1
+    cov = (num - 1) * 64 + 256
+    assert_slice_approx(y[:cov], x[:cov], 2e-3, "kaiser stft roundtrip")
+
+
+def test_window_table_rejects_unknown():
+    with pytest.raises(ValueError):
+        gf.window_table("tukey", 64)
+    with pytest.raises(ValueError):
+        gf.window_table(("kaiser",), 64)
