@@ -7,9 +7,11 @@ all ride ONE batched fused transform (the launch-amortization pattern of
 reference ``src/fft.rs:191-205``), multiplied by the kernel's spectrum, and
 re-assembled with a vectorized tail-shift overlap-add (static slices and
 pads only — arbitrary-index scatters run on the TPU scalar core, see
-``docs/ALGORITHM.md`` §4d).  Memory stays bounded by the block size no
-matter how long the signal is, unlike :func:`~gpu_fft_tpu.fft_convolve`
-which needs one transform spanning the whole output.
+``docs/ALGORITHM.md`` §4d).  The TRANSFORM length stays bounded by the
+block size no matter how long the signal is (working memory is ~3x the
+signal, as for any out-of-place op), unlike
+:func:`~gpu_fft_tpu.fft_convolve` which needs one transform spanning the
+whole output and hits ``MAX_N``/precision limits first.
 
 On top of it: :func:`firwin` (window-method FIR design,
 ``scipy.signal.firwin`` semantics), :func:`fftfilt` (causal FIR filtering,
@@ -40,7 +42,7 @@ __all__ = [
 ]
 
 
-def _best_block_fft_size(lh: int, n: int) -> int:
+def _best_block_fft_size(lh: int) -> int:
     """Pick the overlap-add block transform length m (a power of two).
 
     MEASURED rule, not the textbook m·log2(m)/(m−lh+1) cost model: on TPU
@@ -101,7 +103,7 @@ def oaconvolve_device(x, h, block: int | None = None):
     lh = h.shape[1]
     lfull = n + lh - 1
 
-    m = _best_block_fft_size(lh, n) if block is None else int(block)
+    m = _best_block_fft_size(lh) if block is None else int(block)
     if block is not None:
         if m & (m - 1) or m < 2 * lh:
             raise ValueError(f"block must be a power of two >= 2*len(h), got {block}")
@@ -145,10 +147,13 @@ def oaconvolve_device(x, h, block: int | None = None):
 def oaconvolve(x, h, mode: str = "full", block: int | None = None):
     """Overlap-add linear convolution of real 1-D signals.
 
-    ``scipy.signal.oaconvolve`` semantics for real input: cuts the longer
-    operand into blocks so arbitrarily long signals convolve in bounded
-    memory through the batched fused transform.  ``mode``: "full"
-    (default), "same" (centered, len max(la, lb)), or "valid".
+    ``scipy.signal.oaconvolve`` semantics for real input, including the
+    mode shapes: "full" (default, len la+lb-1), "same" (centered, the
+    FIRST operand's length — scipy's same-as-in1, which differs from
+    ``numpy.convolve``'s max-length rule when the kernel is longer), or
+    "valid" (the |la-lb|+1 fully-overlapping samples, either operand may
+    be the longer one).  The longer operand is cut into blocks so
+    arbitrarily long signals convolve through the batched fused transform.
 
     >>> oaconvolve([1.0, 2.0, 3.0], [1.0, 1.0]).round(5).tolist()
     [1.0, 3.0, 5.0, 3.0]
@@ -162,16 +167,14 @@ def oaconvolve(x, h, mode: str = "full", block: int | None = None):
     if mode not in ("full", "same", "valid"):
         raise ValueError(f"mode must be full|same|valid, got {mode!r}")
     la, lb = xv.shape[0], hv.shape[0]
-    if mode == "valid" and la < lb:
-        raise ValueError("valid mode requires len(x) >= len(h)")
     full = np.asarray(oaconvolve_device(xv, hv, block=block))
     if mode == "full":
         return full
     if mode == "same":
-        out_len = max(la, lb)
-        start = (min(la, lb) - 1) // 2
-        return full[start : start + out_len].copy()
-    return full[lb - 1 : la].copy()
+        start = (lb - 1) // 2
+        return full[start : start + la].copy()
+    lo = min(la, lb)
+    return full[lo - 1 : max(la, lb)].copy()
 
 
 def fft_convolve2d_device(x, k):
@@ -262,27 +265,14 @@ def fft_convolve2d(x, k, mode: str = "full"):
 def _symmetric_window(window, numtaps: int) -> np.ndarray:
     """Symmetric (filter-design) window, f64 — denominator N-1, not N.
 
-    ``window`` may also be ``("kaiser", beta)``.
+    The same family :func:`~gpu_fft_tpu.window_table` accepts (incl.
+    ``("kaiser", beta)``), in its symmetric (fftbins=False) form.
     """
-    if isinstance(window, tuple):
-        if len(window) != 2 or window[0] != "kaiser":
-            raise ValueError(f"tuple windows must be ('kaiser', beta), got {window!r}")
-        return np.kaiser(numtaps, float(window[1]))
     if window is None or window == "rect":
         return np.ones(numtaps)
-    if numtaps == 1:
-        return np.ones(1)
-    c = 2.0 * np.pi * np.arange(numtaps) / (numtaps - 1)
-    if window == "hann":
-        return 0.5 - 0.5 * np.cos(c)
-    if window == "hamming":
-        return 0.54 - 0.46 * np.cos(c)
-    if window == "blackman":
-        return 0.42 - 0.5 * np.cos(c) + 0.08 * np.cos(2.0 * c)
-    raise ValueError(
-        f"window must be rect|hann|hamming|blackman, ('kaiser', beta), or None, "
-        f"got {window!r}"
-    )
+    from .stft import _symmetric_table
+
+    return _symmetric_table(window, numtaps)
 
 
 def kaiser_beta(a: float) -> float:
@@ -345,8 +335,11 @@ def firwin(
     are normalized to the Nyquist frequency).  ``pass_zero=True`` makes the
     first band a passband (lowpass / bandstop); False starts with a
     stopband (highpass / bandpass).  Each band contributes a windowed ideal
-    (sinc) response; ``scale`` normalizes unity gain at the center of the
-    first passband.  Returns f64 taps (design is host-side math).
+    (sinc) response; ``window`` accepts the same family as
+    :func:`~gpu_fft_tpu.window_table` (hamming default, ``("kaiser", beta)``
+    included) in symmetric form; ``scale`` normalizes unity gain at the
+    center of the first passband.  Returns f64 taps (design is host-side
+    math).
 
     >>> float(firwin(11, 0.4).sum().round(6))  # unity DC gain when scaled
     1.0
@@ -468,10 +461,9 @@ def minimum_phase(h, n_fft: int | None = None, *, half: bool = True) -> np.ndarr
     # Fold anti-causal quefrencies onto causal ones: minimum-phase cepstrum.
     win = np.zeros(n_fft)
     win[0] = 1.0
-    stop = (n_fft + 1) // 2
-    win[1:stop] = 2.0
-    if n_fft % 2 == 0:
-        win[stop] = 1.0
+    win[1 : n_fft // 2] = 2.0
+    if n_fft % 2:  # odd grid: boundary quefrency counted once (scipy quirk)
+        win[n_fft // 2] = 1.0
     h_min = np.fft.ifft(np.exp(np.fft.fft(cep * win))).real
     n_out = (n // 2) + (n % 2) if half else n
     return h_min[:n_out]
@@ -483,10 +475,11 @@ class FIRStream:
     boundaries.
 
     The serving-side counterpart of :func:`fftfilt`: the kernel's spectrum
-    at the chunk's block length is precomputed once; each ``step`` runs one
-    batched block convolution of its chunk and carries the length-(lh-1)
-    convolution tail into the next chunk.  ``step`` is pure and
-    jit/scan-composable — state in, state out, nothing hidden::
+    at the chunk's padded transform length is computed once at
+    construction; each ``step`` pays exactly one forward and one inverse
+    transform of its chunk and carries the length-(lh-1) convolution tail
+    into the next chunk.  ``step`` is pure and jit/scan-composable — state
+    in, state out, nothing hidden::
 
         stream = FIRStream(h, chunk=4096, batch=B)
         state = stream.init()
@@ -500,6 +493,9 @@ class FIRStream:
     def __init__(self, h, chunk: int = 4096, batch: int = 1):
         import jax.numpy as jnp
 
+        from ..kernels.large import transform_any
+        from .transform import next_power_of_two
+
         h = np.asarray(h, dtype=np.float32)
         if h.ndim != 1 or h.size == 0:
             raise ValueError("FIRStream expects non-empty 1-D taps")
@@ -508,7 +504,9 @@ class FIRStream:
         self.taps = int(h.size)
         self.chunk = int(chunk)
         self.batch = int(batch)
-        self._h = jnp.asarray(h)
+        self._m = max(2, next_power_of_two(self.chunk + self.taps - 1))
+        hp = jnp.asarray(np.pad(h, (0, self._m - self.taps)))
+        self._hr, self._hi = transform_any(hp[None], None, self._m, -1)
 
     def init(self):
         """Zero carry state: (batch, taps-1) of pending convolution tail."""
@@ -531,7 +529,14 @@ class FIRStream:
                 f"FIRStream.step expects ({self.batch}, {self.chunk}) chunks, "
                 f"got {x.shape}"
             )
-        full = oaconvolve_device(x, self._h)  # (batch, chunk + taps - 1)
+        from ..kernels.large import transform_any
+
+        xp = jnp.pad(x, ((0, 0), (0, self._m - self.chunk)))
+        xr, xi = transform_any(xp, None, self._m, -1)
+        cr = xr * self._hr - xi * self._hi
+        ci = xr * self._hi + xi * self._hr
+        yfull, _ = transform_any(cr, ci, self._m, +1)
+        full = yfull[:, : self.chunk + self.taps - 1] * jnp.float32(1.0 / self._m)
         t = self.taps - 1
         y = full[:, : self.chunk]
         if t > 0:
@@ -552,21 +557,24 @@ def freqz_fir(h, n: int = 512, fs: float = 2.0 * np.pi):
 
     ``scipy.signal.freqz(h, worN=n)`` semantics: evaluates H(e^{jw}) on the
     upper half of the unit circle (endpoint excluded) — computed as the
-    first ``n`` bins of a length-2n transform of the zero-padded taps,
-    through the device rfft.  Returns ``(w, Hr, Hi)`` NumPy arrays.
+    first ``n`` bins of a length-2n transform of the taps, through the
+    device rfft.  Filters longer than 2n are folded mod 2n first
+    (time-domain aliasing samples the DTFT exactly), so any tap count
+    works.  Returns ``(w, Hr, Hi)`` NumPy arrays.
     """
     from .exact import fft_exact_device
 
-    hv = np.asarray(h, dtype=np.float32)
+    hv = np.asarray(h, dtype=np.float64)
     if hv.ndim != 1 or hv.size == 0:
         raise ValueError("freqz_fir expects non-empty 1-D taps")
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     m = 2 * n
     if hv.shape[0] > m:
-        raise ValueError(f"n must be >= len(h)/2 = {hv.shape[0] / 2:.0f}, got {n}")
+        pad_to = -(-hv.shape[0] // m) * m
+        hv = np.pad(hv, (0, pad_to - hv.shape[0])).reshape(-1, m).sum(axis=0)
     padded = np.zeros(m, dtype=np.float32)
-    padded[: hv.shape[0]] = hv
+    padded[: hv.shape[0]] = hv.astype(np.float32)
     yr, yi = fft_exact_device(padded[None])
     w = np.arange(n) * (fs / m)
     return w, np.asarray(yr[0, :n]), np.asarray(yi[0, :n])

@@ -107,10 +107,6 @@ def spectrogram_device(
     hop = frame_size if hop is None else hop
     if hop < 1:
         raise ValueError(f"hop must be >= 1, got {hop}")
-    if window not in (None, "hann", "hamming", "blackman"):
-        raise ValueError(
-            f"window must be None, 'hann', 'hamming', or 'blackman', got {window!r}"
-        )
     x = jnp.asarray(x, dtype=jnp.float32)
     if x.ndim != 1:
         raise ValueError(f"spectrogram expects a 1-D signal, got shape {x.shape}")

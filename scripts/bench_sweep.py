@@ -241,7 +241,7 @@ def main() -> None:
         from gpu_fft_tpu.ops.filter import _best_block_fft_size, firwin
 
         sig_n, taps_n = 262144, 257
-        blk = _best_block_fft_size(taps_n, sig_n)
+        blk = _best_block_fft_size(taps_n)
         nblk = -(-sig_n // (blk - taps_n + 1))
         run(f"oaconvolve/pallas/L{sig_n}_t{taps_n}", "oaconvolve", "pallas",
             nblk, blk, oaconvolve_step(sig_n, firwin(taps_n, 0.25)),
