@@ -51,6 +51,7 @@ from .ops.filter import (
     fftfilt_device,
     filtfilt_fir,
     firwin,
+    firwin2,
     freqz_fir,
     kaiser_atten,
     kaiser_beta,
@@ -143,6 +144,7 @@ __all__ = [
     "oaconvolve",
     "oaconvolve_device",
     "firwin",
+    "firwin2",
     "fftfilt",
     "fftfilt_device",
     "filtfilt_fir",

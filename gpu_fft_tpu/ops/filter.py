@@ -28,6 +28,7 @@ __all__ = [
     "oaconvolve",
     "oaconvolve_device",
     "firwin",
+    "firwin2",
     "fftfilt",
     "fftfilt_device",
     "filtfilt_fir",
@@ -373,6 +374,80 @@ def firwin(
         left, right = bands[0]
         fc = 0.0 if left == 0.0 else (1.0 if right == 1.0 else 0.5 * (left + right))
         h /= np.sum(h * np.cos(np.pi * k * fc))
+    return h
+
+
+def firwin2(
+    numtaps: int,
+    freq,
+    gain,
+    *,
+    nfreqs: int | None = None,
+    window: object = "hamming",
+    antisymmetric: bool = False,
+    fs: float = 2.0,
+) -> np.ndarray:
+    """Frequency-sampling FIR design (``scipy.signal.firwin2`` semantics).
+
+    ``freq``/``gain`` describe the desired magnitude response as a
+    piecewise-linear curve from 0 to fs/2 (``freq`` ascending, first 0,
+    last fs/2; a frequency may repeat once to make a step).  The curve is
+    interpolated onto a dense grid, given the linear-phase delay, inverted
+    to taps (the inverse-transform half of this library's rfft pair, host
+    f64), and windowed.  ``antisymmetric`` selects the odd-symmetric
+    (type III/IV — differentiator/Hilbert) families with the standard
+    zero-gain constraints at DC/Nyquist.
+
+    >>> taps = firwin2(65, [0.0, 0.3, 0.3, 1.0], [1.0, 1.0, 0.0, 0.0])
+    >>> round(float(taps.sum()), 2)  # DC gain ~ 1
+    1.0
+    """
+    if numtaps < 3:
+        raise ValueError(f"numtaps must be >= 3, got {numtaps}")
+    f = np.asarray(freq, dtype=np.float64) / (fs / 2.0)
+    g = np.asarray(gain, dtype=np.float64)
+    if f.ndim != 1 or f.shape != g.shape or f.size < 2:
+        raise ValueError("freq and gain must be equal-length 1-D sequences (>= 2 points)")
+    if f[0] != 0.0 or abs(f[-1] - 1.0) > 1e-12:
+        raise ValueError("freq must start at 0 and end at fs/2")
+    d = np.diff(f)
+    if np.any(d < 0.0):
+        raise ValueError("freq must be nondecreasing")
+    if np.any(d[:-1] + d[1:] == 0.0):  # a value may repeat at most twice
+        raise ValueError("a frequency may not occur more than twice")
+    if f[1] == 0.0 or f[-2] == 1.0:
+        raise ValueError("freq may not repeat at 0 or fs/2")
+
+    # Filter type (I-IV) constraints: odd symmetry forces zeros at the band
+    # edges; even-tap symmetric filters force a zero at Nyquist.
+    if antisymmetric:
+        if g[0] != 0.0:
+            raise ValueError("antisymmetric designs need zero gain at DC")
+        if numtaps % 2 == 1 and g[-1] != 0.0:
+            raise ValueError("odd-tap antisymmetric designs need zero gain at Nyquist")
+    elif numtaps % 2 == 0 and g[-1] != 0.0:
+        raise ValueError("even-tap symmetric designs need zero gain at Nyquist")
+
+    if nfreqs is None:
+        nfreqs = 1 + 2 ** int(np.ceil(np.log2(numtaps)))
+    if nfreqs < numtaps:
+        raise ValueError(f"nfreqs ({nfreqs}) must be >= numtaps ({numtaps})")
+
+    # Nudge duplicated breakpoints apart so interpolation sees a step.
+    eps = np.finfo(np.float64).eps * nfreqs
+    fi = f.copy()
+    for k in range(1, fi.size):
+        if fi[k] <= fi[k - 1]:
+            fi[k] = fi[k - 1] + eps
+    grid = np.linspace(0.0, 1.0, nfreqs)
+    mag = np.interp(grid, fi, g)
+
+    # Linear-phase delay + odd symmetry phase, then inverse transform.
+    shift = np.exp(-1j * np.pi * grid * (numtaps - 1) / 2.0)
+    if antisymmetric:
+        shift = shift * 1j  # odd-symmetry (type III/IV) phase convention
+    h = np.fft.irfft(mag * shift, 2 * (nfreqs - 1))[:numtaps]
+    h *= _symmetric_window(window, numtaps)
     return h
 
 

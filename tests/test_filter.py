@@ -489,3 +489,54 @@ def test_spectrogram_accepts_extended_windows(rng):
     assert p.shape == ((4096 - 256) // 128 + 1, 129)
     p2 = np.asarray(gf.spectrogram(x, 256, hop=128, window=("kaiser", 8.6)))
     assert np.isfinite(p2).all()
+
+
+# ── firwin2 ──────────────────────────────────────────────────────────────────
+
+
+@pytest.mark.parametrize(
+    "numtaps,freq,gain,kw",
+    [
+        (65, [0.0, 0.3, 0.3, 1.0], [1.0, 1.0, 0.0, 0.0], {}),
+        (64, [0.0, 0.3, 0.3, 1.0], [1.0, 1.0, 0.0, 0.0], {}),
+        (33, [0.0, 0.5, 1.0], [0.0, 1.0, 0.0], {}),
+        (51, [0.0, 0.2, 0.4, 1.0], [1.0, 0.5, 0.25, 0.0], {"window": "hann", "nfreqs": 129}),
+        (41, [0.0, 100.0, 100.0, 500.0], [1.0, 1.0, 0.0, 0.0], {"fs": 1000.0}),
+        (33, [0.0, 0.3, 0.3, 1.0], [1.0, 1.0, 0.0, 0.0], {"window": ("kaiser", 6.0)}),
+        (65, [0.0, 0.1, 0.5, 0.9, 1.0], [0.0, 1.0, 1.0, 1.0, 0.0], {"antisymmetric": True}),
+        (64, [0.0, 1.0], [0.0, 1.0], {"antisymmetric": True}),
+    ],
+)
+def test_firwin2_matches_scipy(numtaps, freq, gain, kw):
+    got = gf.firwin2(numtaps, freq, gain, **kw)
+    ref = scipy.signal.firwin2(numtaps, freq, gain, **kw)
+    np.testing.assert_allclose(got, ref, atol=1e-12)
+
+
+def test_firwin2_contract_errors():
+    with pytest.raises(ValueError):
+        gf.firwin2(2, [0.0, 1.0], [1.0, 0.0])  # too few taps
+    with pytest.raises(ValueError):
+        gf.firwin2(33, [0.1, 1.0], [1.0, 0.0])  # must start at 0
+    with pytest.raises(ValueError):
+        gf.firwin2(33, [0.0, 0.5], [1.0, 0.0])  # must end at fs/2
+    with pytest.raises(ValueError):
+        gf.firwin2(33, [0.0, 0.6, 0.4, 1.0], [1.0, 1.0, 0.0, 0.0])  # not sorted
+    with pytest.raises(ValueError):
+        gf.firwin2(33, [0.0, 0.3, 0.3, 0.3, 1.0], [1.0, 1.0, 0.5, 0.0, 0.0])  # triple
+    with pytest.raises(ValueError):
+        gf.firwin2(64, [0.0, 1.0], [1.0, 1.0])  # even taps need 0 at Nyquist
+    with pytest.raises(ValueError):
+        gf.firwin2(65, [0.0, 1.0], [1.0, 0.0], antisymmetric=True)  # DC != 0
+    with pytest.raises(ValueError):
+        gf.firwin2(33, [0.0, 1.0], [1.0, 0.0], nfreqs=16)  # nfreqs < numtaps
+
+
+def test_firwin2_design_filters(rng):
+    # End-to-end: a firwin2 shelving curve actually shapes the spectrum.
+    h = gf.firwin2(101, [0.0, 0.25, 0.25, 1.0], [1.0, 1.0, 0.1, 0.1]).astype(np.float32)
+    w, hr, hi = gf.freqz_fir(h, n=256)
+    mag = np.hypot(hr, hi)
+    lo = mag[(w / np.pi) < 0.2].mean()
+    hi_band = mag[(w / np.pi) > 0.35].mean()
+    assert abs(lo - 1.0) < 0.05 and abs(hi_band - 0.1) < 0.05
