@@ -86,3 +86,17 @@ def test_filtering_example():
     out = _run_capturing(filtering.main)
     assert "Kaiser lowpass" in out
     assert "[OK]" in out and "FAIL" not in out
+
+
+def test_api_doc_covers_all_public_symbols():
+    # docs/API.md is generated (scripts/gen_api_doc.py); it must mention
+    # every public facade symbol so the reference never silently rots.
+    import pathlib
+
+    import gpu_fft_tpu as gf
+
+    doc = pathlib.Path(__file__).resolve().parent.parent / "docs" / "API.md"
+    text = doc.read_text()
+    missing = [n for n in gf.__all__
+               if n not in ("utils", "__version__") and f"`{n}" not in text]
+    assert not missing, f"regenerate docs/API.md (python scripts/gen_api_doc.py): {missing}"
