@@ -109,7 +109,12 @@ def main() -> None:
         # roofline (b, n) — e.g. stft/welch consume a (1, L) signal but their
         # transform work is (num_frames, frame_size).
         try:
-            st = chained_step_stats(step, dev(shape or (b, n)), k1=50, k2=1050, reps=5)
+            x0 = dev(shape or (b, n))
+            st = chained_step_stats(step, x0, k1=50, k2=1050, reps=5)
+            if st.suspect:  # one retry before flagging the row
+                st2 = chained_step_stats(step, x0, k1=50, k2=1050, reps=5)
+                if not st2.suspect or st2.iqr_s < st.iqr_s:
+                    st = st2
             melem = b * n / st.median_s / 1e6
             entry = {
                 "name": name,
