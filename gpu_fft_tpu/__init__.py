@@ -60,6 +60,13 @@ from .ops.filter import (
     oaconvolve,
     oaconvolve_device,
 )
+from .ops.multirate import (
+    decimate,
+    resample_poly,
+    resample_poly_device,
+    upfirdn,
+    upfirdn_device,
+)
 from .ops.fft2d import (
     fft2,
     fft2_device,
@@ -163,6 +170,11 @@ __all__ = [
     "envelope",
     "resample",
     "resample_device",
+    "upfirdn",
+    "upfirdn_device",
+    "resample_poly",
+    "resample_poly_device",
+    "decimate",
     "dct",
     "idct",
     "dst",

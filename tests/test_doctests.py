@@ -9,6 +9,7 @@ import doctest
 
 import gpu_fft_tpu.ops.dsp
 import gpu_fft_tpu.ops.filter
+import gpu_fft_tpu.ops.multirate
 import gpu_fft_tpu.ops.spectral
 import gpu_fft_tpu.ops.stft
 import gpu_fft_tpu.ops.transform
@@ -43,6 +44,10 @@ def test_dsp_doctests():
 
 def test_filter_doctests():
     _run(gpu_fft_tpu.ops.filter, 4)
+
+
+def test_multirate_doctests():
+    _run(gpu_fft_tpu.ops.multirate, 1)
 
 
 def test_stft_doctests():
