@@ -137,6 +137,26 @@ def spectrogram(
     )
 
 
+def _detrend_rows(rows, mode):
+    """Per-row detrend: False/None off; True/'constant' removes the mean;
+    'linear' removes the least-squares line (``scipy.signal.detrend``)."""
+    import jax.numpy as jnp
+
+    if mode is False or mode is None:
+        return rows
+    if mode is True or mode == "constant":
+        return rows - jnp.mean(rows, axis=-1, keepdims=True)
+    if mode == "linear":
+        n = rows.shape[-1]
+        tc = np.arange(n) - (n - 1) / 2.0  # centered time axis: zero-mean
+        t = jnp.asarray(tc.astype(np.float32))
+        denom = jnp.float32(float(np.sum(tc * tc)))
+        mean = jnp.mean(rows, axis=-1, keepdims=True)
+        slope = jnp.sum(rows * t, axis=-1, keepdims=True) / denom
+        return rows - mean - slope * t
+    raise ValueError(f"detrend must be False, 'constant', or 'linear', got {mode!r}")
+
+
 def _welch_scale_mult(window, nperseg: int, fs: float, scaling: str) -> np.ndarray:
     """One-sided per-bin scale for Welch-family estimators (scipy semantics):
     window normalization x interior-bin doubling."""
@@ -160,14 +180,16 @@ def _segment_spectra(
     nperseg: int,
     noverlap: int | None,
     window: str | None,
-    detrend: bool,
+    detrend: bool | str,
     fs: float,
     scaling: str,
     name: str,
 ):
     """Shared Welch-family front end: validate, segment, detrend, window,
     and run ONE batched one-sided transform.  Returns split-complex
-    (num_seg, bins) device arrays."""
+    (num_seg, bins) device arrays.  ``detrend``: False/None (off),
+    True/'constant' (subtract the per-segment mean), or 'linear'
+    (subtract the per-segment least-squares line, scipy semantics)."""
     import jax.numpy as jnp
 
     from .stft import frame_signal, window_table
@@ -198,8 +220,7 @@ def _segment_spectra(
         segs = segs.reshape(c * num_seg, nperseg)
     else:
         segs = frame_signal(x, nperseg, hop, num_seg)
-    if detrend:
-        segs = segs - jnp.mean(segs, axis=-1, keepdims=True)
+    segs = _detrend_rows(segs, detrend)
     yr, yi = rfft_device(segs * window_table(window, nperseg)[None])
     if x.ndim == 2:
         h = nperseg // 2 + 1
@@ -213,7 +234,7 @@ def welch_device(
     window: str | None = "hann",
     nperseg: int = 256,
     noverlap: int | None = None,
-    detrend: bool = True,
+    detrend: bool | str = True,
     scaling: str = "density",
 ):
     """Welch averaged-periodogram PSD estimate (device, jit-composable).
@@ -247,7 +268,7 @@ def welch(
     window: str | None = "hann",
     nperseg: int = 256,
     noverlap: int | None = None,
-    detrend: bool = True,
+    detrend: bool | str = True,
     scaling: str = "density",
 ):
     """Host-convenience Welch PSD; see :func:`welch_device`.
@@ -267,7 +288,7 @@ def csd_device(
     window: str | None = "hann",
     nperseg: int = 256,
     noverlap: int | None = None,
-    detrend: bool = True,
+    detrend: bool | str = True,
     scaling: str = "density",
 ):
     """Cross spectral density Pxy by Welch's method (device).
@@ -300,7 +321,7 @@ def csd(
     window: str | None = "hann",
     nperseg: int = 256,
     noverlap: int | None = None,
-    detrend: bool = True,
+    detrend: bool | str = True,
     scaling: str = "density",
 ):
     """Host-convenience cross spectral density; see :func:`csd_device`."""
@@ -369,7 +390,7 @@ def periodogram_device(
     x,
     fs: float = 1.0,
     window: str | None = None,
-    detrend: bool = True,
+    detrend: bool | str = True,
     scaling: str = "density",
 ):
     """Single-segment one-sided periodogram of the WHOLE signal (device).
@@ -392,8 +413,7 @@ def periodogram_device(
     if x.ndim != 1 or x.shape[0] < 2:
         raise ValueError(f"periodogram expects a 1-D signal of >= 2 samples, got {x.shape}")
     n = x.shape[0]
-    if detrend:
-        x = x - jnp.mean(x)
+    x = _detrend_rows(x[None], detrend)[0]
     w = window_table(window, n)
     yr, yi = fft_exact_device(x * w)
     h = n // 2 + 1
@@ -415,7 +435,7 @@ def periodogram(
     x,
     fs: float = 1.0,
     window: str | None = None,
-    detrend: bool = True,
+    detrend: bool | str = True,
     scaling: str = "density",
 ):
     """Host-convenience periodogram; see :func:`periodogram_device`."""

@@ -92,7 +92,7 @@ def welch_sharded(
     window: str | None = "hann",
     nperseg: int = 256,
     noverlap: int | None = None,
-    detrend: bool = True,
+    detrend: bool | str = True,
     scaling: str = "density",
 ):
     """Welch PSD of a long signal with the SEGMENTS sharded over the mesh.
@@ -136,8 +136,9 @@ def welch_sharded(
     w = window_table(window, nperseg)
 
     def local(sl):
-        if detrend:
-            sl = sl - jnp.mean(sl, axis=-1, keepdims=True)
+        from ..ops.spectral import _detrend_rows
+
+        sl = _detrend_rows(sl, detrend)
         yr, yi = transform_any(sl * w[None], None, nperseg, -1)
         h = nperseg // 2 + 1
         part = jnp.sum(yr[:, :h] ** 2 + yi[:, :h] ** 2, axis=0)

@@ -506,3 +506,39 @@ def test_window_table_rejects_unknown():
         gf.window_table("tukey", 64)
     with pytest.raises(ValueError):
         gf.window_table(("kaiser",), 64)
+
+
+@pytest.mark.parametrize("detrend", ["linear", False])
+def test_welch_detrend_modes_match_scipy(rng, detrend):
+    t = np.arange(8192, dtype=np.float32)
+    x = (0.001 * t + np.sin(2 * np.pi * 0.01 * t)
+         + rng.standard_normal(8192)).astype(np.float32)
+    f, p = gf.welch(x, nperseg=256, detrend=detrend)
+    f_ref, p_ref = scipy.signal.welch(x, nperseg=256, detrend=detrend)
+    scale = p_ref.max()
+    assert_slice_approx(p / scale, p_ref / scale, 2e-3, f"welch detrend={detrend}")
+
+
+def test_periodogram_linear_detrend_matches_scipy(rng):
+    t = np.arange(4096, dtype=np.float32)
+    x = (0.01 * t + rng.standard_normal(4096)).astype(np.float32)
+    f, p = gf.periodogram(x, detrend="linear")
+    f_ref, p_ref = scipy.signal.periodogram(x, detrend="linear")
+    scale = p_ref.max()
+    assert_slice_approx(p / scale, p_ref / scale, 2e-3, "periodogram linear detrend")
+
+
+def test_csd_linear_detrend_matches_scipy(rng):
+    t = np.arange(8192, dtype=np.float32)
+    x = (0.002 * t + rng.standard_normal(8192)).astype(np.float32)
+    y = (0.001 * t + rng.standard_normal(8192)).astype(np.float32)
+    f, (cr, ci) = gf.csd(x, y, nperseg=256, detrend="linear")
+    f_ref, c_ref = scipy.signal.csd(x, y, nperseg=256, detrend="linear")
+    scale = np.abs(c_ref).max()
+    assert_slice_approx(cr / scale, c_ref.real / scale, 2e-3, "csd linear re")
+    assert_slice_approx(ci / scale, c_ref.imag / scale, 2e-3, "csd linear im")
+
+
+def test_detrend_rejects_unknown():
+    with pytest.raises(ValueError):
+        gf.welch(np.ones(1024, np.float32), detrend="quadratic")
