@@ -42,10 +42,14 @@ from .fused_jnp import fused_fft_jnp, fused_fft_jnp_folded, stage_b_jnp
 __all__ = ["transform_any"]
 
 
-def transform_any(xr, xi, n: int, sign: int):
+def transform_any(xr, xi, n: int, sign: int, scale: float | None = None):
     """Split-complex transform of each row of a (B, n) batch, any pow2 n >= 2.
 
-    ``xi`` may be None (real input).  Unnormalized; natural output order.
+    ``xi`` may be None (real input).  Unnormalized unless ``scale`` is
+    given (e.g. 1/n for a normalized inverse) — at fused sizes the scale
+    is folded into the last matmul's table (zero extra HBM passes; exact
+    for power-of-two scales); the staged path applies it as an epilogue.
+    Natural output order.
     """
     if n <= FUSED_MAX:
         b = xr.shape[0]
@@ -56,12 +60,18 @@ def transform_any(xr, xi, n: int, sign: int):
         # output permutation, zero transposes) wins everywhere except
         # single/double-signal big n, where XLA schedules the explicit
         # transposes better and far more stably (iqr 0.03 vs ~1.5 us).
-        plan = get_fused_plan(n, sign, wide=wide_split_applies(b, n))
+        plan = get_fused_plan(n, sign, wide=wide_split_applies(b, n), scale=scale)
         if plan.kind == "fourstep" and use_folded_layout(b, n):
             return fused_fft_jnp_folded(xr, xi, plan)
         return fused_fft_jnp(xr, xi, plan)
 
     b = xr.shape[0]
+    if scale is not None:
+        # Staged sizes: explicit epilogue (the fused-size table fold does
+        # not reach the Pallas stage-A tables).
+        yr, yi = transform_any(xr, xi, n, sign)
+        s = jnp.float32(scale)
+        return yr * s, yi * s
     plan = get_stage_a_plan(n, sign)
     n1, n2 = plan["n1"], plan["n2"]
 

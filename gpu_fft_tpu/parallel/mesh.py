@@ -213,9 +213,7 @@ def ifft_batch_sharded(xr, xi, mesh: Mesh, axis_name: str = "dp"):
         raise ValueError(f"batch {b} not divisible by mesh axis '{axis_name}' size {d}")
 
     def local(r, i):
-        yr, yi = transform_any(r, i, n, +1)
-        s = jnp.float32(1.0 / n)
-        return yr * s, yi * s
+        return transform_any(r, i, n, +1, scale=1.0 / n)
 
     spec = P(axis_name, None)
     return _shard_map(local, mesh, (spec, spec), (spec, spec))(xr, xi)

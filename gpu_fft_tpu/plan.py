@@ -17,6 +17,8 @@ import functools
 from dataclasses import dataclass, field
 from typing import Any
 
+import numpy as np
+
 from .config import DIRECT_MAX, FUSED_MAX, MAX_N
 from .kernels.tables import dft_matrix_ext, twiddle_table
 
@@ -82,12 +84,16 @@ class FusedPlan:
 
 
 @functools.lru_cache(maxsize=None)
-def get_fused_plan(n: int, sign: int, wide: bool = False) -> FusedPlan:
+def get_fused_plan(n: int, sign: int, wide: bool = False, scale: float | None = None) -> FusedPlan:
     """``wide=True`` selects the wide-batch split (n2 = 128): measured on
     v5e, a full-lane contraction in the dominant second matmul beats the
     FLOP-minimizing balanced split once the batch supplies enough rows
     (e.g. B=64 n=4096: 11.0 us vs 18.2; B=256: 30.9 vs 68.3), while the
-    balanced split stays ahead for small batches."""
+    balanced split stays ahead for small batches.
+
+    ``scale`` (e.g. the inverse's 1/n) is folded into the LAST matmul's
+    table, so normalized transforms cost zero extra HBM passes.  Exact in
+    f32 for power-of-two scales (the only ones the library uses)."""
     if n & (n - 1) or n < 2:
         raise ValueError(f"fused plans require power-of-two n >= 2, got {n}")
     if n > FUSED_MAX:
@@ -95,13 +101,15 @@ def get_fused_plan(n: int, sign: int, wide: bool = False) -> FusedPlan:
     if sign not in (-1, 1):
         raise ValueError(f"sign must be -1 or +1, got {sign}")
 
+    k = np.float32(1.0) if scale is None else np.float32(scale)
+
     if n <= DIRECT_MAX:
         fr, fi, fs, fd = dft_matrix_ext(n, sign)
         # Tables are cached as NumPy arrays: jit lifts them into the traced
         # program as device-resident constants, and caching device/tracer
         # objects across traces would leak tracers.  The sum/diff variants
         # feed the 3-multiplication complex matmul (kernels/fused.py).
-        tables = {"fr": fr, "fi": fi, "fs": fs, "fd": fd}
+        tables = {"fr": fr * k, "fi": fi * k, "fs": fs * k, "fd": fd * k}
         return FusedPlan(n=n, sign=sign, kind="direct", n1=n, n2=1, tables=tables)
 
     if wide and n >= 256:
@@ -115,7 +123,7 @@ def get_fused_plan(n: int, sign: int, wide: bool = False) -> FusedPlan:
     twr, twi = twiddle_table(n2, n1, n, sign)
     tables = {
         "f1r": f1r, "f1i": f1i, "f1s": f1s, "f1d": f1d,
-        "f2r": f2r, "f2i": f2i, "f2s": f2s, "f2d": f2d,
+        "f2r": f2r * k, "f2i": f2i * k, "f2s": f2s * k, "f2d": f2d * k,
         "twr": twr, "twi": twi,
     }
     return FusedPlan(n=n, sign=sign, kind="fourstep", n1=n1, n2=n2, tables=tables)
