@@ -58,7 +58,12 @@ def main() -> int:
     print(f"oaconvolve on 500k samples: same-mode err vs direct {err:.2e}")
     ok &= err < 1e-3
 
-    # 5. 2-D: Gaussian blur of an image batch.
+    # 5. Multirate: resample the filtered signal 1000 Hz -> 160 Hz.
+    y160 = gf.resample_poly(y, 4, 25)
+    print(f"resample_poly 1000 -> 160 Hz: {y.shape[0]} -> {y160.shape[0]} samples")
+    ok &= y160.shape[0] == -(-y.shape[0] * 4 // 25)
+
+    # 6. 2-D: Gaussian blur of an image batch.
     g = np.exp(-0.5 * ((np.arange(9) - 4.0) / 1.5) ** 2)
     kern = np.outer(g, g).astype(np.float32)
     kern /= kern.sum()

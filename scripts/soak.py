@@ -34,7 +34,9 @@ def analysis_soak(rng, iters: int) -> tuple[int, int]:
 
     failures = 0
     for _ in range(iters):
-        op = rng.choice(["stft", "dct", "dst", "hilbert", "resample", "oaconvolve", "conv2d"])
+        op = rng.choice(
+            ["stft", "dct", "dst", "hilbert", "resample", "oaconvolve", "conv2d", "upfirdn"]
+        )
         try:
             if op == "stft":
                 frame = 1 << int(rng.integers(4, 10))
@@ -96,6 +98,21 @@ def analysis_soak(rng, iters: int) -> tuple[int, int]:
                 err = float(np.abs(ya - yb).max()) / scale
                 good = err < 5e-3
                 desc = f"oaconvolve b={b} n={n} lh={lh}"
+            elif op == "upfirdn":
+                import scipy.signal as _ss
+
+                n = int(rng.integers(16, 30000))
+                lh = int(rng.integers(1, 129))
+                up = int(rng.integers(1, 8))
+                down = int(rng.integers(1, 8))
+                x = rng.uniform(-1, 1, n).astype(np.float32)
+                hh = rng.uniform(-1, 1, lh).astype(np.float32)
+                ya = np.asarray(gf.upfirdn(hh, x, up, down))
+                yb = _ss.upfirdn(hh.astype(np.float64), x.astype(np.float64), up, down)
+                scale = max(1.0, float(np.abs(yb).max()))
+                err = float(np.abs(ya - yb).max()) / scale
+                good = err < 5e-3 and ya.shape == yb.shape
+                desc = f"upfirdn n={n} lh={lh} {up}/{down}"
             else:  # conv2d: separable-kernel identity vs two 1-D passes
                 hgt = int(rng.integers(8, 200))
                 wid = int(rng.integers(8, 200))
