@@ -75,6 +75,10 @@ from .ops.fft2d import (
     ifft2,
     ifft2_device,
     ifftn,
+    irfft2,
+    irfft2_device,
+    rfft2,
+    rfft2_device,
 )
 from .ops.spectral import (
     coherence,
@@ -133,6 +137,10 @@ __all__ = [
     "fftn",
     "ifftn",
     "fftn_device",
+    "rfft2",
+    "irfft2",
+    "rfft2_device",
+    "irfft2_device",
     "fft_exact",
     "ifft_exact",
     "fft_exact_device",

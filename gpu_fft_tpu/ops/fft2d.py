@@ -18,7 +18,19 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["fft2", "ifft2", "fft2_device", "ifft2_device", "fftn_device", "fftn", "ifftn"]
+__all__ = [
+    "fft2",
+    "ifft2",
+    "fft2_device",
+    "ifft2_device",
+    "fftn_device",
+    "fftn",
+    "ifftn",
+    "rfft2",
+    "irfft2",
+    "rfft2_device",
+    "irfft2_device",
+]
 
 
 def _check_sides(h: int, w: int) -> None:
@@ -185,3 +197,89 @@ def ifft2(real, imag):
         np.asarray(real, dtype=np.float32), np.asarray(imag, dtype=np.float32)
     )
     return np.asarray(yr), np.asarray(yi)
+
+
+def rfft2_device(x):
+    """One-sided 2-D FFT of real images: the W//2 + 1 unique column bins.
+
+    ``x``: (H, W) or (B, H, W) real f32 with POWER-OF-TWO sides.  Returns
+    split-complex (..., H, W//2 + 1) — ``numpy.fft.rfft2`` semantics (rfft
+    over the last axis, full FFT over rows).  Half the spectrum, and the
+    column pass runs on half the bins; jit-composable.
+    """
+    import jax.numpy as jnp
+
+    from ..kernels.large import transform_any
+    from .transform import rfft_device
+
+    x = jnp.asarray(x, dtype=jnp.float32)
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[None]
+    if x.ndim != 3:
+        raise ValueError(f"rfft2 expects (H, W) or (B, H, W), got {x.shape}")
+    b, h, w = x.shape
+    for name, s in (("height", h), ("width", w)):
+        if s < 2 or s & (s - 1):
+            raise ValueError(f"rfft2 {name} must be a power of two >= 2, got {s}")
+    hw = w // 2 + 1
+    rr, ri = rfft_device(x.reshape(b * h, w))  # rows: (b*h, hw)
+    cr = jnp.swapaxes(rr.reshape(b, h, hw), 1, 2).reshape(b * hw, h)
+    ci = jnp.swapaxes(ri.reshape(b, h, hw), 1, 2).reshape(b * hw, h)
+    sr, si = transform_any(cr, ci, h, -1)  # columns: full complex FFT
+    out_r = jnp.swapaxes(sr.reshape(b, hw, h), 1, 2)
+    out_i = jnp.swapaxes(si.reshape(b, hw, h), 1, 2)
+    return (out_r[0], out_i[0]) if squeeze else (out_r, out_i)
+
+
+def irfft2_device(xr, xi):
+    """Inverse of :func:`rfft2_device`: real images back, 1/(H*W) normalized.
+
+    ``xr, xi``: (..., H, W//2 + 1) split-complex one-sided spectra of
+    power-of-two sides.  ``numpy.fft.irfft2`` semantics (even output
+    width).
+    """
+    import jax.numpy as jnp
+
+    from ..kernels.large import transform_any
+    from .transform import irfft_device
+
+    xr = jnp.asarray(xr, dtype=jnp.float32)
+    xi = jnp.asarray(xi, dtype=jnp.float32)
+    if xr.shape != xi.shape:
+        raise ValueError(f"irfft2: real and imag shapes differ: {xr.shape} vs {xi.shape}")
+    squeeze = xr.ndim == 2
+    if squeeze:
+        xr, xi = xr[None], xi[None]
+    if xr.ndim != 3:
+        raise ValueError(f"irfft2 expects (H, hw) or (B, H, hw), got {xr.shape}")
+    b, h, hw = xr.shape
+    w = 2 * (hw - 1)
+    if h < 2 or h & (h - 1) or hw < 2 or w & (w - 1):
+        raise ValueError(
+            f"irfft2 expects power-of-two sides (H, W//2 + 1 bins), got {xr.shape[1:]}"
+        )
+    # Columns first: inverse complex FFT over H with the 1/H scale folded
+    # into the last matmul table (plan.py).
+    cr = jnp.swapaxes(xr, 1, 2).reshape(b * hw, h)
+    ci = jnp.swapaxes(xi, 1, 2).reshape(b * hw, h)
+    sr, si = transform_any(cr, ci, h, +1, scale=1.0 / h)
+    rr = jnp.swapaxes(sr.reshape(b, hw, h), 1, 2).reshape(b * h, hw)
+    ri = jnp.swapaxes(si.reshape(b, hw, h), 1, 2).reshape(b * h, hw)
+    out = irfft_device(rr, ri).reshape(b, h, w)  # rows carry the 1/W scale
+    return out[0] if squeeze else out
+
+
+def rfft2(x):
+    """Host-convenience one-sided 2-D FFT; see :func:`rfft2_device`."""
+    yr, yi = rfft2_device(np.asarray(x, dtype=np.float32))
+    return np.asarray(yr), np.asarray(yi)
+
+
+def irfft2(real, imag):
+    """Host-convenience inverse of :func:`rfft2`; see :func:`irfft2_device`."""
+    return np.asarray(
+        irfft2_device(
+            np.asarray(real, dtype=np.float32), np.asarray(imag, dtype=np.float32)
+        )
+    )

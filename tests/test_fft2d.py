@@ -130,3 +130,54 @@ def test_fftn_rejects_out_of_range_axes():
     re, im = gf.fftn(np.random.default_rng(0).uniform(-1, 1, (4, 8)).astype(np.float32),
                      axes=(-1,))
     assert re.shape == (4, 8)
+
+
+# ── rfft2 / irfft2 ───────────────────────────────────────────────────────────
+
+
+@pytest.mark.parametrize("shape", [(8, 16), (32, 64), (128, 128)])
+def test_rfft2_matches_numpy(rng, shape):
+    x = rng.standard_normal(shape).astype(np.float32)
+    yr, yi = gf.rfft2(x)
+    ref = np.fft.rfft2(x.astype(np.float64))
+    assert yr.shape == ref.shape == (shape[0], shape[1] // 2 + 1)
+    scale = np.abs(ref).max()
+    assert np.abs(yr - ref.real).max() / scale < 3e-5
+    assert np.abs(yi - ref.imag).max() / scale < 3e-5
+
+
+def test_rfft2_batched_roundtrip(rng):
+    x = rng.standard_normal((5, 16, 32)).astype(np.float32)
+    yr, yi = gf.rfft2(x)
+    assert yr.shape == (5, 16, 17)
+    back = gf.irfft2(yr, yi)
+    assert back.shape == x.shape
+    assert np.abs(back - x).max() < 1e-5
+
+
+def test_irfft2_matches_numpy(rng):
+    spec = np.fft.rfft2(rng.standard_normal((16, 64)))
+    got = gf.irfft2(spec.real.astype(np.float32), spec.imag.astype(np.float32))
+    ref = np.fft.irfft2(spec)
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() < 1e-5
+
+
+def test_rfft2_jit_composable(rng):
+    import jax
+
+    x = rng.standard_normal((2, 32, 32)).astype(np.float32)
+    f = jax.jit(lambda a: gf.irfft2_device(*gf.rfft2_device(a)))
+    out = np.asarray(f(x))
+    assert np.abs(out - x).max() < 1e-5
+
+
+def test_rfft2_contract_errors(rng):
+    with pytest.raises(ValueError):
+        gf.rfft2(np.ones(8, np.float32))  # 1-D
+    with pytest.raises(ValueError):
+        gf.rfft2(np.ones((6, 8), np.float32))  # non-pow2 side
+    with pytest.raises(ValueError):
+        gf.irfft2(np.ones((8, 5), np.float32), np.ones((8, 4), np.float32))
+    with pytest.raises(ValueError):
+        gf.irfft2(np.ones((8, 6), np.float32), np.ones((8, 6), np.float32))  # bad bins
