@@ -190,7 +190,7 @@ def fft_convolve2d_device(x, k):
     """
     import jax.numpy as jnp
 
-    from .fft2d import fft2_device, ifft2_device
+    from .fft2d import irfft2_device, rfft2_device
     from .transform import next_power_of_two
 
     x = jnp.asarray(x, dtype=jnp.float32)
@@ -223,12 +223,13 @@ def fft_convolve2d_device(x, k):
     m2 = max(2, next_power_of_two(ow))
     xp = jnp.pad(x, ((0, 0), (0, m1 - h), (0, m2 - w)))
     kp = jnp.pad(k, ((0, 0), (0, m1 - kh), (0, m2 - kw)))
-    ar, ai = fft2_device(xp)
-    br, bi = fft2_device(kp)
+    # Real x real: the one-sided (rfft2) spectra carry everything — half
+    # the bins through the product and the inverse.
+    ar, ai = rfft2_device(xp)
+    br, bi = rfft2_device(kp)
     cr = ar * br - ai * bi
     ci = ar * bi + ai * br
-    yr, _ = ifft2_device(cr, ci)
-    out = yr[:, :oh, :ow]
+    out = irfft2_device(cr, ci)[:, :oh, :ow]
     return out[0] if squeeze else out
 
 

@@ -144,14 +144,17 @@ def transform_cost(b: int, n: int, kind: str = "fft") -> dict:
         )
         bytes_ = b * n * f32 * (1 + 1)  # real blocks in, real blocks out
     elif kind == "conv2d":
-        # 2-D FFT convolution of ONE image: (b, n) = padded (m1, m2).
-        # Forward 2-D (real rows + complex cols), spectrum product,
-        # inverse 2-D (complex both passes); kernel spectrum amortized.
+        # 2-D FFT convolution of ONE image via the one-sided (rfft2) path:
+        # (b, n) = padded (m1, m2).  Forward: real rows + complex cols over
+        # the n//2+1 surviving bins; inverse: cols over the half-spectrum +
+        # full complex rows (Hermitian reconstruction); kernel spectrum
+        # amortized.
+        hw = n // 2 + 1
         flops = (
             transform_flops(b, n, real_input=True)
+            + 2 * transform_flops(hw, b, real_input=False)
             + transform_flops(b, n, real_input=False)
-            + 2 * transform_flops(n, b, real_input=False)
-            + 8.0 * b * n
+            + 8.0 * b * hw
         )
         bytes_ = b * n * f32 * (1 + 1)
     elif kind == "fft2":

@@ -66,4 +66,5 @@ def test_filter_kinds():
     assert oa["bytes"] == 64 * 4096 * 4 * 2
     c2 = roofline.transform_cost(512, 512, "conv2d")
     f2 = roofline.transform_cost(512, 512, "fft2")
-    assert c2["flops"] > f2["flops"] * 1.8  # forward + inverse 2-D pass
+    # One-sided path: fwd rfft2 + inverse ~ 1.5x one full 2-D pass.
+    assert f2["flops"] * 1.3 < c2["flops"] < f2["flops"] * 2.0
