@@ -228,6 +228,13 @@ def _segment_spectra(
     return yr, yi
 
 
+def _median_bias(n: int) -> float:
+    """Bias of the median of ``n`` iid exponential periodogram values
+    relative to their mean (the scipy.signal correction factor)."""
+    ii2 = 2.0 * np.arange(1.0, (n - 1) // 2 + 1)
+    return float(1.0 + np.sum(1.0 / (ii2 + 1.0) - 1.0 / ii2))
+
+
 def welch_device(
     x,
     fs: float = 1.0,
@@ -236,6 +243,7 @@ def welch_device(
     noverlap: int | None = None,
     detrend: bool | str = True,
     scaling: str = "density",
+    average: str = "mean",
 ):
     """Welch averaged-periodogram PSD estimate (device, jit-composable).
 
@@ -252,12 +260,22 @@ def welch_device(
     nperseg // 2 + 1 bin frequencies; psd stays on device.  A 2-D
     ``(channels, n)`` input yields a ``(channels, bins)`` psd (per-row
     estimates, ``scipy.signal.welch`` axis=-1 semantics), all channels in
-    one batched transform.
+    one batched transform.  ``average``: "mean" (default) or "median" —
+    the bias-corrected per-bin median over segments, robust to transient
+    spikes (``scipy.signal.welch`` semantics).
     """
     import jax.numpy as jnp
 
+    if average not in ("mean", "median"):
+        raise ValueError(f"average must be 'mean' or 'median', got {average!r}")
     yr, yi = _segment_spectra(x, nperseg, noverlap, window, detrend, fs, scaling, "welch")
-    power = jnp.mean(yr * yr + yi * yi, axis=-2)  # (bins,) or (channels, bins)
+    seg_power = yr * yr + yi * yi  # (..., num_seg, bins)
+    if average == "median":
+        power = jnp.median(seg_power, axis=-2) / jnp.float32(
+            _median_bias(seg_power.shape[-2])
+        )
+    else:
+        power = jnp.mean(seg_power, axis=-2)  # (bins,) or (channels, bins)
     freqs = np.arange(nperseg // 2 + 1, dtype=np.float64) * (fs / nperseg)
     return freqs, power * _welch_scale_mult(window, nperseg, fs, scaling)
 
@@ -270,13 +288,15 @@ def welch(
     noverlap: int | None = None,
     detrend: bool | str = True,
     scaling: str = "density",
+    average: str = "mean",
 ):
     """Host-convenience Welch PSD; see :func:`welch_device`.
 
     Returns ``(freqs, psd)`` as NumPy arrays.
     """
     freqs, p = welch_device(
-        np.asarray(x, dtype=np.float32), fs, window, nperseg, noverlap, detrend, scaling
+        np.asarray(x, dtype=np.float32), fs, window, nperseg, noverlap, detrend,
+        scaling, average,
     )
     return freqs, np.asarray(p)
 

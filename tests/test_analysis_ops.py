@@ -542,3 +542,29 @@ def test_csd_linear_detrend_matches_scipy(rng):
 def test_detrend_rejects_unknown():
     with pytest.raises(ValueError):
         gf.welch(np.ones(1024, np.float32), detrend="quadratic")
+
+
+def test_welch_median_average_matches_scipy(rng):
+    x = rng.standard_normal(16384).astype(np.float32)
+    x[5000:5020] += 40.0  # a transient spike the median should reject
+    f, p = gf.welch(x, nperseg=256, average="median")
+    f_ref, p_ref = scipy.signal.welch(x, nperseg=256, average="median")
+    scale = p_ref.max()
+    assert_slice_approx(p / scale, p_ref / scale, 2e-3, "welch median")
+    # And it is actually robust: spike inflates the mean, not the median.
+    _, p_mean = gf.welch(x, nperseg=256, average="mean")
+    assert p_mean.mean() > p.mean() * 2.0
+
+
+def test_welch_median_multichannel(rng):
+    x = rng.standard_normal((3, 8192)).astype(np.float32)
+    f, p = gf.welch(x, nperseg=128, average="median")
+    f_ref, p_ref = scipy.signal.welch(x, nperseg=128, average="median", axis=-1)
+    assert p.shape == p_ref.shape
+    scale = p_ref.max()
+    assert_slice_approx(p / scale, p_ref / scale, 2e-3, "welch median channels")
+
+
+def test_welch_average_contract():
+    with pytest.raises(ValueError):
+        gf.welch(np.ones(1024, np.float32), average="mode")
