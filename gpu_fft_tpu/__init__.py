@@ -47,6 +47,7 @@ from .ops.filter import (
     FIRStream,
     fft_convolve2d,
     fft_convolve2d_device,
+    fft_correlate2d,
     fftfilt,
     fftfilt_device,
     filtfilt_fir,
@@ -166,6 +167,7 @@ __all__ = [
     "freqz_fir",
     "fft_convolve2d",
     "fft_convolve2d_device",
+    "fft_correlate2d",
     "kaiserord",
     "kaiser_beta",
     "kaiser_atten",

@@ -35,6 +35,7 @@ __all__ = [
     "freqz_fir",
     "fft_convolve2d",
     "fft_convolve2d_device",
+    "fft_correlate2d",
     "kaiserord",
     "kaiser_beta",
     "kaiser_atten",
@@ -260,6 +261,38 @@ def fft_convolve2d(x, k, mode: str = "full"):
         return full
     if mode == "same":
         r0, c0 = (kh - 1) // 2, (kw - 1) // 2
+        return full[r0 : r0 + h, c0 : c0 + w].copy()
+    return full[kh - 1 : h, kw - 1 : w].copy()
+
+
+def fft_correlate2d(x, k, mode: str = "full"):
+    """2-D cross-correlation of real images via the fft2 path.
+
+    ``scipy.signal.correlate2d(x, k, mode, boundary='fill')`` semantics
+    for real input: correlation is convolution with the doubly-flipped
+    kernel, so this reuses :func:`fft_convolve2d`'s one-sided transform
+    pass.  The 'same' centering follows the correlation convention
+    (offset kh//2, not the convolution's (kh-1)//2).
+
+    >>> img = np.array([[1.0, 2.0], [3.0, 4.0]])
+    >>> fft_correlate2d(img, img, mode="valid").round(4).tolist()
+    [[30.0]]
+    """
+    xv = np.asarray(x, dtype=np.float32)
+    kv = np.asarray(k, dtype=np.float32)
+    if xv.ndim != 2 or kv.ndim != 2 or xv.size == 0 or kv.size == 0:
+        raise ValueError("fft_correlate2d expects two non-empty 2-D images")
+    if mode not in ("full", "same", "valid"):
+        raise ValueError(f"mode must be full|same|valid, got {mode!r}")
+    h, w = xv.shape
+    kh, kw = kv.shape
+    if mode == "valid" and (h < kh or w < kw):
+        raise ValueError("valid mode requires the image to be at least the kernel size")
+    full = np.asarray(fft_convolve2d_device(xv, kv[::-1, ::-1].copy()))
+    if mode == "full":
+        return full
+    if mode == "same":
+        r0, c0 = kh // 2, kw // 2
         return full[r0 : r0 + h, c0 : c0 + w].copy()
     return full[kh - 1 : h, kw - 1 : w].copy()
 

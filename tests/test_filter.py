@@ -540,3 +540,36 @@ def test_firwin2_design_filters(rng):
     lo = mag[(w / np.pi) < 0.2].mean()
     hi_band = mag[(w / np.pi) > 0.35].mean()
     assert abs(lo - 1.0) < 0.05 and abs(hi_band - 0.1) < 0.05
+
+
+# ── fft_correlate2d ──────────────────────────────────────────────────────────
+
+
+@pytest.mark.parametrize("mode", ["full", "same", "valid"])
+@pytest.mark.parametrize("kshape", [(5, 7), (4, 6)])
+def test_fft_correlate2d_matches_scipy(rng, mode, kshape):
+    x = rng.standard_normal((20, 30)).astype(np.float32)
+    k = rng.standard_normal(kshape).astype(np.float32)
+    got = gf.fft_correlate2d(x, k, mode=mode)
+    ref = scipy.signal.correlate2d(x.astype(np.float64), k.astype(np.float64), mode=mode)
+    assert got.shape == ref.shape
+    scale = max(1.0, np.abs(ref).max())
+    assert_slice_approx(got / scale, ref / scale, 2e-3, f"corr2d {mode} {kshape}")
+
+
+def test_fft_correlate2d_finds_template(rng):
+    # Template matching: the correlation peak localizes an embedded patch.
+    img = rng.standard_normal((64, 64)).astype(np.float32)
+    tpl = img[20:28, 30:38].copy()
+    c = gf.fft_correlate2d(img, tpl - tpl.mean(), mode="valid")
+    peak = np.unravel_index(np.argmax(c), c.shape)
+    assert peak == (20, 30), f"peak at {peak}"
+
+
+def test_fft_correlate2d_contract_errors():
+    with pytest.raises(ValueError):
+        gf.fft_correlate2d(np.ones((2, 2), np.float32), np.ones((4, 4), np.float32),
+                           mode="valid")
+    with pytest.raises(ValueError):
+        gf.fft_correlate2d(np.ones((4, 4), np.float32), np.ones((2, 2), np.float32),
+                           mode="nope")
