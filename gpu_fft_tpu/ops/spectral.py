@@ -157,20 +157,24 @@ def _detrend_rows(rows, mode):
     raise ValueError(f"detrend must be False, 'constant', or 'linear', got {mode!r}")
 
 
-def _welch_scale_mult(window, nperseg: int, fs: float, scaling: str) -> np.ndarray:
+def _welch_scale_mult(
+    window, nperseg: int, fs: float, scaling: str, nfft: int | None = None
+) -> np.ndarray:
     """One-sided per-bin scale for Welch-family estimators (scipy semantics):
-    window normalization x interior-bin doubling."""
+    window normalization x interior-bin doubling.  ``nfft`` >= nperseg pads
+    segments (finer bin grid); the window sums are unchanged."""
     from .stft import window_table
 
+    nfft = nperseg if nfft is None else nfft
     w64 = window_table(window, nperseg).astype(np.float64)
     if scaling == "density":
         scale = 1.0 / (fs * float(np.sum(w64 * w64)))
     else:
         scale = 1.0 / float(np.sum(w64)) ** 2
-    h = nperseg // 2 + 1
+    h = nfft // 2 + 1
     mult = np.full(h, 2.0 * scale, dtype=np.float32)
     mult[0] = scale
-    if nperseg % 2 == 0:
+    if nfft % 2 == 0:
         mult[-1] = scale
     return mult
 
@@ -184,6 +188,7 @@ def _segment_spectra(
     fs: float,
     scaling: str,
     name: str,
+    nfft: int | None = None,
 ):
     """Shared Welch-family front end: validate, segment, detrend, window,
     and run ONE batched one-sided transform.  Returns split-complex
@@ -199,6 +204,9 @@ def _segment_spectra(
         raise ValueError(f"scaling must be 'density' or 'spectrum', got {scaling!r}")
     if nperseg < 2 or nperseg & (nperseg - 1):
         raise ValueError(f"nperseg must be a power of two >= 2, got {nperseg}")
+    nfft = nperseg if nfft is None else nfft
+    if nfft < nperseg or nfft & (nfft - 1):
+        raise ValueError(f"nfft must be a power of two >= nperseg, got {nfft}")
     noverlap = nperseg // 2 if noverlap is None else noverlap
     if not 0 <= noverlap < nperseg:
         raise ValueError(f"noverlap must be in [0, nperseg), got {noverlap}")
@@ -221,9 +229,12 @@ def _segment_spectra(
     else:
         segs = frame_signal(x, nperseg, hop, num_seg)
     segs = _detrend_rows(segs, detrend)
-    yr, yi = rfft_device(segs * window_table(window, nperseg)[None])
+    segs = segs * window_table(window, nperseg)[None]
+    if nfft > nperseg:  # finer bin grid: zero-pad the windowed segments
+        segs = jnp.pad(segs, ((0, 0), (0, nfft - nperseg)))
+    yr, yi = rfft_device(segs)
     if x.ndim == 2:
-        h = nperseg // 2 + 1
+        h = nfft // 2 + 1
         return yr.reshape(c, num_seg, h), yi.reshape(c, num_seg, h)
     return yr, yi
 
@@ -244,6 +255,7 @@ def welch_device(
     detrend: bool | str = True,
     scaling: str = "density",
     average: str = "mean",
+    nfft: int | None = None,
 ):
     """Welch averaged-periodogram PSD estimate (device, jit-composable).
 
@@ -268,7 +280,10 @@ def welch_device(
 
     if average not in ("mean", "median"):
         raise ValueError(f"average must be 'mean' or 'median', got {average!r}")
-    yr, yi = _segment_spectra(x, nperseg, noverlap, window, detrend, fs, scaling, "welch")
+    yr, yi = _segment_spectra(
+        x, nperseg, noverlap, window, detrend, fs, scaling, "welch", nfft
+    )
+    nbins = nperseg if nfft is None else nfft
     seg_power = yr * yr + yi * yi  # (..., num_seg, bins)
     if average == "median":
         power = jnp.median(seg_power, axis=-2) / jnp.float32(
@@ -276,8 +291,8 @@ def welch_device(
         )
     else:
         power = jnp.mean(seg_power, axis=-2)  # (bins,) or (channels, bins)
-    freqs = np.arange(nperseg // 2 + 1, dtype=np.float64) * (fs / nperseg)
-    return freqs, power * _welch_scale_mult(window, nperseg, fs, scaling)
+    freqs = np.arange(nbins // 2 + 1, dtype=np.float64) * (fs / nbins)
+    return freqs, power * _welch_scale_mult(window, nperseg, fs, scaling, nfft)
 
 
 def welch(
@@ -289,6 +304,7 @@ def welch(
     detrend: bool | str = True,
     scaling: str = "density",
     average: str = "mean",
+    nfft: int | None = None,
 ):
     """Host-convenience Welch PSD; see :func:`welch_device`.
 
@@ -296,7 +312,7 @@ def welch(
     """
     freqs, p = welch_device(
         np.asarray(x, dtype=np.float32), fs, window, nperseg, noverlap, detrend,
-        scaling, average,
+        scaling, average, nfft,
     )
     return freqs, np.asarray(p)
 
@@ -310,6 +326,7 @@ def csd_device(
     noverlap: int | None = None,
     detrend: bool | str = True,
     scaling: str = "density",
+    nfft: int | None = None,
 ):
     """Cross spectral density Pxy by Welch's method (device).
 
@@ -324,13 +341,14 @@ def csd_device(
     y = jnp.asarray(y, dtype=jnp.float32)
     if x.shape != y.shape:
         raise ValueError(f"csd: signals must share one shape, got {x.shape} vs {y.shape}")
-    xr, xi = _segment_spectra(x, nperseg, noverlap, window, detrend, fs, scaling, "csd")
-    yr, yi = _segment_spectra(y, nperseg, noverlap, window, detrend, fs, scaling, "csd")
+    xr, xi = _segment_spectra(x, nperseg, noverlap, window, detrend, fs, scaling, "csd", nfft)
+    yr, yi = _segment_spectra(y, nperseg, noverlap, window, detrend, fs, scaling, "csd", nfft)
+    nbins = nperseg if nfft is None else nfft
     # conj(X) * Y
     pr = jnp.mean(xr * yr + xi * yi, axis=-2)
     pi = jnp.mean(xr * yi - xi * yr, axis=-2)
-    mult = _welch_scale_mult(window, nperseg, fs, scaling)
-    freqs = np.arange(nperseg // 2 + 1, dtype=np.float64) * (fs / nperseg)
+    mult = _welch_scale_mult(window, nperseg, fs, scaling, nfft)
+    freqs = np.arange(nbins // 2 + 1, dtype=np.float64) * (fs / nbins)
     return freqs, (pr * mult, pi * mult)
 
 
@@ -343,6 +361,7 @@ def csd(
     noverlap: int | None = None,
     detrend: bool | str = True,
     scaling: str = "density",
+    nfft: int | None = None,
 ):
     """Host-convenience cross spectral density; see :func:`csd_device`."""
     freqs, (pr, pi) = csd_device(
@@ -354,6 +373,7 @@ def csd(
         noverlap,
         detrend,
         scaling,
+        nfft,
     )
     return freqs, (np.asarray(pr), np.asarray(pi))
 

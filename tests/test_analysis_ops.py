@@ -568,3 +568,31 @@ def test_welch_median_multichannel(rng):
 def test_welch_average_contract():
     with pytest.raises(ValueError):
         gf.welch(np.ones(1024, np.float32), average="mode")
+
+
+def test_welch_nfft_matches_scipy(rng):
+    x = rng.standard_normal(8192).astype(np.float32)
+    f, p = gf.welch(x, fs=100.0, nperseg=256, nfft=1024)
+    f_ref, p_ref = scipy.signal.welch(x, fs=100.0, nperseg=256, nfft=1024)
+    assert p.shape == p_ref.shape == (513,)
+    np.testing.assert_allclose(f, f_ref, atol=1e-9)
+    scale = p_ref.max()
+    assert_slice_approx(p / scale, p_ref / scale, 2e-3, "welch nfft")
+
+
+def test_csd_nfft_matches_scipy(rng):
+    x = rng.standard_normal(8192).astype(np.float32)
+    y = rng.standard_normal(8192).astype(np.float32)
+    f, (cr, ci) = gf.csd(x, y, nperseg=128, nfft=512)
+    f_ref, c_ref = scipy.signal.csd(x, y, nperseg=128, nfft=512)
+    assert cr.shape == c_ref.shape
+    scale = np.abs(c_ref).max()
+    assert_slice_approx(cr / scale, c_ref.real / scale, 2e-3, "csd nfft re")
+    assert_slice_approx(ci / scale, c_ref.imag / scale, 2e-3, "csd nfft im")
+
+
+def test_welch_nfft_contract():
+    with pytest.raises(ValueError):
+        gf.welch(np.ones(4096, np.float32), nperseg=256, nfft=128)  # < nperseg
+    with pytest.raises(ValueError):
+        gf.welch(np.ones(4096, np.float32), nperseg=256, nfft=300)  # not pow2
