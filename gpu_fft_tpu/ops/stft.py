@@ -43,9 +43,30 @@ def _symmetric_table(window, m: int) -> np.ndarray:
     if m <= 1:
         return np.ones(max(m, 0))
     if isinstance(window, tuple):
-        if len(window) != 2 or window[0] != "kaiser":
-            raise ValueError(f"tuple windows must be ('kaiser', beta), got {window!r}")
-        return np.kaiser(m, float(window[1]))
+        if len(window) != 2 or window[0] not in ("kaiser", "tukey", "gaussian"):
+            raise ValueError(
+                "tuple windows must be ('kaiser', beta), ('tukey', alpha), or "
+                f"('gaussian', std), got {window!r}"
+            )
+        kind, p = window[0], float(window[1])
+        if kind == "kaiser":
+            return np.kaiser(m, p)
+        if kind == "tukey":
+            # Cosine-tapered: flat middle, raised-cosine edges of total
+            # fraction alpha; alpha=0 -> rect, alpha=1 -> hann.
+            a = min(max(p, 0.0), 1.0)
+            if a == 0.0:
+                return np.ones(m)
+            w = np.ones(m)
+            edge = int(np.floor(a * (m - 1) / 2.0))
+            k = np.arange(edge + 1)
+            taper = 0.5 * (1.0 + np.cos(np.pi * (2.0 * k / (a * (m - 1)) - 1.0)))
+            w[: edge + 1] = taper
+            w[m - edge - 1 :] = taper[::-1]
+            return w
+        # gaussian: exp(-0.5 ((k - center)/std)^2), center = (m-1)/2
+        k = np.arange(m) - (m - 1) / 2.0
+        return np.exp(-0.5 * (k / p) ** 2)
     if window == "bartlett":
         return np.bartlett(m)
     coeffs = _COSINE_COEFFS.get(window)

@@ -596,3 +596,20 @@ def test_welch_nfft_contract():
         gf.welch(np.ones(4096, np.float32), nperseg=256, nfft=128)  # < nperseg
     with pytest.raises(ValueError):
         gf.welch(np.ones(4096, np.float32), nperseg=256, nfft=300)  # not pow2
+
+
+@pytest.mark.parametrize("spec", [("tukey", 0.25), ("tukey", 0.75), ("gaussian", 12.0)])
+@pytest.mark.parametrize("n", [64, 255, 256])
+def test_tukey_gaussian_windows_match_scipy(spec, n):
+    got = gf.window_table(spec, n)
+    ref = scipy.signal.get_window(spec, n, fftbins=True)
+    np.testing.assert_allclose(got, ref, atol=2e-7)
+
+
+def test_welch_tukey_matches_scipy(rng):
+    # scipy.signal.spectrogram's default window family.
+    x = rng.standard_normal(8192).astype(np.float32)
+    f, p = gf.welch(x, nperseg=256, window=("tukey", 0.25))
+    f_ref, p_ref = scipy.signal.welch(x, nperseg=256, window=("tukey", 0.25))
+    scale = p_ref.max()
+    assert_slice_approx(p / scale, p_ref / scale, 2e-3, "welch tukey")
