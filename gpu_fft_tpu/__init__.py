@@ -93,6 +93,7 @@ from .ops.spectral import (
     psd_device,
     spectrogram,
     spectrogram_device,
+    spectrogram_scipy,
     welch,
     welch_device,
 )
@@ -213,6 +214,7 @@ __all__ = [
     "power_spectrum_device",
     "spectrogram",
     "spectrogram_device",
+    "spectrogram_scipy",
     "describe_plan",
     "Backend",
     "available_backends",

@@ -21,6 +21,7 @@ __all__ = [
     "one_sided_bins",
     "spectrogram",
     "spectrogram_device",
+    "spectrogram_scipy",
     "welch",
     "welch_device",
     "csd",
@@ -135,6 +136,57 @@ def spectrogram(
     return np.asarray(
         spectrogram_device(np.asarray(x, dtype=np.float32), frame_size, hop, one_sided, window)
     )
+
+
+def spectrogram_scipy(
+    x,
+    fs: float = 1.0,
+    window=("tukey", 0.25),
+    nperseg: int = 256,
+    noverlap: int | None = None,
+    nfft: int | None = None,
+    detrend: bool | str = "constant",
+    scaling: str = "density",
+    mode: str = "psd",
+):
+    """Drop-in ``scipy.signal.spectrogram``: returns ``(f, t, Sxx)``.
+
+    The per-segment counterpart of :func:`welch` (same segmentation,
+    windowing, detrend, and scaling — welch is this averaged over ``t``),
+    with scipy's conventions: default tukey(0.25) window, ``noverlap``
+    defaults to nperseg // 8, segment times at the window centers.
+    ``mode``: "psd" (default; Sxx shape (bins, num_seg)), "magnitude"
+    (|STFT| scaled by the square root of the PSD scale, scipy's stft
+    scaling, no one-sided doubling), or "complex" (returns split-complex
+    ``(Sr, Si)`` as Sxx).  All segments ride one batched device transform;
+    Sxx is returned as NumPy.
+    """
+    if mode not in ("psd", "magnitude", "complex"):
+        raise ValueError(f"mode must be psd|magnitude|complex, got {mode!r}")
+    noverlap = nperseg // 8 if noverlap is None else noverlap
+    xv = np.asarray(x, dtype=np.float32)
+    yr, yi = _segment_spectra(
+        xv, nperseg, noverlap, window, detrend, fs, scaling, "spectrogram", nfft
+    )
+    nbins = nperseg if nfft is None else nfft
+    hop = nperseg - noverlap
+    num_seg = yr.shape[-2]
+    freqs = np.arange(nbins // 2 + 1, dtype=np.float64) * (fs / nbins)
+    times = (nperseg / 2.0 + hop * np.arange(num_seg)) / fs
+    yr, yi = np.asarray(yr), np.asarray(yi)
+    if mode == "psd":
+        sxx = (yr * yr + yi * yi) * _welch_scale_mult(window, nperseg, fs, scaling, nfft)
+        return freqs, times, np.moveaxis(sxx, -2, -1)  # (..., bins, num_seg)
+    from .stft import window_table
+
+    w64 = window_table(window, nperseg).astype(np.float64)
+    if scaling == "density":
+        s = np.float32(np.sqrt(1.0 / (fs * np.sum(w64 * w64))))
+    else:
+        s = np.float32(1.0 / np.sum(w64))
+    if mode == "magnitude":
+        return freqs, times, np.moveaxis(np.hypot(yr, yi) * s, -2, -1)
+    return freqs, times, (np.moveaxis(yr * s, -2, -1), np.moveaxis(yi * s, -2, -1))
 
 
 def _detrend_rows(rows, mode):

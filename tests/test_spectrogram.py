@@ -81,3 +81,47 @@ def test_spectrogram_window_families(rng):
     assert len(shapes) == 1
     with pytest.raises(ValueError):
         gf.spectrogram(x, 256, window="kaiser")
+
+
+# ── spectrogram_scipy (drop-in scipy.signal.spectrogram) ─────────────────────
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {},
+        {"noverlap": 128, "window": "hann"},
+        {"nfft": 512},
+        {"scaling": "spectrum"},
+        {"mode": "magnitude"},
+        {"mode": "magnitude", "scaling": "spectrum"},
+        {"detrend": "linear"},
+    ],
+)
+def test_spectrogram_scipy_matches_scipy(rng, kw):
+    import scipy.signal
+
+    x = rng.standard_normal(8192).astype(np.float32)
+    f, t, got = gf.spectrogram_scipy(x, fs=100.0, **kw)
+    f_r, t_r, ref = scipy.signal.spectrogram(x.astype(np.float64), fs=100.0, **kw)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(f, f_r, atol=1e-9)
+    np.testing.assert_allclose(t, t_r, atol=1e-9)
+    scale = max(1e-12, np.abs(ref).max())
+    assert np.abs(got - ref).max() / scale < 2e-3
+
+
+def test_spectrogram_scipy_complex_mode(rng):
+    import scipy.signal
+
+    x = rng.standard_normal(4096).astype(np.float32)
+    f, t, (sr, si) = gf.spectrogram_scipy(x, fs=10.0, mode="complex")
+    f_r, t_r, ref = scipy.signal.spectrogram(x.astype(np.float64), fs=10.0, mode="complex")
+    assert sr.shape == ref.shape
+    scale = np.abs(ref).max()
+    assert np.abs(sr + 1j * si - ref).max() / scale < 2e-3
+
+
+def test_spectrogram_scipy_contract():
+    with pytest.raises(ValueError):
+        gf.spectrogram_scipy(np.ones(4096, np.float32), mode="angle")
