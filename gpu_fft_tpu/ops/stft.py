@@ -19,7 +19,16 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["stft", "istft", "stft_device", "istft_device", "window_table", "frame_signal"]
+__all__ = [
+    "stft",
+    "istft",
+    "stft_device",
+    "istft_device",
+    "stft_scipy",
+    "istft_scipy",
+    "window_table",
+    "frame_signal",
+]
 
 # Above this many static slices the slice-framing form would bloat compile
 # time; the gather form (slow but O(1) ops) takes over.  Reached only with
@@ -300,3 +309,115 @@ def istft(
             length,
         )
     )
+
+
+def stft_scipy(
+    x,
+    fs: float = 1.0,
+    window="hann",
+    nperseg: int = 256,
+    noverlap: int | None = None,
+    nfft: int | None = None,
+    boundary: str | None = "zeros",
+    padded: bool = True,
+):
+    """Drop-in ``scipy.signal.stft``: returns ``(f, t, (Zr, Zi))``.
+
+    scipy conventions: hann window, ``noverlap`` defaults to nperseg // 2,
+    the signal is extended by nperseg // 2 zeros on both ends
+    (``boundary="zeros"``; None disables) and zero-padded to a whole
+    number of frames (``padded``), and the frame spectra are scaled by
+    1 / sum(window) ('spectrum' scaling).  ``nfft`` >= nperseg zero-pads
+    each windowed frame for a finer bin grid.  Inverse:
+    :func:`istft_scipy`.  Split-complex NumPy out.
+    """
+    import jax.numpy as jnp
+
+    xv = np.asarray(x, dtype=np.float32)
+    if xv.ndim != 1:
+        raise ValueError(f"stft_scipy expects a 1-D signal, got shape {xv.shape}")
+    if nperseg < 2 or nperseg & (nperseg - 1):
+        raise ValueError(f"nperseg must be a power of two >= 2, got {nperseg}")
+    nfft = nperseg if nfft is None else nfft
+    if nfft < nperseg or nfft & (nfft - 1):
+        raise ValueError(f"nfft must be a power of two >= nperseg, got {nfft}")
+    noverlap = nperseg // 2 if noverlap is None else noverlap
+    if not 0 <= noverlap < nperseg:
+        raise ValueError(f"noverlap must be in [0, nperseg), got {noverlap}")
+    if boundary not in (None, "zeros"):
+        raise ValueError(f"boundary must be 'zeros' or None, got {boundary!r}")
+    hop = nperseg - noverlap
+    half = nperseg // 2
+    ext = np.pad(xv, (half, half)) if boundary == "zeros" else xv
+    if ext.shape[0] < nperseg:
+        raise ValueError(f"signal of {xv.shape[0]} samples is shorter than one segment")
+    if padded:
+        num = -(-(ext.shape[0] - nperseg) // hop) + 1
+        ext = np.pad(ext, (0, (num - 1) * hop + nperseg - ext.shape[0]))
+    else:
+        num = (ext.shape[0] - nperseg) // hop + 1
+    w = window_table(window, nperseg)
+    frames = frame_signal(jnp.asarray(ext), nperseg, hop, num) * w[None]
+    if nfft > nperseg:
+        frames = jnp.pad(frames, ((0, 0), (0, nfft - nperseg)))
+    from .transform import rfft_device
+
+    zr, zi = rfft_device(frames)
+    s = np.float32(1.0 / w.sum())
+    freqs = np.arange(nfft // 2 + 1, dtype=np.float64) * (fs / nfft)
+    t0 = 0.0 if boundary == "zeros" else half
+    times = (t0 + hop * np.arange(num)) / fs
+    return freqs, times, (np.asarray(zr) * s, np.asarray(zi) * s)
+
+
+def istft_scipy(
+    zr,
+    zi,
+    fs: float = 1.0,
+    window="hann",
+    nperseg: int | None = None,
+    noverlap: int | None = None,
+    boundary: bool = True,
+):
+    """Inverse of :func:`stft_scipy` (``scipy.signal.istft`` semantics).
+
+    Returns ``(t, x)``.  Undoes the 1/sum(window) scaling, synthesizes by
+    the library's WOLA overlap-add (window-weighted accumulation divided
+    by per-sample window power — scipy's formula), and trims the
+    nperseg // 2 boundary extension when ``boundary`` is True.
+    """
+    zr = np.asarray(zr, dtype=np.float32)
+    zi = np.asarray(zi, dtype=np.float32)
+    if zr.shape != zi.shape or zr.ndim != 2:
+        raise ValueError(
+            f"istft_scipy expects matching (num_frames, bins) arrays, got "
+            f"{zr.shape} vs {zi.shape}"
+        )
+    bins = zr.shape[1]
+    nfft = 2 * (bins - 1)
+    nperseg = nfft if nperseg is None else nperseg
+    noverlap = nperseg // 2 if noverlap is None else noverlap
+    hop = nperseg - noverlap
+    w = window_table(window, nperseg)
+    s = np.float32(w.sum())
+    if nfft > nperseg:
+        # Finer-grid spectra: recover the nperseg-sample frames by inverse
+        # transform at nfft and truncation (the forward only zero-padded).
+        from .transform import irfft_device
+
+        frames = np.asarray(irfft_device(zr * s, zi * s))[:, :nperseg]
+        # Re-analyze exactly as istft_device expects: spectra of the frames.
+        from .transform import rfft_device
+
+        fr, fi = rfft_device(frames)
+        zr, zi = np.asarray(fr), np.asarray(fi)
+    else:
+        zr, zi = zr * s, zi * s
+    num = zr.shape[0]
+    full = (num - 1) * hop + nperseg
+    y = np.asarray(istft_device(zr, zi, hop=hop, window=window, length=full))
+    half = nperseg // 2
+    if boundary:
+        y = y[half : full - half]
+    times = np.arange(y.shape[0], dtype=np.float64) / fs
+    return times, y

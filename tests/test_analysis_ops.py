@@ -613,3 +613,57 @@ def test_welch_tukey_matches_scipy(rng):
     f_ref, p_ref = scipy.signal.welch(x, nperseg=256, window=("tukey", 0.25))
     scale = p_ref.max()
     assert_slice_approx(p / scale, p_ref / scale, 2e-3, "welch tukey")
+
+
+# ── stft_scipy / istft_scipy (drop-in scipy.signal.stft/istft) ──────────────
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {},
+        {"noverlap": 192},
+        {"nfft": 512},
+        {"boundary": None, "padded": False},
+        {"window": ("tukey", 0.25)},
+    ],
+)
+def test_stft_scipy_matches_scipy(rng, kw):
+    x = rng.standard_normal(4000).astype(np.float32)
+    f, t, (zr, zi) = gf.stft_scipy(x, fs=100.0, **kw)
+    f_r, t_r, Z = scipy.signal.stft(x.astype(np.float64), fs=100.0, **kw)
+    assert zr.shape == Z.T.shape
+    np.testing.assert_allclose(f, f_r, atol=1e-9)
+    np.testing.assert_allclose(t, t_r, atol=1e-9)
+    scale = np.abs(Z).max()
+    assert np.abs((zr + 1j * zi) - Z.T).max() / scale < 2e-3
+
+
+def test_istft_scipy_roundtrip_matches_scipy(rng):
+    x = rng.standard_normal(4000).astype(np.float32)
+    f, t, (zr, zi) = gf.stft_scipy(x, fs=100.0)
+    t2, y = gf.istft_scipy(zr, zi, fs=100.0)
+    _, y_ref = scipy.signal.istft(
+        scipy.signal.stft(x.astype(np.float64), fs=100.0)[2], fs=100.0
+    )
+    n = min(y.shape[0], y_ref.shape[0])
+    assert np.abs(y[:n] - y_ref[:n]).max() < 1e-4
+    assert np.abs(y[:4000] - x).max() < 1e-4  # true reconstruction
+
+
+def test_istft_scipy_nfft_roundtrip(rng):
+    x = rng.standard_normal(2048).astype(np.float32)
+    f, t, (zr, zi) = gf.stft_scipy(x, nperseg=128, nfft=256)
+    _, y = gf.istft_scipy(zr, zi, nperseg=128)
+    assert np.abs(y[:2048] - x).max() < 1e-4
+
+
+def test_stft_scipy_contracts():
+    with pytest.raises(ValueError):
+        gf.stft_scipy(np.ones((2, 100), np.float32))
+    with pytest.raises(ValueError):
+        gf.stft_scipy(np.ones(1000, np.float32), nperseg=100)
+    with pytest.raises(ValueError):
+        gf.stft_scipy(np.ones(1000, np.float32), boundary="reflect")
+    with pytest.raises(ValueError):
+        gf.istft_scipy(np.ones((4, 65), np.float32), np.ones((4, 64), np.float32))
