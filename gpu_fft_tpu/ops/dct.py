@@ -1,4 +1,4 @@
-"""Discrete cosine / sine transforms (types II and III) via the FFT path.
+"""Discrete cosine / sine transforms (types I-IV) via the FFT path.
 
 Extension beyond the reference surface.  DCT-II ("the DCT") is computed with
 Makhoul's reduction: permute the signal into even-index samples ascending
@@ -11,7 +11,7 @@ ride the classic index/sign identities to the DCT cores:
     DST-II(x)[k]  = DCT-II(x~)[n-1-k],   x~[j] = (-1)^j x[j]
     DST-III(y)[k] = (-1)^k DCT-III(y~)[k],  y~[j] = y[n-1-j]
 
-Conventions match ``scipy.fft.dct`` / ``dst`` (types 2 and 3, ``norm=None``
+Conventions match ``scipy.fft.dct`` / ``dst`` (types 1-4, ``norm=None``
 unnormalized and ``norm='ortho'``), verified element-wise in the test suite.
 """
 
@@ -100,6 +100,67 @@ def _dct3_core(y):
     return (2.0 * n) * _makhoul_unpermute(xr)
 
 
+@functools.lru_cache(maxsize=None)
+def _quarter_rotation(n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Pre/post twiddles of the type-IV reduction, f64-generated f32:
+    (cos, sin) of pi*j/(2n) (pre) and of pi*(2k+1)/(4n) (post)."""
+    j = np.arange(n, dtype=np.float64)
+    pre = np.pi * j / (2.0 * n)
+    post = np.pi * (2.0 * j + 1.0) / (4.0 * n)
+    return (
+        np.cos(pre).astype(np.float32),
+        np.sin(pre).astype(np.float32),
+        np.cos(post).astype(np.float32),
+        np.sin(post).astype(np.float32),
+    )
+
+
+def _type4_spectrum(x):
+    """U_k = first n bins of FFT_2n([x_j * e^{-i*pi*j/(2n)}, 0]) plus the
+    post twiddle tables.
+
+    The shared core of DCT-IV and DST-IV: with w = e^{-i*pi/(4n)},
+    (2j+1)(2k+1) = 4jk + 2j + 2k + 1 factorizes the quarter-shifted
+    cosine/sine into one zero-padded length-2n complex FFT (the 4jk term
+    is a HALF-frequency kernel) and two diagonal twiddles.
+    """
+    import jax.numpy as jnp
+
+    from .exact import fft_exact_device
+
+    n = x.shape[-1]
+    pc, ps, tc, ts = _quarter_rotation(n)
+    pad = ((0, 0), (0, n))
+    ur, ui = fft_exact_device(jnp.pad(x * pc, pad), jnp.pad(-x * ps, pad))
+    return ur[:, :n], ui[:, :n], tc, ts
+
+
+def _dct1_core(x):
+    """Unnormalized DCT-I of (B, n>=2) rows: the real part of the FFT of
+    the even extension [x_0..x_{n-1}, x_{n-2}..x_1] (length 2n-2)."""
+    import jax.numpy as jnp
+
+    from .exact import fft_exact_device
+
+    ext = jnp.concatenate([x, jnp.flip(x[:, 1:-1], axis=-1)], axis=-1)
+    yr, _ = fft_exact_device(ext)
+    return yr[:, : x.shape[-1]]
+
+
+def _dst1_core(x):
+    """Unnormalized DST-I of (B, n) rows: minus the imaginary part of the
+    FFT of the odd extension [0, x, 0, -reversed(x)] (length 2n+2)."""
+    import jax.numpy as jnp
+
+    from .exact import fft_exact_device
+
+    b = x.shape[0]
+    z = jnp.zeros((b, 1), jnp.float32)
+    ext = jnp.concatenate([z, x, z, -jnp.flip(x, axis=-1)], axis=-1)
+    _, yi = fft_exact_device(ext)
+    return -yi[:, 1 : x.shape[-1] + 1]
+
+
 def _as_rows(x, name: str):
     import jax.numpy as jnp
 
@@ -113,8 +174,8 @@ def _as_rows(x, name: str):
 
 
 def _check_type_norm(type: int, norm, name: str) -> None:
-    if type not in (2, 3):
-        raise ValueError(f"{name} supports types 2 and 3, got {type}")
+    if type not in (1, 2, 3, 4):
+        raise ValueError(f"{name} supports types 1-4, got {type}")
     if norm not in (None, "ortho"):
         raise ValueError(f"norm must be None or 'ortho', got {norm!r}")
 
@@ -129,6 +190,28 @@ def dct_device(x, type: int = 2, norm: str | None = None):
     _check_type_norm(type, norm, "dct")
     x, squeeze = _as_rows(x, "dct")
     n = x.shape[-1]
+    if type == 1:
+        if n < 2:
+            raise ValueError("dct type 1 requires n >= 2")
+        if norm == "ortho":
+            # Orthonormal DCT-I: Mo = diag(c_k) Mr diag(c_j / e_j) sqrt(2/(n-1))
+            # with c = 1/sqrt(2) at the endpoints (else 1) and e = the raw
+            # kernel's endpoint weight (1 at the ends, 2 interior).
+            r2 = np.float32(1.0 / np.sqrt(2.0))
+            gin = np.full(n, 0.5 * np.sqrt(2.0 / (n - 1.0)), dtype=np.float32)
+            gin[0] = gin[-1] = np.float32(r2 * np.sqrt(2.0 / (n - 1.0)))
+            gout = np.ones(n, dtype=np.float32)
+            gout[0] = gout[-1] = r2
+            y = _dct1_core(x * gin) * gout
+        else:
+            y = _dct1_core(x)
+        return (y[0] if squeeze else y)
+    if type == 4:
+        ur, ui, tc, ts = _type4_spectrum(x)
+        y = 2.0 * (ur * tc + ui * ts)
+        if norm == "ortho":
+            y = y * np.float32(np.sqrt(1.0 / (2.0 * n)))
+        return (y[0] if squeeze else y)
     if type == 2:
         y = _dct2_core(x)
         if norm == "ortho":
@@ -147,13 +230,14 @@ def dct_device(x, type: int = 2, norm: str | None = None):
 def idct_device(y, type: int = 2, norm: str | None = None):
     """Inverse DCT (device): ``idct(dct(x, type, norm), type, norm) == x``."""
     _check_type_norm(type, norm, "idct")
-    inv_type = 5 - type  # 2 <-> 3
+    inv_type = type if type in (1, 4) else 5 - type  # I/IV self-inverse, 2 <-> 3
     out = dct_device(y, type=inv_type, norm=norm)
     if norm is None:
         import jax.numpy as jnp
 
         n = out.shape[-1]
-        out = out * jnp.float32(1.0 / (2.0 * n))
+        denom = 2.0 * (n - 1.0) if type == 1 else 2.0 * n
+        out = out * jnp.float32(1.0 / denom)
     return out
 
 
@@ -164,6 +248,17 @@ def dst_device(x, type: int = 2, norm: str | None = None):
     _check_type_norm(type, norm, "dst")
     x, squeeze = _as_rows(x, "dst")
     n = x.shape[-1]
+    if type == 1:
+        y = _dst1_core(x)
+        if norm == "ortho":
+            y = y * np.float32(np.sqrt(1.0 / (2.0 * (n + 1.0))))
+        return (y[0] if squeeze else y)
+    if type == 4:
+        ur, ui, tc, ts = _type4_spectrum(x)
+        y = 2.0 * (ur * ts - ui * tc)
+        if norm == "ortho":
+            y = y * np.float32(np.sqrt(1.0 / (2.0 * n)))
+        return (y[0] if squeeze else y)
     alt = np.resize(np.array([1.0, -1.0], dtype=np.float32), n)
     if type == 2:
         y = jnp.flip(_dct2_core(x * alt), axis=-1)
@@ -183,12 +278,14 @@ def dst_device(x, type: int = 2, norm: str | None = None):
 def idst_device(y, type: int = 2, norm: str | None = None):
     """Inverse DST (device): ``idst(dst(x, type, norm), type, norm) == x``."""
     _check_type_norm(type, norm, "idst")
-    out = dst_device(y, type=5 - type, norm=norm)
+    inv_type = type if type in (1, 4) else 5 - type
+    out = dst_device(y, type=inv_type, norm=norm)
     if norm is None:
         import jax.numpy as jnp
 
         n = out.shape[-1]
-        out = out * jnp.float32(1.0 / (2.0 * n))
+        denom = 2.0 * (n + 1.0) if type == 1 else 2.0 * n
+        out = out * jnp.float32(1.0 / denom)
     return out
 
 

@@ -126,3 +126,38 @@ def test_fft_convolve_device_shape_contract(rng):
     for i in range(3):
         ref = np.convolve(a[i].astype(np.float64), k.astype(np.float64))
         assert np.abs(out[i] - ref).max() < 1e-4
+
+
+# ── DCT/DST types 1 and 4 ────────────────────────────────────────────────────
+
+
+@pytest.mark.parametrize("n", [2, 3, 17, 100, 256])
+@pytest.mark.parametrize("type_", [1, 4])
+@pytest.mark.parametrize("norm", [None, "ortho"])
+def test_dct_dst_types_1_4_match_scipy(rng, n, type_, norm):
+    import scipy.fft
+
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    got = np.asarray(gf.dct_device(x, type=type_, norm=norm))
+    ref = scipy.fft.dct(x.astype(np.float64), type=type_, norm=norm, axis=-1)
+    scale = max(1.0, np.abs(ref).max())
+    assert np.abs(got - ref).max() / scale < 5e-5, "dct"
+    gots = np.asarray(gf.dst_device(x, type=type_, norm=norm))
+    refs = scipy.fft.dst(x.astype(np.float64), type=type_, norm=norm, axis=-1)
+    scale = max(1.0, np.abs(refs).max())
+    assert np.abs(gots - refs).max() / scale < 5e-5, "dst"
+
+
+@pytest.mark.parametrize("type_", [1, 4])
+@pytest.mark.parametrize("norm", [None, "ortho"])
+def test_dct_dst_types_1_4_roundtrip(rng, type_, norm):
+    x = rng.standard_normal(129).astype(np.float32)
+    assert np.abs(gf.idct(gf.dct(x, type=type_, norm=norm), type=type_, norm=norm) - x).max() < 1e-4
+    assert np.abs(gf.idst(gf.dst(x, type=type_, norm=norm), type=type_, norm=norm) - x).max() < 1e-4
+
+
+def test_dct_type_bounds():
+    with pytest.raises(ValueError):
+        gf.dct([1.0, 2.0], type=5)
+    with pytest.raises(ValueError):
+        gf.dct([1.0], type=1)  # DCT-I needs n >= 2
