@@ -181,7 +181,7 @@ def _check_type_norm(type: int, norm, name: str) -> None:
 
 
 def dct_device(x, type: int = 2, norm: str | None = None):
-    """DCT of real rows (device, jit-composable; ``scipy.fft.dct`` types 2/3).
+    """DCT of real rows (device, jit-composable; ``scipy.fft.dct`` types 1-4).
 
     ``x``: (n,) or (B, n) f32, any length.  ``norm=None`` is the unnormalized
     convention; ``norm='ortho'`` makes the transform orthonormal (so type 3
@@ -242,7 +242,7 @@ def idct_device(y, type: int = 2, norm: str | None = None):
 
 
 def dst_device(x, type: int = 2, norm: str | None = None):
-    """DST of real rows (device; ``scipy.fft.dst`` types 2/3)."""
+    """DST of real rows (device; ``scipy.fft.dst`` types 1-4)."""
     import jax.numpy as jnp
 
     _check_type_norm(type, norm, "dst")
