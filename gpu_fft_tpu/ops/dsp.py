@@ -19,6 +19,7 @@ __all__ = [
     "hilbert",
     "hilbert_device",
     "envelope",
+    "envelope_device",
     "resample",
     "resample_device",
 ]
@@ -214,6 +215,15 @@ def envelope(x):
     """
     ar, ai = hilbert(x)
     return np.sqrt(ar * ar + ai * ai)
+
+
+def envelope_device(x):
+    """Device-resident amplitude envelope (jit-composable); see
+    :func:`envelope`."""
+    import jax.numpy as jnp
+
+    ar, ai = hilbert_device(x)
+    return jnp.hypot(ar, ai)
 
 
 def resample_device(x, num: int):

@@ -359,11 +359,15 @@ def firwin(
     cutoff,
     *,
     window: str | None = "hamming",
-    pass_zero: bool = True,
+    pass_zero: bool | str = True,
     scale: bool = True,
     fs: float = 2.0,
 ) -> np.ndarray:
     """Window-method FIR filter design (``scipy.signal.firwin`` semantics).
+
+    ``pass_zero`` also accepts scipy's string forms: "lowpass"/"bandstop"
+    (DC passes) and "highpass"/"bandpass" (DC blocked), with the band-edge
+    count validated against the named response.
 
     ``numtaps`` linear-phase taps; ``cutoff`` is a scalar or ascending list
     of band edges in the same units as ``fs`` (default fs=2 means cutoffs
@@ -389,6 +393,17 @@ def firwin(
     if np.any(np.diff(edges) <= 0.0):
         raise ValueError("cutoff must be strictly increasing")
 
+    if isinstance(pass_zero, str):
+        if pass_zero not in ("lowpass", "highpass", "bandpass", "bandstop"):
+            raise ValueError(
+                "pass_zero must be a bool or lowpass|highpass|bandpass|bandstop, "
+                f"got {pass_zero!r}"
+            )
+        if pass_zero in ("lowpass", "highpass") and edges.size != 1:
+            raise ValueError(f"{pass_zero} needs exactly one cutoff, got {edges.size}")
+        if pass_zero in ("bandpass", "bandstop") and edges.size < 2:
+            raise ValueError(f"{pass_zero} needs at least two cutoffs, got {edges.size}")
+        pass_zero = pass_zero in ("lowpass", "bandstop")
     pass_nyquist = bool(edges.size & 1) ^ pass_zero
     if pass_nyquist and numtaps % 2 == 0:
         raise ValueError(

@@ -667,3 +667,14 @@ def test_stft_scipy_contracts():
         gf.stft_scipy(np.ones(1000, np.float32), boundary="reflect")
     with pytest.raises(ValueError):
         gf.istft_scipy(np.ones((4, 65), np.float32), np.ones((4, 64), np.float32))
+
+
+def test_envelope_device_matches_host(rng):
+    t = np.arange(4096, dtype=np.float32) / 1000.0
+    am = (1.0 + 0.5 * np.sin(2 * np.pi * 3.0 * t)).astype(np.float32)
+    x = (am * np.sin(2 * np.pi * 125.0 * t)).astype(np.float32)
+    dev = np.asarray(gf.envelope_device(x))
+    host = gf.envelope(x)
+    assert np.abs(dev - host).max() < 1e-5
+    core = slice(200, -200)
+    assert np.abs(dev[core] - am[core]).max() < 0.05

@@ -573,3 +573,24 @@ def test_fft_correlate2d_contract_errors():
     with pytest.raises(ValueError):
         gf.fft_correlate2d(np.ones((4, 4), np.float32), np.ones((2, 2), np.float32),
                            mode="nope")
+
+
+def test_firwin_pass_zero_strings():
+    np.testing.assert_allclose(
+        gf.firwin(31, 0.3, pass_zero="lowpass"),
+        scipy.signal.firwin(31, 0.3, pass_zero="lowpass"), atol=1e-12)
+    np.testing.assert_allclose(
+        gf.firwin(31, 0.3, pass_zero="highpass"),
+        scipy.signal.firwin(31, 0.3, pass_zero="highpass"), atol=1e-12)
+    np.testing.assert_allclose(
+        gf.firwin(65, [0.2, 0.5], pass_zero="bandpass"),
+        scipy.signal.firwin(65, [0.2, 0.5], pass_zero="bandpass"), atol=1e-12)
+    np.testing.assert_allclose(
+        gf.firwin(65, [0.2, 0.5], pass_zero="bandstop"),
+        scipy.signal.firwin(65, [0.2, 0.5], pass_zero="bandstop"), atol=1e-12)
+    with pytest.raises(ValueError):
+        gf.firwin(31, 0.3, pass_zero="notch")
+    with pytest.raises(ValueError):
+        gf.firwin(31, [0.2, 0.5], pass_zero="lowpass")
+    with pytest.raises(ValueError):
+        gf.firwin(31, 0.3, pass_zero="bandpass")
