@@ -59,7 +59,7 @@ def analysis_soak(rng, iters: int) -> tuple[int, int]:
             elif op in ("dct", "dst"):
                 n = int(rng.integers(2, 20000))
                 b = int(rng.choice([1, 3, 8]))
-                type_ = int(rng.choice([2, 3]))
+                type_ = int(rng.choice([1, 2, 3, 4]))
                 norm = rng.choice([None, "ortho"])
                 fn = gf.dct_device if op == "dct" else gf.dst_device
                 ifn = gf.idct_device if op == "dct" else gf.idst_device
