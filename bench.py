@@ -86,13 +86,7 @@ def main() -> None:
 
     def record(name, step, x0, *, b, n, kind):
         try:
-            s = chained_step_stats(step, x0, k1=50, k2=1050, reps=5)
-            if s.suspect:
-                # One retry: a transient tunnel hiccup shouldn't stain the
-                # artifact; a persistently noisy config stays flagged.
-                s2 = chained_step_stats(step, x0, k1=50, k2=1050, reps=5)
-                if not s2.suspect or s2.iqr_s < s.iqr_s:
-                    s = s2
+            s = chained_step_stats(step, x0, k1=50, k2=1050, reps=5, retries=1)
             elems = b * n
             melem = elems / s.median_s / 1e6
             row = {

@@ -234,6 +234,28 @@ def fft_convolve2d_device(x, k):
     return out[0] if squeeze else out
 
 
+def _conv2d_mode_slice(x, k, mode: str, same_offset, compute_full):
+    """Shared validation + full/same/valid slicing for the 2-D conv/corr
+    pair; ``same_offset(kh, kw)`` supplies the centering convention."""
+    xv = np.asarray(x, dtype=np.float32)
+    kv = np.asarray(k, dtype=np.float32)
+    if xv.ndim != 2 or kv.ndim != 2 or xv.size == 0 or kv.size == 0:
+        raise ValueError("expected two non-empty 2-D images")
+    if mode not in ("full", "same", "valid"):
+        raise ValueError(f"mode must be full|same|valid, got {mode!r}")
+    h, w = xv.shape
+    kh, kw = kv.shape
+    if mode == "valid" and (h < kh or w < kw):
+        raise ValueError("valid mode requires the image to be at least the kernel size")
+    full = np.asarray(compute_full(xv, kv))
+    if mode == "full":
+        return full
+    if mode == "same":
+        r0, c0 = same_offset(kh, kw)
+        return full[r0 : r0 + h, c0 : c0 + w].copy()
+    return full[kh - 1 : h, kw - 1 : w].copy()
+
+
 def fft_convolve2d(x, k, mode: str = "full"):
     """2-D linear convolution of real images via the pow2 fft2 path.
 
@@ -246,23 +268,11 @@ def fft_convolve2d(x, k, mode: str = "full"):
     >>> fft_convolve2d(img, np.array([[1.0, 1.0]])).round(5).tolist()
     [[1.0, 3.0, 2.0], [3.0, 7.0, 4.0]]
     """
-    xv = np.asarray(x, dtype=np.float32)
-    kv = np.asarray(k, dtype=np.float32)
-    if xv.ndim != 2 or kv.ndim != 2 or xv.size == 0 or kv.size == 0:
-        raise ValueError("fft_convolve2d expects two non-empty 2-D images")
-    if mode not in ("full", "same", "valid"):
-        raise ValueError(f"mode must be full|same|valid, got {mode!r}")
-    h, w = xv.shape
-    kh, kw = kv.shape
-    if mode == "valid" and (h < kh or w < kw):
-        raise ValueError("valid mode requires the image to be at least the kernel size")
-    full = np.asarray(fft_convolve2d_device(xv, kv))
-    if mode == "full":
-        return full
-    if mode == "same":
-        r0, c0 = (kh - 1) // 2, (kw - 1) // 2
-        return full[r0 : r0 + h, c0 : c0 + w].copy()
-    return full[kh - 1 : h, kw - 1 : w].copy()
+    return _conv2d_mode_slice(
+        x, k, mode,
+        lambda kh, kw: ((kh - 1) // 2, (kw - 1) // 2),  # convolution centering
+        fft_convolve2d_device,
+    )
 
 
 def fft_correlate2d(x, k, mode: str = "full"):
@@ -278,23 +288,11 @@ def fft_correlate2d(x, k, mode: str = "full"):
     >>> fft_correlate2d(img, img, mode="valid").round(4).tolist()
     [[30.0]]
     """
-    xv = np.asarray(x, dtype=np.float32)
-    kv = np.asarray(k, dtype=np.float32)
-    if xv.ndim != 2 or kv.ndim != 2 or xv.size == 0 or kv.size == 0:
-        raise ValueError("fft_correlate2d expects two non-empty 2-D images")
-    if mode not in ("full", "same", "valid"):
-        raise ValueError(f"mode must be full|same|valid, got {mode!r}")
-    h, w = xv.shape
-    kh, kw = kv.shape
-    if mode == "valid" and (h < kh or w < kw):
-        raise ValueError("valid mode requires the image to be at least the kernel size")
-    full = np.asarray(fft_convolve2d_device(xv, kv[::-1, ::-1].copy()))
-    if mode == "full":
-        return full
-    if mode == "same":
-        r0, c0 = kh // 2, kw // 2
-        return full[r0 : r0 + h, c0 : c0 + w].copy()
-    return full[kh - 1 : h, kw - 1 : w].copy()
+    return _conv2d_mode_slice(
+        x, k, mode,
+        lambda kh, kw: (kh // 2, kw // 2),  # correlation centering
+        lambda xv, kv: fft_convolve2d_device(xv, kv[::-1, ::-1].copy()),
+    )
 
 
 def _symmetric_window(window, numtaps: int) -> np.ndarray:

@@ -13,6 +13,8 @@ the shapes stay static for jit.
 
 from __future__ import annotations
 
+from math import gcd as _gcd
+
 import numpy as np
 
 __all__ = [
@@ -22,12 +24,6 @@ __all__ = [
     "resample_poly_device",
     "decimate",
 ]
-
-
-def _gcd(a: int, b: int) -> int:
-    while b:
-        a, b = b, a % b
-    return a
 
 
 def upfirdn_device(h, x, up: int = 1, down: int = 1):
@@ -103,14 +99,14 @@ def resample_poly_device(x, up: int, down: int, window=("kaiser", 5.0)):
     x = jnp.asarray(x, dtype=jnp.float32)
     if up < 1 or down < 1:
         raise ValueError(f"up and down must be >= 1, got {up}, {down}")
-    g = _gcd(up, down)
-    up, down = up // g, down // g
-    if up == 1 and down == 1:
-        return x
     squeeze = x.ndim == 1
     xs = x[None] if squeeze else x
     if xs.ndim != 2 or xs.shape[-1] == 0:
         raise ValueError(f"resample_poly expects non-empty 1-D or (B, n) input, got {x.shape}")
+    g = _gcd(up, down)
+    up, down = up // g, down // g
+    if up == 1 and down == 1:
+        return x
     n = xs.shape[-1]
     n_out = n * up // down + bool(n * up % down)
 

@@ -17,6 +17,8 @@ scatter-add for synthesis.
 
 from __future__ import annotations
 
+from math import gcd as _gcd
+
 import numpy as np
 
 __all__ = [
@@ -179,12 +181,6 @@ def overlap_add(frames, hop: int, total: int):
     return jnp.pad(out, (0, total - span))
 
 
-def _gcd(a: int, b: int) -> int:
-    while b:
-        a, b = b, a % b
-    return a
-
-
 def _check_framing(frame_size: int, hop: int | None) -> int:
     if frame_size < 2 or frame_size & (frame_size - 1):
         raise ValueError(f"frame_size must be a power of two >= 2, got {frame_size}")
@@ -267,17 +263,25 @@ def istft_device(
     from .transform import irfft_device
 
     frames = irfft_device(real, imag)  # (num_frames, frame_size)
-    w = window_table(window, frame_size)
-    frames = frames * w[None]
+    return _wola_frames(frames, hop, window, length)
 
+
+def _wola_frames(frames, hop: int, window, length: int | None):
+    """Window-weighted overlap-add of TIME-DOMAIN frames with per-sample
+    window-power normalization — the synthesis half shared by
+    :func:`istft_device` and :func:`istft_scipy`."""
+    import jax.numpy as jnp
+
+    num_frames, frame_size = frames.shape
+    w = window_table(window, frame_size)
     total = (num_frames - 1) * hop + frame_size
-    num = overlap_add(frames, hop, total)
+    acc = overlap_add(frames * w[None], hop, total)
     wsq = np.zeros(total, dtype=np.float64)
     w64 = w.astype(np.float64)
     for f in range(num_frames):  # host-side: window power is a static table
         wsq[f * hop : f * hop + frame_size] += w64 * w64
     den = np.where(wsq > 1e-10, wsq, 1.0).astype(np.float32)
-    y = num / den
+    y = acc / den
     if length is not None:
         if length <= total:
             y = y[:length]
@@ -326,10 +330,13 @@ def stft_scipy(
     scipy conventions: hann window, ``noverlap`` defaults to nperseg // 2,
     the signal is extended by nperseg // 2 zeros on both ends
     (``boundary="zeros"``; None disables) and zero-padded to a whole
-    number of frames (``padded``), and the frame spectra are scaled by
-    1 / sum(window) ('spectrum' scaling).  ``nfft`` >= nperseg zero-pads
-    each windowed frame for a finer bin grid.  Inverse:
-    :func:`istft_scipy`.  Split-complex NumPy out.
+    number of frames (``padded``), the frame spectra are scaled by
+    1 / sum(window) ('spectrum' scaling), and ``Zxx`` is oriented
+    (bins, num_frames) like scipy's.  ``nfft`` >= nperseg zero-pads each
+    windowed frame for a finer bin grid.  One divergence: a signal
+    shorter than ``nperseg`` raises (scipy warns and silently shrinks
+    nperseg, which would break the power-of-two contract here).
+    Inverse: :func:`istft_scipy`.  Split-complex NumPy out.
     """
     import jax.numpy as jnp
 
@@ -348,9 +355,11 @@ def stft_scipy(
         raise ValueError(f"boundary must be 'zeros' or None, got {boundary!r}")
     hop = nperseg - noverlap
     half = nperseg // 2
+    if xv.shape[0] < nperseg:
+        raise ValueError(
+            f"signal of {xv.shape[0]} samples is shorter than one {nperseg} segment"
+        )
     ext = np.pad(xv, (half, half)) if boundary == "zeros" else xv
-    if ext.shape[0] < nperseg:
-        raise ValueError(f"signal of {xv.shape[0]} samples is shorter than one segment")
     if padded:
         num = -(-(ext.shape[0] - nperseg) // hop) + 1
         ext = np.pad(ext, (0, (num - 1) * hop + nperseg - ext.shape[0]))
@@ -367,7 +376,7 @@ def stft_scipy(
     freqs = np.arange(nfft // 2 + 1, dtype=np.float64) * (fs / nfft)
     t0 = 0.0 if boundary == "zeros" else half
     times = (t0 + hop * np.arange(num)) / fs
-    return freqs, times, (np.asarray(zr) * s, np.asarray(zi) * s)
+    return freqs, times, (np.asarray(zr).T * s, np.asarray(zi).T * s)
 
 
 def istft_scipy(
@@ -381,17 +390,19 @@ def istft_scipy(
 ):
     """Inverse of :func:`stft_scipy` (``scipy.signal.istft`` semantics).
 
-    Returns ``(t, x)``.  Undoes the 1/sum(window) scaling, synthesizes by
-    the library's WOLA overlap-add (window-weighted accumulation divided
-    by per-sample window power — scipy's formula), and trims the
+    ``zr, zi``: (bins, num_frames) split-complex spectra (scipy's Zxx
+    orientation — the direct output of :func:`stft_scipy`).  Returns
+    ``(t, x)``.  Undoes the 1/sum(window) scaling, synthesizes by the
+    library's WOLA overlap-add (window-weighted accumulation divided by
+    per-sample window power — scipy's formula), and trims the
     nperseg // 2 boundary extension when ``boundary`` is True.
     """
-    zr = np.asarray(zr, dtype=np.float32)
-    zi = np.asarray(zi, dtype=np.float32)
+    zr = np.asarray(zr, dtype=np.float32).T  # scipy (bins, frames) -> rows
+    zi = np.asarray(zi, dtype=np.float32).T
     if zr.shape != zi.shape or zr.ndim != 2:
         raise ValueError(
-            f"istft_scipy expects matching (num_frames, bins) arrays, got "
-            f"{zr.shape} vs {zi.shape}"
+            f"istft_scipy expects matching (bins, num_frames) arrays, got "
+            f"{zr.T.shape} vs {zi.T.shape}"
         )
     bins = zr.shape[1]
     nfft = 2 * (bins - 1)
@@ -400,22 +411,18 @@ def istft_scipy(
     hop = nperseg - noverlap
     w = window_table(window, nperseg)
     s = np.float32(w.sum())
-    if nfft > nperseg:
-        # Finer-grid spectra: recover the nperseg-sample frames by inverse
-        # transform at nfft and truncation (the forward only zero-padded).
-        from .transform import irfft_device
-
-        frames = np.asarray(irfft_device(zr * s, zi * s))[:, :nperseg]
-        # Re-analyze exactly as istft_device expects: spectra of the frames.
-        from .transform import rfft_device
-
-        fr, fi = rfft_device(frames)
-        zr, zi = np.asarray(fr), np.asarray(fi)
-    else:
-        zr, zi = zr * s, zi * s
     num = zr.shape[0]
     full = (num - 1) * hop + nperseg
-    y = np.asarray(istft_device(zr, zi, hop=hop, window=window, length=full))
+    if nfft > nperseg:
+        # Finer-grid spectra: recover the nperseg-sample frames by inverse
+        # transform at nfft + truncation (the forward only zero-padded),
+        # then synthesize those frames directly — no re-analysis pass.
+        from .transform import irfft_device
+
+        frames = irfft_device(zr * s, zi * s)[:, :nperseg]
+        y = np.asarray(_wola_frames(frames, hop, window, full))
+    else:
+        y = np.asarray(istft_device(zr * s, zi * s, hop=hop, window=window, length=full))
     half = nperseg // 2
     if boundary:
         y = y[half : full - half]

@@ -79,6 +79,7 @@ def chained_step_stats(
     reps: int = 5,
     min_span_s: float = 0.08,
     max_span: int = 1 << 19,
+    retries: int = 0,
 ) -> TimingStats:
     """Steady-state per-``step(x)`` device time with dispersion statistics.
 
@@ -161,7 +162,7 @@ def chained_step_stats(
     arr = np.asarray(good, dtype=np.float64)
     q1, med, q3 = (float(np.percentile(arr, q)) for q in (25, 50, 75))
     iqr = q3 - q1
-    return TimingStats(
+    st = TimingStats(
         median_s=med,
         iqr_s=iqr,
         min_s=float(arr.min()),
@@ -170,6 +171,17 @@ def chained_step_stats(
         span=span,
         suspect=suspect or iqr > med,
     )
+    if st.suspect and retries > 0:
+        # A transient transport hiccup shouldn't stain the artifact; a
+        # persistently noisy config stays flagged.  Shared retry policy for
+        # both bench harnesses: keep the retry if clean or lower-IQR.
+        st2 = chained_step_stats(
+            step, x0, k1=k1, k2=k2, reps=reps,
+            min_span_s=min_span_s, max_span=max_span, retries=retries - 1,
+        )
+        if not st2.suspect or st2.iqr_s < st.iqr_s:
+            return st2
+    return st
 
 
 def chained_step_time(step, x0, k1: int = 50, k2: int = 1050, reps: int = 5) -> float:
@@ -228,7 +240,11 @@ def fft_inverse_step(n: int):
 
     The imaginary part aliases the input buffer — fabricating a distinct
     one (e.g. 0.5*x) would add an elementwise HBM pass that belongs to the
-    harness, not the transform (measured +4 us at B=64 n=4,096).
+    harness, not the transform (measured +4 us at B=64 n=4,096).  Safe
+    against XLA CSE because the default Karatsuba complex matmul contracts
+    the real and imaginary operands against DIFFERENT tables; if
+    config.KARATSUBA is ever flipped off for an ablation, re-measure with
+    distinct operands.
     """
     import numpy as _np
 

@@ -110,11 +110,7 @@ def main() -> None:
         # transform work is (num_frames, frame_size).
         try:
             x0 = dev(shape or (b, n))
-            st = chained_step_stats(step, x0, k1=50, k2=1050, reps=5)
-            if st.suspect:  # one retry before flagging the row
-                st2 = chained_step_stats(step, x0, k1=50, k2=1050, reps=5)
-                if not st2.suspect or st2.iqr_s < st.iqr_s:
-                    st = st2
+            st = chained_step_stats(step, x0, k1=50, k2=1050, reps=5, retries=1)
             melem = b * n / st.median_s / 1e6
             entry = {
                 "name": name,

@@ -632,11 +632,11 @@ def test_stft_scipy_matches_scipy(rng, kw):
     x = rng.standard_normal(4000).astype(np.float32)
     f, t, (zr, zi) = gf.stft_scipy(x, fs=100.0, **kw)
     f_r, t_r, Z = scipy.signal.stft(x.astype(np.float64), fs=100.0, **kw)
-    assert zr.shape == Z.T.shape
+    assert zr.shape == Z.shape  # scipy's (bins, num_frames) orientation
     np.testing.assert_allclose(f, f_r, atol=1e-9)
     np.testing.assert_allclose(t, t_r, atol=1e-9)
     scale = np.abs(Z).max()
-    assert np.abs((zr + 1j * zi) - Z.T).max() / scale < 2e-3
+    assert np.abs((zr + 1j * zi) - Z).max() / scale < 2e-3
 
 
 def test_istft_scipy_roundtrip_matches_scipy(rng):
@@ -665,8 +665,10 @@ def test_stft_scipy_contracts():
         gf.stft_scipy(np.ones(1000, np.float32), nperseg=100)
     with pytest.raises(ValueError):
         gf.stft_scipy(np.ones(1000, np.float32), boundary="reflect")
+    with pytest.raises(ValueError):  # shorter than one segment: loud, not silent
+        gf.stft_scipy(np.ones(100, np.float32), nperseg=256)
     with pytest.raises(ValueError):
-        gf.istft_scipy(np.ones((4, 65), np.float32), np.ones((4, 64), np.float32))
+        gf.istft_scipy(np.ones((65, 4), np.float32), np.ones((64, 4), np.float32))
 
 
 def test_envelope_device_matches_host(rng):
