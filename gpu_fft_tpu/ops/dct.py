@@ -30,6 +30,10 @@ __all__ = [
     "idct_device",
     "dst_device",
     "idst_device",
+    "dctn",
+    "idctn",
+    "dctn_device",
+    "idctn_device",
 ]
 
 
@@ -307,3 +311,71 @@ def dst(x, type: int = 2, norm: str | None = None):
 def idst(y, type: int = 2, norm: str | None = None):
     """Host-convenience inverse DST; see :func:`idst_device`."""
     return np.asarray(idst_device(np.asarray(y, dtype=np.float32), type, norm))
+
+
+def _dct_along_axes(x, axes, fn):
+    """Apply a (B, n)-rows transform along each of ``axes`` of an N-D array."""
+    import jax.numpy as jnp
+
+    for a in axes:
+        n = x.shape[a]
+        moved = jnp.moveaxis(x, a, -1)
+        lead = moved.shape[:-1]
+        b = int(np.prod(lead)) if lead else 1
+        rows = fn(moved.reshape(b, n))
+        x = jnp.moveaxis(rows.reshape(*lead, n), -1, a)
+    return x
+
+
+def _norm_axes(x, axes, name):
+    if axes is None:
+        return tuple(range(x.ndim))
+    out = []
+    for a in axes:
+        if not -x.ndim <= a < x.ndim:
+            raise ValueError(f"{name}: axis {a} out of range for rank {x.ndim}")
+        out.append(a % x.ndim)
+    if not out:
+        raise ValueError(f"{name}: axes must name at least one axis")
+    if len(set(out)) != len(out):
+        raise ValueError(f"{name}: repeated axes {tuple(axes)}")
+    return tuple(out)
+
+
+def dctn_device(x, type: int = 2, norm: str | None = None, axes=None):
+    """N-dimensional DCT over the given axes (default: all), on device.
+
+    ``scipy.fft.dctn`` semantics: the 1-D DCT of the given ``type``/
+    ``norm`` applied separably along each axis (the 2-D type-II 'ortho'
+    case is the JPEG transform).  Any axis lengths; jit-composable.
+    """
+    import jax.numpy as jnp
+
+    _check_type_norm(type, norm, "dctn")
+    x = jnp.asarray(x, dtype=jnp.float32)
+    if x.ndim == 0:
+        raise ValueError("dctn expects at least one axis")
+    axes = _norm_axes(x, axes, "dctn")
+    return _dct_along_axes(x, axes, lambda r: dct_device(r, type=type, norm=norm))
+
+
+def idctn_device(y, type: int = 2, norm: str | None = None, axes=None):
+    """Inverse N-D DCT: ``idctn(dctn(x)) == x`` (``scipy.fft.idctn``)."""
+    import jax.numpy as jnp
+
+    _check_type_norm(type, norm, "idctn")
+    y = jnp.asarray(y, dtype=jnp.float32)
+    if y.ndim == 0:
+        raise ValueError("idctn expects at least one axis")
+    axes = _norm_axes(y, axes, "idctn")
+    return _dct_along_axes(y, axes, lambda r: idct_device(r, type=type, norm=norm))
+
+
+def dctn(x, type: int = 2, norm: str | None = None, axes=None):
+    """Host-convenience N-D DCT; see :func:`dctn_device`."""
+    return np.asarray(dctn_device(np.asarray(x, dtype=np.float32), type, norm, axes))
+
+
+def idctn(y, type: int = 2, norm: str | None = None, axes=None):
+    """Host-convenience inverse N-D DCT; see :func:`idctn_device`."""
+    return np.asarray(idctn_device(np.asarray(y, dtype=np.float32), type, norm, axes))

@@ -161,3 +161,37 @@ def test_dct_type_bounds():
         gf.dct([1.0, 2.0], type=5)
     with pytest.raises(ValueError):
         gf.dct([1.0], type=1)  # DCT-I needs n >= 2
+
+
+# ── dctn / idctn ─────────────────────────────────────────────────────────────
+
+
+@pytest.mark.parametrize("shape,axes", [((8, 8), None), ((16, 24), None), ((4, 8, 12), (1, 2))])
+@pytest.mark.parametrize("type_", [1, 2, 4])
+def test_dctn_matches_scipy(rng, shape, axes, type_):
+    import scipy.fft
+
+    x = rng.standard_normal(shape).astype(np.float32)
+    got = gf.dctn(x, type=type_, norm="ortho", axes=axes)
+    ref = scipy.fft.dctn(x.astype(np.float64), type=type_, norm="ortho", axes=axes)
+    scale = max(1.0, np.abs(ref).max())
+    assert np.abs(got - ref).max() / scale < 5e-5
+
+
+def test_dctn_jpeg_style_roundtrip(rng):
+    # The JPEG transform: 2-D type-II 'ortho' over 8x8 blocks.
+    blocks = rng.standard_normal((64, 8, 8)).astype(np.float32)
+    coeffs = np.asarray(gf.dctn_device(blocks, norm="ortho", axes=(1, 2)))
+    back = np.asarray(gf.idctn_device(coeffs, norm="ortho", axes=(1, 2)))
+    assert np.abs(back - blocks).max() < 1e-5
+    # Energy preservation (orthonormal).
+    assert abs((coeffs**2).sum() - (blocks**2).sum()) / (blocks**2).sum() < 1e-5
+
+
+def test_dctn_contract_errors(rng):
+    with pytest.raises(ValueError):
+        gf.dctn(np.ones((4, 4), np.float32), axes=(0, 0))
+    with pytest.raises(ValueError):
+        gf.dctn(np.ones((4, 4), np.float32), axes=(5,))
+    with pytest.raises(ValueError):
+        gf.dctn(np.ones((4, 4), np.float32), type=7)
