@@ -45,6 +45,9 @@ __all__ = [
     "dct_roundtrip_step",
     "hilbert_step",
     "resample_step",
+    "firstream_step",
+    "oaconvolve_step",
+    "conv2d_step",
 ]
 
 
@@ -449,6 +452,29 @@ def oaconvolve_step(n: int, taps):
     def step(x):
         y = oaconvolve_device(x, h)[:, :n]
         return x + y * _np.float32(1e-6)
+
+    return step
+
+
+def firstream_step(chunk: int, taps: int, batch: int = 1):
+    """(batch, chunk + taps - 1) [carry ‖ chunk] -> next [carry ‖ filtered].
+
+    Steady-state streaming FIR serving: each step is one FIRStream.step
+    (one forward + one inverse transform at the padded chunk length).
+    The filtered chunk feeds back as the next input; a unity-DC-gain
+    lowpass keeps the chain magnitude stable.
+    """
+    import jax.numpy as jnp
+
+    from ..ops.filter import FIRStream, firwin
+
+    stream = FIRStream(firwin(taps, 0.3).astype("float32"), chunk=chunk, batch=batch)
+    t = taps - 1
+
+    def step(c):
+        st, x = c[:, :t], c[:, t:]
+        st2, y = stream.step(st, x)
+        return jnp.concatenate([st2, y], axis=1)
 
     return step
 

@@ -54,6 +54,7 @@ def main() -> None:
         chained_step_stats,
         conv2d_step,
         dct_roundtrip_step,
+        firstream_step,
         fft_forward_step,
         fft_inverse_step,
         fft_roundtrip_step,
@@ -250,6 +251,10 @@ def main() -> None:
         kern2d = rng.standard_normal((17, 17)).astype(np.float32)
         run("conv2d/pallas/496x496_k17", "conv2d", "pallas", 512, 512,
             conv2d_step(kern2d), shape=(1, 496, 496))
+        # Streaming FIR serving: FIRStream steady-state, 4 live channels.
+        # Roofline (b, n) = (batch, padded transform length) per step.
+        run("firstream/pallas/c4096_t129_b4", "oaconvolve", "pallas",
+            4, 8192, firstream_step(4096, 129, batch=4), shape=(4, 4096 + 128))
 
     out = args.out or f"bench-results/raw_{time.strftime('%Y%m%d_%H%M%S')}.json"
     pathlib.Path(out).parent.mkdir(parents=True, exist_ok=True)
