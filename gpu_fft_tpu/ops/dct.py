@@ -34,6 +34,10 @@ __all__ = [
     "idctn",
     "dctn_device",
     "idctn_device",
+    "dstn",
+    "idstn",
+    "dstn_device",
+    "idstn_device",
 ]
 
 
@@ -379,3 +383,37 @@ def dctn(x, type: int = 2, norm: str | None = None, axes=None):
 def idctn(y, type: int = 2, norm: str | None = None, axes=None):
     """Host-convenience inverse N-D DCT; see :func:`idctn_device`."""
     return np.asarray(idctn_device(np.asarray(y, dtype=np.float32), type, norm, axes))
+
+
+def dstn_device(x, type: int = 2, norm: str | None = None, axes=None):
+    """N-dimensional DST over the given axes (``scipy.fft.dstn`` semantics)."""
+    import jax.numpy as jnp
+
+    _check_type_norm(type, norm, "dstn")
+    x = jnp.asarray(x, dtype=jnp.float32)
+    if x.ndim == 0:
+        raise ValueError("dstn expects at least one axis")
+    axes = _norm_axes(x, axes, "dstn")
+    return _dct_along_axes(x, axes, lambda r: dst_device(r, type=type, norm=norm))
+
+
+def idstn_device(y, type: int = 2, norm: str | None = None, axes=None):
+    """Inverse N-D DST: ``idstn(dstn(x)) == x`` (``scipy.fft.idstn``)."""
+    import jax.numpy as jnp
+
+    _check_type_norm(type, norm, "idstn")
+    y = jnp.asarray(y, dtype=jnp.float32)
+    if y.ndim == 0:
+        raise ValueError("idstn expects at least one axis")
+    axes = _norm_axes(y, axes, "idstn")
+    return _dct_along_axes(y, axes, lambda r: idst_device(r, type=type, norm=norm))
+
+
+def dstn(x, type: int = 2, norm: str | None = None, axes=None):
+    """Host-convenience N-D DST; see :func:`dstn_device`."""
+    return np.asarray(dstn_device(np.asarray(x, dtype=np.float32), type, norm, axes))
+
+
+def idstn(y, type: int = 2, norm: str | None = None, axes=None):
+    """Host-convenience inverse N-D DST; see :func:`idstn_device`."""
+    return np.asarray(idstn_device(np.asarray(y, dtype=np.float32), type, norm, axes))

@@ -195,3 +195,16 @@ def test_dctn_contract_errors(rng):
         gf.dctn(np.ones((4, 4), np.float32), axes=(5,))
     with pytest.raises(ValueError):
         gf.dctn(np.ones((4, 4), np.float32), type=7)
+
+
+@pytest.mark.parametrize("type_", [1, 2, 4])
+def test_dstn_matches_scipy(rng, type_):
+    import scipy.fft
+
+    x = rng.standard_normal((12, 20)).astype(np.float32)
+    got = gf.dstn(x, type=type_, norm="ortho")
+    ref = scipy.fft.dstn(x.astype(np.float64), type=type_, norm="ortho")
+    scale = max(1.0, np.abs(ref).max())
+    assert np.abs(got - ref).max() / scale < 5e-5
+    back = gf.idstn(got, type=type_, norm="ortho")
+    assert np.abs(back - x).max() < 1e-4
