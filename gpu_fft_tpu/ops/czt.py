@@ -15,8 +15,14 @@ independent input/output lengths and a general chirp.
 
 Conventions match ``scipy.signal.czt`` / ``scipy.signal.zoom_fft``
 (verified element-wise in the test suite).  Chirp tables are built on the
-host in f64; for unit-modulus ``w`` the phase is reduced mod 2*pi before
-cos/sin, so table error stays small through the supported sizes.
+host in f64.  When ``w`` is known as an exact root of unity — the default
+DFT spacing ``exp(-2j*pi/m)``, and ``zoom_fft``'s rational band step — the
+chirp phase ``pi * num * j^2 / den`` is reduced with an exact integer
+``mod 2*den`` before cos/sin, so the tables stay accurate at any supported
+size.  For an arbitrary user-supplied complex ``w`` the phase is reduced in
+f64, where rounding of the ~j^2-magnitude product can reach ~1e-4 rad at
+strongly asymmetric n >> m; pass the exact spacing through ``zoom_fft`` (or
+the default ``w``) when that matters.
 """
 
 from __future__ import annotations
@@ -30,21 +36,49 @@ from ..config import MAX_N
 __all__ = ["czt", "czt_device", "zoom_fft", "zoom_fft_device"]
 
 
+def _phase_halfturns_exact(e: np.ndarray, num: int, den: int) -> np.ndarray:
+    """``(e * num / den) mod 2`` in half-turns, via exact integer arithmetic.
+
+    ``e`` is int64 (j^2, exact through MAX_N^2 < 2^48); ``num/den`` is the
+    chirp's phase in units of pi per unit e.  The mod-2*den reduction happens
+    on integers, so the only rounding is the final division — the phase error
+    stays ~2^-53 half-turns at ANY j, vs ~j^2 * 2^-53 for the f64 product.
+    """
+    num, den = int(num), int(den)
+    if abs(num).bit_length() + 48 < 63 and (2 * den).bit_length() < 63:
+        r = (e * np.int64(num)) % np.int64(2 * den)  # int64-exact
+        return r.astype(np.float64) / den
+    # Wide fraction (e.g. an exact-float band step): Python bigints.
+    r = (e.astype(object) * num) % (2 * den)
+    return np.asarray([float(v) / den for v in r], dtype=np.float64)
+
+
 @functools.lru_cache(maxsize=None)
-def _czt_plan(n: int, m: int, w: complex, a: complex) -> dict:
+def _czt_plan(n: int, m: int, w: complex, a: complex, w_frac: tuple | None = None) -> dict:
     """Host-built f64 tables: premultiplier u_j = a^(-j) w^(j^2/2), kernel
-    spectrum K = FFT_L(wrapped w^(-j^2/2)), and postmultiplier p_k = w^(k^2/2)."""
+    spectrum K = FFT_L(wrapped w^(-j^2/2)), and postmultiplier p_k = w^(k^2/2).
+
+    ``w_frac = (num, den)`` declares the chirp ``w^(e/2) = exp(1j*pi*e*num/den)``
+    exactly (i.e. ``w = exp(2j*pi*num/den)``), and routes the chirp phase
+    through the exact integer-mod reduction."""
     L = 1
     while L < n + m - 1:
         L *= 2
     jmax = max(n, m)
     j = np.arange(jmax, dtype=np.int64)
     e = j * j  # exact in int64 through MAX_N
-    logw = np.log(complex(w))  # principal branch
-    # w^(e/2) = exp((e/2) * logw); reduce the imaginary (phase) part mod 2*pi
-    # against e in int64-exact arithmetic to keep cos/sin accurate at large j.
-    ph = np.remainder(e.astype(np.float64) * (logw.imag * 0.5), 2.0 * np.pi)
-    mag = np.exp(e.astype(np.float64) * (logw.real * 0.5))
+    if w_frac is not None:
+        num, den = w_frac
+        ph = np.pi * _phase_halfturns_exact(e, num, den)
+        mag = np.ones_like(ph)
+    else:
+        logw = np.log(complex(w))  # principal branch
+        # w^(e/2) = exp((e/2) * logw); reduce the phase mod 2*pi.  The f64
+        # product e * theta rounds before the mod, so very asymmetric n >> m
+        # can see ~1e-4 rad of table phase error here — the exact path above
+        # covers every w the library constructs itself.
+        ph = np.remainder(e.astype(np.float64) * (logw.imag * 0.5), 2.0 * np.pi)
+        mag = np.exp(e.astype(np.float64) * (logw.real * 0.5))
     chirp = mag * (np.cos(ph) + 1j * np.sin(ph))  # w^(j^2/2)
     ichirp = 1.0 / chirp  # w^(-j^2/2)
 
@@ -66,7 +100,14 @@ def _czt_plan(n: int, m: int, w: complex, a: complex) -> dict:
     }
 
 
-def czt_device(x, m: int | None = None, w: complex | None = None, a: complex = 1 + 0j, imag=None):
+def czt_device(
+    x,
+    m: int | None = None,
+    w: complex | None = None,
+    a: complex = 1 + 0j,
+    imag=None,
+    _w_frac: tuple | None = None,
+):
     """Chirp-z transform of real (or split-complex) rows (device).
 
     ``x``: (n,) or (B, n) f32; ``m`` output points (default n); ``w`` ratio
@@ -88,7 +129,13 @@ def czt_device(x, m: int | None = None, w: complex | None = None, a: complex = 1
     m = n if m is None else m
     if m < 1:
         raise ValueError(f"czt needs m >= 1 output points, got {m}")
-    w = complex(np.exp(-2j * np.pi / m)) if w is None else complex(w)
+    if w is None:
+        # The DFT spacing is a known root of unity: w^(e/2) = exp(-j*pi*e/m);
+        # declare it so the chirp phase reduces with the exact integer mod.
+        w = complex(np.exp(-2j * np.pi / m))
+        _w_frac = (-1, m)
+    else:
+        w = complex(w)
     if w == 0 or complex(a) == 0:
         raise ValueError("czt requires nonzero w and a")
     L = 1
@@ -99,7 +146,7 @@ def czt_device(x, m: int | None = None, w: complex | None = None, a: complex = 1
             f"czt with n={n}, m={m} needs a {L}-point convolution, "
             f"beyond the supported maximum {MAX_N}"
         )
-    p = _czt_plan(n, m, w, complex(a))
+    p = _czt_plan(n, m, w, complex(a), _w_frac)
     xi = None
     if imag is not None:
         xi = jnp.asarray(imag, dtype=jnp.float32)
@@ -156,9 +203,15 @@ def zoom_fft_device(x, fn, m: int | None = None, fs: float = 2.0):
     m = n if m is None else m
     if fs <= 0:
         raise ValueError(f"fs must be positive, got {fs}")
+    # The band step is rational in the (exact binary) floats f1, f2, fs, so
+    # the chirp phase can take the exact integer-mod path: the chirp
+    # w^(e/2) = exp(1j*pi*e*p/q) with p/q = -(f2 - f1) / (m * fs) exactly.
+    from fractions import Fraction
+
+    frac = -Fraction(f2 - f1) / (m * Fraction(fs))
     w = complex(np.exp(-2j * np.pi * (f2 - f1) / (m * fs)))
     a = complex(np.exp(2j * np.pi * f1 / fs))
-    return czt_device(xa, m=m, w=w, a=a)
+    return czt_device(xa, m=m, w=w, a=a, _w_frac=(frac.numerator, frac.denominator))
 
 
 def zoom_fft(x, fn, m: int | None = None, fs: float = 2.0):

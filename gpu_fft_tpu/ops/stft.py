@@ -407,7 +407,18 @@ def istft_scipy(
     bins = zr.shape[1]
     nfft = 2 * (bins - 1)
     nperseg = nfft if nperseg is None else nperseg
+    if nperseg < 2 or nperseg & (nperseg - 1):
+        raise ValueError(f"nperseg must be a power of two >= 2, got {nperseg}")
+    if nperseg > nfft:
+        raise ValueError(
+            f"nperseg ({nperseg}) exceeds the {bins}-bin spectra's nfft ({nfft})"
+        )
     noverlap = nperseg // 2 if noverlap is None else noverlap
+    # Mirror stft_scipy's contract: noverlap >= nperseg would mean hop <= 0,
+    # which otherwise surfaces as a confusing zero-step slice deep inside
+    # the overlap-add synthesis.
+    if not 0 <= noverlap < nperseg:
+        raise ValueError(f"noverlap must be in [0, nperseg), got {noverlap}")
     hop = nperseg - noverlap
     w = window_table(window, nperseg)
     s = np.float32(w.sum())

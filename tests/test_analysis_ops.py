@@ -401,6 +401,33 @@ def test_zoom_fft_resolves_close_tones(rng):
     assert any(abs(p - 100.1) < 0.05 for p in peaks), peaks
 
 
+def test_czt_chirp_phase_exact_reduction():
+    # The default-w / zoom-fft chirp phase reduces mod 2*den on INTEGERS, so
+    # it must agree with exact rational arithmetic even at j ~ 2^20 where the
+    # f64 product e * theta has long since lost the low bits.
+    from fractions import Fraction
+
+    from gpu_fft_tpu.ops.czt import _phase_halfturns_exact
+
+    j = np.asarray([1, 12345, (1 << 20) - 3, 1 << 20], dtype=np.int64)
+    e = j * j
+    for num, den in [(-1, 1000003), (7, 48000), (-(10**14) - 1, (1 << 51) + 5)]:
+        got = _phase_halfturns_exact(e, num, den)
+        want = [float((Fraction(int(v)) * num / den) % 2) for v in e]
+        assert np.abs(got - np.asarray(want)).max() < 1e-12, (num, den)
+
+
+def test_czt_asymmetric_large_n_small_m(rng):
+    # n >> m is exactly the regime where the old f64 phase reduction drifted;
+    # the exact integer-mod path keeps parity with scipy's f64 oracle.
+    x = rng.standard_normal(30000).astype(np.float32)
+    gr, gi = gf.czt(x, m=17)
+    ref = scipy.signal.czt(x.astype(np.float64), m=17)
+    scale = float(np.abs(ref).max())
+    assert_slice_approx(gr / scale, ref.real / scale, 2e-4, "czt asym real")
+    assert_slice_approx(gi / scale, ref.imag / scale, 2e-4, "czt asym imag")
+
+
 def test_czt_batched_and_contracts(rng):
     x = rng.standard_normal((3, 64)).astype(np.float32)
     gr, gi = gf.czt_device(x, m=40)
@@ -669,6 +696,13 @@ def test_stft_scipy_contracts():
         gf.stft_scipy(np.ones(100, np.float32), nperseg=256)
     with pytest.raises(ValueError):
         gf.istft_scipy(np.ones((65, 4), np.float32), np.ones((64, 4), np.float32))
+    z = np.ones((65, 4), np.float32)
+    with pytest.raises(ValueError):  # noverlap >= nperseg would mean hop <= 0
+        gf.istft_scipy(z, z, noverlap=128)
+    with pytest.raises(ValueError):
+        gf.istft_scipy(z, z, nperseg=100)
+    with pytest.raises(ValueError):  # nperseg beyond the spectra's nfft
+        gf.istft_scipy(z, z, nperseg=256)
 
 
 def test_envelope_device_matches_host(rng):
