@@ -102,8 +102,10 @@ def welch_sharded(
     power sum; one ``psum`` over ``axis_name`` completes the average — the
     collective-reduction pattern (vs the zero-comms batch sharding and the
     all-to-all distributed transform).  Semantics identical to
-    :func:`gpu_fft_tpu.welch_device`; the segment count is truncated to a
-    multiple of the mesh axis size (trailing segments dropped).
+    :func:`gpu_fft_tpu.welch_device` for ANY segment count: when the count
+    does not divide the mesh, the segment axis is padded with zero rows and
+    the padding is masked out of the power sum, so sharded and single-chip
+    Welch agree element-wise.
 
     Returns ``(freqs, psd)`` — psd replicated across devices.
     """
@@ -124,16 +126,23 @@ def welch_sharded(
     if x.ndim != 1:
         raise ValueError(f"welch_sharded expects a 1-D signal, got shape {x.shape}")
     d = mesh.shape[axis_name]
-    num_seg = ((x.shape[0] - nperseg) // hop + 1) // d * d
-    if num_seg < d:
+    num_seg = (x.shape[0] - nperseg) // hop + 1
+    if num_seg < 1:
         raise ValueError(
-            f"signal of {x.shape[0]} samples yields fewer than one {nperseg} "
-            f"segment per device ({d} devices)"
+            f"signal of {x.shape[0]} samples is shorter than one {nperseg} segment"
         )
     from ..ops.stft import frame_signal
 
-    segs = frame_signal(x, nperseg, hop, num_seg)  # sharded over rows below
+    # Pad the segment axis up to a mesh multiple with zero rows (framed out
+    # of a zero-extended signal); the padding is masked out of the power sum
+    # below, so the estimate equals single-chip Welch for any count.
+    num_pad = -(-num_seg // d) * d
+    need = (num_pad - 1) * hop + nperseg
+    if need > x.shape[0]:
+        x = jnp.pad(x, (0, need - x.shape[0]))
+    segs = frame_signal(x, nperseg, hop, num_pad)  # sharded over rows below
     w = window_table(window, nperseg)
+    rows = num_pad // d
 
     def local(sl):
         from ..ops.spectral import _detrend_rows
@@ -141,7 +150,9 @@ def welch_sharded(
         sl = _detrend_rows(sl, detrend)
         yr, yi = transform_any(sl * w[None], None, nperseg, -1)
         h = nperseg // 2 + 1
-        part = jnp.sum(yr[:, :h] ** 2 + yi[:, :h] ** 2, axis=0)
+        gidx = jax.lax.axis_index(axis_name) * rows + jnp.arange(rows)
+        mask = (gidx < num_seg).astype(jnp.float32)
+        part = jnp.sum((yr[:, :h] ** 2 + yi[:, :h] ** 2) * mask[:, None], axis=0)
         return jax.lax.psum(part, axis_name) * jnp.float32(1.0 / num_seg)
 
     power = _shard_map(local, mesh, (P(axis_name, None),), P())(segs)

@@ -130,22 +130,38 @@ def test_welch_sharded_matches_single_chip(mesh8, rng):
     from gpu_fft_tpu.ops.spectral import welch_device
     from gpu_fft_tpu.parallel import welch_sharded
 
+    # 65 segments: deliberately NOT a multiple of the 8-device mesh — the
+    # masked-remainder path must match single-chip welch over the SAME
+    # (untruncated) signal, element-wise.
     x = rng.standard_normal(128 * 65 + 64).astype(np.float32)  # 65 hop-128 segs
     f, p = welch_sharded(x, mesh8, nperseg=256, fs=10.0)
-    # Oracle: single-chip welch over the same (truncated-to-64) segment set.
-    n_trunc = 128 * 63 + 256  # 64 segments exactly
-    f_ref, p_ref = welch_device(x[:n_trunc], nperseg=256, fs=10.0)
+    f_ref, p_ref = welch_device(x, nperseg=256, fs=10.0)
     assert_slice_approx(f, f_ref, 1e-9, "welch_sharded freqs")
     p, p_ref = np.asarray(p), np.asarray(p_ref)
     scale = p_ref.max()
     assert_slice_approx(p / scale, p_ref / scale, 1e-4, "welch_sharded psd")
 
 
+@pytest.mark.parametrize("num_seg", [1, 7, 8, 9])
+def test_welch_sharded_any_segment_count(mesh8, rng, num_seg):
+    # Every remainder class around the mesh size, including fewer segments
+    # than devices (idle devices contribute a masked zero partial).
+    from gpu_fft_tpu.ops.spectral import welch_device
+    from gpu_fft_tpu.parallel import welch_sharded
+
+    x = rng.standard_normal(64 * (num_seg - 1) + 128).astype(np.float32)
+    _, p = welch_sharded(x, mesh8, nperseg=128)
+    _, p_ref = welch_device(x, nperseg=128)
+    p, p_ref = np.asarray(p), np.asarray(p_ref)
+    scale = p_ref.max()
+    assert_slice_approx(p / scale, p_ref / scale, 1e-4, f"welch_sharded {num_seg} segs")
+
+
 def test_welch_sharded_contracts(mesh8):
     from gpu_fft_tpu.parallel import welch_sharded
 
-    with pytest.raises(ValueError):  # fewer than one segment per device
-        welch_sharded(np.zeros(600, np.float32), mesh8, nperseg=256)
+    with pytest.raises(ValueError):  # shorter than one segment
+        welch_sharded(np.zeros(200, np.float32), mesh8, nperseg=256)
     with pytest.raises(ValueError):
         welch_sharded(np.zeros((4, 4096), np.float32), mesh8)
 
