@@ -290,6 +290,14 @@ def main() -> None:
             speedups[kind] = t(seq) / t(bat)
     details["batch_vs_sequential_measured_b64_n4096"] = speedups
 
+    # ── Cross-round regression gate (round-2 verdict item 3) ────────────────
+    # The reference workflow diffs every bench run against a stored Criterion
+    # baseline (scripts/bench.sh:8-9,32, README.md:352-355); the analog here
+    # compares each config against the previous round's stored details and
+    # flags any slowdown beyond the config's IQR (and a 3% floor, so tunnel
+    # jitter on microsecond rows does not cry wolf).
+    details["regression"] = regression_report(details)
+
     # ── Accuracy gate: roundtrip err <= 5*log2(N)*eps ───────────────────────
     # Protected per size like the timing configs: a failure here must not
     # discard the measured results.  The PALLAS backend is forced so env
@@ -333,6 +341,72 @@ def main() -> None:
             }
         )
     )
+
+
+def regression_report(
+    details: dict, path: str = "bench-results/baselines/prev_round_details.json"
+) -> dict:
+    """Per-config deltas vs the previous round's stored BENCH_DETAILS.
+
+    A config REGRESSES when its median slows by more than
+    ``max(IQR_prev, IQR_now, 3% of prev)`` — i.e. beyond the measured
+    dispersion of either run.  The report (and the printed per-row deltas)
+    land in the round artifact, so a cross-round slip like round 2's
+    unremarked 10,351 -> 9,906 Melem/s headline is visible immediately.
+    """
+    import os
+
+    if not os.path.exists(path):
+        return {"baseline": None, "note": f"no stored baseline at {path}"}
+    try:
+        with open(path) as f:
+            prev = json.load(f)
+    except Exception as e:
+        return {"baseline": path, "error": str(e)[:200]}
+    prev_cfg = prev.get("configs") or {}
+    rows: dict = {}
+    regressed = []
+    for name, row in details["configs"].items():
+        p = prev_cfg.get(name) or {}
+        if "per_call_s" not in row or "per_call_s" not in p:
+            continue
+        cur, old = row["per_call_s"], p["per_call_s"]
+        tol = max(row.get("iqr_s") or 0.0, p.get("iqr_s") or 0.0, 0.03 * old)
+        delta_pct = 100.0 * (cur - old) / old
+        reg = cur > old + tol
+        rows[name] = {
+            "prev_us": old * 1e6,
+            "delta_pct": round(delta_pct, 1),
+            "regressed": reg,
+        }
+        if reg:
+            regressed.append(name)
+    out = {
+        "baseline": path,
+        "baseline_device": prev.get("device"),
+        "per_config": rows,
+        "regressed": regressed,
+    }
+    prev_head = (prev.get("headline") or {}).get("value")
+    cur_head = (details["configs"].get("fft_n65536") or {}).get("melem_per_s")
+    if prev_head and cur_head:
+        out["headline_delta_pct"] = round(100.0 * (cur_head - prev_head) / prev_head, 1)
+    if rows:
+        worst = sorted(rows.items(), key=lambda kv: -kv[1]["delta_pct"])[:3]
+        print(
+            "[bench] vs prev round: "
+            + " ".join(
+                f"{n}:{'+' if r['delta_pct'] >= 0 else ''}{r['delta_pct']}%"
+                + ("(REG)" if r["regressed"] else "")
+                for n, r in worst
+            )
+            + (f"; headline {out.get('headline_delta_pct', '?')}%" if prev_head else ""),
+            file=sys.stderr,
+            flush=True,
+        )
+        if regressed:
+            print(f"[bench] REGRESSED beyond IQR: {regressed}", file=sys.stderr, flush=True)
+    return out
 
 
 def mosaic_smoke() -> dict:

@@ -44,9 +44,9 @@ MAX_N = 1 << 24
 #   "fast"  — 1-pass:   rel err ~4e-3, ~4x faster (16.5 us); for
 #                       magnitude-spectrum/serving workloads only.
 # Process-level: set GPU_FFT_TPU_PRECISION before the first transform (jit
-# caches trace the mode in).  Pallas kernels (the large-N stage A) map
-# "high" to HIGHEST — Mosaic supports only DEFAULT/HIGHEST — so staged
-# transforms under "high" are slightly more accurate than fused ones.
+# caches trace the mode in).  Mosaic supports only DEFAULT/HIGHEST, so under
+# "high" the staged large-N path routes its stage A through the jnp engine
+# (kernels/large.py) — every size gets the same 3-pass compute cut.
 PRECISION = os.environ.get("GPU_FFT_TPU_PRECISION", "full").strip().lower()
 if PRECISION not in ("full", "high", "fast"):
     raise ValueError(

@@ -83,7 +83,32 @@ def _cmatmul(ar, ai, f):
 # ── Stage A: column DFT + twiddle (the large-N workhorse) ────────────────────
 
 
-def _stage_a_real_kernel(x_ref, f1r, f1i, twr_ref, twi_ref, yr_ref, yi_ref):
+def _tw_block(two_r, two_i, twi_r, twi_i):
+    """Reconstruct the (n1, ct) twiddle block from its outer/inner factors.
+
+    The full (n1, n2) twiddle W_n^(k1*c) factors exactly over c = j*ct + cc:
+    ``outer[k1, j] = W_n^(k1*j*ct)`` (one column per grid step j) times
+    ``inner[k1, cc] = W_n^(k1*cc)`` (constant across steps).  Both factor
+    tables are tiny VMEM residents (DMA'd once), so reconstructing in-kernel
+    replaces the materialized table's n-sized HBM read (8 MB at 2^20) with
+    ~n1*ct VPU flops — stage A drops from HBM-bound toward compute-bound.
+
+    The grid-step column is selected by mask+reduce over the (n1, n2/ct)
+    outer table: Mosaic cannot DMA a lane-width-1 block, and an arbitrary
+    in-kernel lane gather would hit the scalar core; ``iota == j`` times a
+    lane-axis sum is pure vector work over a <=256-lane table.
+    """
+    j = pl.program_id(1)
+    lane = lax.broadcasted_iota(jnp.int32, two_r.shape, 1)
+    m = (lane == j).astype(jnp.float32)
+    o_r = jnp.sum(two_r * m, axis=1, keepdims=True)  # (n1, 1)
+    o_i = jnp.sum(two_i * m, axis=1, keepdims=True)
+    return o_r * twi_r - o_i * twi_i, o_r * twi_i + o_i * twi_r
+
+
+def _stage_a_real_kernel(
+    x_ref, f1r, f1i, two_r, two_i, twi_r, twi_i, yr_ref, yi_ref
+):
     """Column DFT + twiddle for the staged large-N path (real input).
 
     Block: x (1, n1, ct) — ct columns of the (n1, n2) matrix view.  Computes
@@ -94,13 +119,14 @@ def _stage_a_real_kernel(x_ref, f1r, f1i, twr_ref, twi_ref, yr_ref, yi_ref):
     xb = x_ref[0]
     pr = _dot(f1r[...], xb)
     pi = _dot(f1i[...], xb)
-    yr, yi = _cmul(pr, pi, twr_ref[...], twi_ref[...])
+    twr, twi = _tw_block(two_r[...], two_i[...], twi_r[...], twi_i[...])
+    yr, yi = _cmul(pr, pi, twr, twi)
     yr_ref[0] = yr
     yi_ref[0] = yi
 
 
 def _stage_a_complex_kernel(
-    xr_ref, xi_ref, f1r, f1i, f1s, f1d, twr_ref, twi_ref, yr_ref, yi_ref
+    xr_ref, xi_ref, f1r, f1i, f1s, f1d, two_r, two_i, twi_r, twi_i, yr_ref, yi_ref
 ):
     xbr = xr_ref[0]
     xbi = xi_ref[0]
@@ -113,6 +139,40 @@ def _stage_a_complex_kernel(
     else:
         pr = _dot(fr, xbr) - _dot(fi, xbi)
         pi = _dot(fr, xbi) + _dot(fi, xbr)
+    twr, twi = _tw_block(two_r[...], two_i[...], twi_r[...], twi_i[...])
+    yr, yi = _cmul(pr, pi, twr, twi)
+    yr_ref[0] = yr
+    yi_ref[0] = yi
+
+
+# Legacy full-table variants (archived ablation harnesses build plan dicts
+# with a materialized (n1, n2) twiddle; production plans carry the factored
+# tables and take the kernels above).
+
+
+def _stage_a_real_kernel_full(x_ref, f1r, f1i, twr_ref, twi_ref, yr_ref, yi_ref):
+    xb = x_ref[0]
+    pr = _dot(f1r[...], xb)
+    pi = _dot(f1i[...], xb)
+    yr, yi = _cmul(pr, pi, twr_ref[...], twi_ref[...])
+    yr_ref[0] = yr
+    yi_ref[0] = yi
+
+
+def _stage_a_complex_kernel_full(
+    xr_ref, xi_ref, f1r, f1i, f1s, f1d, twr_ref, twi_ref, yr_ref, yi_ref
+):
+    xbr = xr_ref[0]
+    xbi = xi_ref[0]
+    fr, fi = f1r[...], f1i[...]
+    if KARATSUBA:
+        k1 = _dot(fr, xbr + xbi)
+        k2 = _dot(f1d[...], xbr)
+        k3 = _dot(f1s[...], xbi)
+        pr, pi = k1 - k3, k1 + k2
+    else:
+        pr = _dot(fr, xbr) - _dot(fi, xbi)
+        pi = _dot(fr, xbi) + _dot(fi, xbr)
     yr, yi = _cmul(pr, pi, twr_ref[...], twi_ref[...])
     yr_ref[0] = yr
     yi_ref[0] = yi
@@ -121,37 +181,59 @@ def _stage_a_complex_kernel(
 def stage_a(xr, xi, n1: int, n2: int, tables, col_tile: int):
     """Run the column-DFT+twiddle stage over a (B, n1, n2) view.
 
-    ``tables``: f1 group (n1 x n1, ext) + twiddle (n1, n2).  Returns
-    split-complex (B, n1, n2).
+    ``tables``: f1 group (n1 x n1, ext) + twiddle — either factored
+    (``two_r/two_i`` (n1, n2/ct) + ``twi_r/twi_i`` (n1, ct), the production
+    layout from ``plan.get_stage_a_plan``) or a materialized (n1, n2)
+    ``twr/twi`` pair (legacy).  Returns split-complex (B, n1, n2).
     """
     b = xr.shape[0]
+    factored = "two_r" in tables
+    if factored and col_tile != tables["ct"]:
+        raise ValueError(
+            f"col_tile {col_tile} does not match the plan's factored tile {tables['ct']}"
+        )
     grid = (b, n2 // col_tile)
     x_spec = _vmem_spec((1, n1, col_tile), lambda i, j: (i, 0, j))
     f_spec = lambda shape: pl.BlockSpec(shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
-    tw_spec = pl.BlockSpec((n1, col_tile), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+    if factored:
+        # Outer factor loads whole (it is <=(n1, 256) — one DMA, resident);
+        # the kernel masks out grid step j's column.
+        tw_specs = [
+            f_spec(tables["two_r"].shape),
+            f_spec(tables["two_i"].shape),
+            f_spec((n1, col_tile)),
+            f_spec((n1, col_tile)),
+        ]
+        tw_args = (tables["two_r"], tables["two_i"], tables["twi_r"], tables["twi_i"])
+    else:
+        tw_spec = pl.BlockSpec((n1, col_tile), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+        tw_specs = [tw_spec, tw_spec]
+        tw_args = (tables["twr"], tables["twi"])
     out_shape = [jax.ShapeDtypeStruct((b, n1, n2), jnp.float32)] * 2
     out_specs = [x_spec, x_spec]
     if xi is None:
+        kern = _stage_a_real_kernel if factored else _stage_a_real_kernel_full
         names = ("f1r", "f1i")
         return pl.pallas_call(
-            _stage_a_real_kernel,
+            kern,
             grid=grid,
-            in_specs=[x_spec] + [f_spec(tables[k].shape) for k in names] + [tw_spec] * 2,
+            in_specs=[x_spec] + [f_spec(tables[k].shape) for k in names] + tw_specs,
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=_interpret(),
-        )(xr, *(tables[k] for k in names), tables["twr"], tables["twi"])
+        )(xr, *(tables[k] for k in names), *tw_args)
+    kern = _stage_a_complex_kernel if factored else _stage_a_complex_kernel_full
     names = ("f1r", "f1i", "f1s", "f1d")
     return pl.pallas_call(
-        _stage_a_complex_kernel,
+        kern,
         grid=grid,
         in_specs=[x_spec, x_spec]
         + [f_spec(tables[k].shape) for k in names]
-        + [tw_spec] * 2,
+        + tw_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=_interpret(),
-    )(xr, xi, *(tables[k] for k in names), tables["twr"], tables["twi"])
+    )(xr, xi, *(tables[k] for k in names), *tw_args)
 
 
 # ── Shared spec helpers ──────────────────────────────────────────────────────

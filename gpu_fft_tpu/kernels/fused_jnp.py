@@ -182,9 +182,22 @@ def stage_a_jnp(x3r, x3i, plan: dict):
 
     ``x3*``: (B, n1, n2) views; x3i may be None.  The column DFT is an
     einsum contracting the n1 axis (a left matmul per batch element).
+    Accepts either the factored twiddle (the production plan layout — the
+    full table is reconstructed here as a jnp op, which XLA fuses into the
+    twiddle multiply) or a legacy materialized (n1, n2) pair.
     """
     f1r, f1i = plan["f1r"], plan["f1i"]
-    twr, twi = plan["twr"], plan["twi"]
+    if "two_r" in plan:
+        n1 = f1r.shape[0]
+        o_r = jnp.asarray(plan["two_r"])[:, :, None]  # (n1, n2/ct, 1)
+        o_i = jnp.asarray(plan["two_i"])[:, :, None]
+        i_r = jnp.asarray(plan["twi_r"])[:, None, :]  # (n1, 1, ct)
+        i_i = jnp.asarray(plan["twi_i"])[:, None, :]
+        n2 = plan["two_r"].shape[1] * plan["twi_r"].shape[1]
+        twr = (o_r * i_r - o_i * i_i).reshape(n1, n2)
+        twi = (o_r * i_i + o_i * i_r).reshape(n1, n2)
+    else:
+        twr, twi = plan["twr"], plan["twi"]
     pr = jnp.einsum("ka,bac->bkc", f1r, x3r, precision=_prec())
     pi = jnp.einsum("ka,bac->bkc", f1i, x3r, precision=_prec())
     if x3i is not None:

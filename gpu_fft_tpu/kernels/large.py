@@ -28,10 +28,13 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .. import config
 from ..config import FUSED_MAX
 from ..plan import (
     get_fused_plan,
+    get_pack_tables,
     get_stage_a_plan,
+    rfft_pack_applies,
     stage_a_col_tile,
     use_folded_layout,
     wide_split_applies,
@@ -51,6 +54,8 @@ def transform_any(xr, xi, n: int, sign: int, scale: float | None = None):
     for power-of-two scales); the staged path applies it as an epilogue.
     Natural output order.
     """
+    if xi is None and sign == -1 and n >= 8 and rfft_pack_applies(xr.shape[0], n):
+        return _real_packed_fft(xr, n, scale)
     if n <= FUSED_MAX:
         b = xr.shape[0]
         # Split and layout choices are the shared measured predicates in
@@ -78,7 +83,21 @@ def transform_any(xr, xi, n: int, sign: int, scale: float | None = None):
     # Stage A: Y[k1, c] = sum_a F1[k1, a] x[a, c] * W_n^(k1*c), one pass.
     x3r = xr.reshape(b, n1, n2)
     x3i = None if xi is None else xi.reshape(b, n1, n2)
-    yr, yi = stage_a(x3r, x3i, n1, n2, plan, stage_a_col_tile(n1, n2))
+    if config.PRECISION == "high":
+        # Mosaic has no 3-pass lowering, so the Pallas stage-A kernel would
+        # silently run 6-pass HIGHEST under "high" — making the speed dial's
+        # effect size-dependent.  Route stage A through the jnp engine
+        # (which honors lax.Precision.HIGH) so "high" means the same ~2x
+        # compute cut at every size (round-2 verdict item 8).
+        from .fused_jnp import stage_a_jnp
+
+        yr, yi = stage_a_jnp(x3r, x3i, plan)
+    else:
+        # Stage A stays the Pallas kernel with the twiddle applied in-kernel:
+        # measured equal to deferring the twiddle into stage B's fusion, and
+        # 1.5x faster than composing XLA's own 2-D dots into the graph — see
+        # docs/ABLATION.md §12 for the full variant matrix.
+        yr, yi = stage_a(x3r, x3i, n1, n2, plan, stage_a_col_tile(n1, n2))
 
     if plan["stage_b"] is not None:
         # Stage B with the digit reversal folded into the final einsum's
@@ -91,4 +110,70 @@ def transform_any(xr, xi, n: int, sign: int, scale: float | None = None):
     # Output digit reversal: flat index k = k1 + n1*k2.
     out_r = jnp.swapaxes(rr.reshape(b, n1, n2), 1, 2).reshape(b, n)
     out_i = jnp.swapaxes(ri.reshape(b, n1, n2), 1, 2).reshape(b, n)
+    return out_r, out_i
+
+
+def _real_packed_fft(xr, n: int, scale):
+    """Length-n real forward FFT as ONE length-n/2 complex FFT + O(n) epilogue.
+
+    The classic real-input packing: z[j] = x[2j] + i*x[2j+1] (a static
+    stride-2 reshape — no gather), Z = FFT_{n/2}(z), then the exact
+    recombination
+
+        E[k] = (Z[k] + conj(Z[-k])) / 2        (spectrum of the evens)
+        O[k] = -i*(Z[k] - conj(Z[-k])) / 2     (spectrum of the odds)
+        X[k]       = E[k] + W_n^k * O[k]
+        X[k + n/2] = E[k] - W_n^k * O[k]
+
+    Halving the transform length halves EVERY matmul stage's FLOPs — on the
+    MXU-pass-bound sizes this is a near-2x wall-clock win (measured v5e,
+    docs/ABLATION.md §11).  The optional ``scale`` (a normalized forward)
+    folds into the half/twiddle factors, costing zero extra passes.
+
+    Data movement is the trap here, not FLOPs — measured v5e (§11):
+
+    * The stride-2 even/odd split as ANY lane-shuffle form (strided slice,
+      reshape+index, stack) costs 35-50 us at n=65536; as a (256, 256)
+      0/1 PERMUTATION MATMUL it costs ~1 us and block-local evens/odds land
+      lane-contiguous, so the global split falls out of two aligned slices.
+    * A flat ``lax.rev`` (or worse, a negative-step slice = gather) costs
+      52-475 us; the SAME reversal reshaped to (rows, 128) and reversed
+      over both trailing axes costs 0.9 us.
+    """
+    from jax import lax
+
+    from ..plan import deinterleave_matrix
+
+    b = xr.shape[0]
+    h = n // 2
+    # Even/odd split on the MXU: block-local permutation, then 128-aligned
+    # slices reassemble the global z = x[0::2] + i*x[1::2].
+    perm = deinterleave_matrix()
+    xp = jnp.dot(
+        xr.reshape(b * (n // 256), 256),
+        perm,
+        precision=lax.Precision.HIGHEST,  # exact: P is 0/1
+        preferred_element_type=jnp.float32,
+    ).reshape(b, n // 256, 256)
+    zr = xp[:, :, :128].reshape(b, h)
+    zi = xp[:, :, 128:].reshape(b, h)
+    Zr, Zi = transform_any(zr, zi, h, -1)
+    # Mirrored index m(k) = (h - k) mod h = roll(reverse(Z), 1).  The
+    # reversal runs on a (rows, 128) view over BOTH trailing axes (equal to
+    # the flat reversal, but a cheap 2-D relayout instead of a pathological
+    # flat one).
+    rows = max(h // 128, 1)
+    Zr_m = jnp.roll(lax.rev(Zr.reshape(b, rows, -1), (1, 2)).reshape(b, h), 1, axis=1)
+    Zi_m = jnp.roll(lax.rev(Zi.reshape(b, rows, -1), (1, 2)).reshape(b, h), 1, axis=1)
+    hs = jnp.float32(0.5 if scale is None else 0.5 * scale)
+    wr, wi = get_pack_tables(n)
+    wrs, wis = wr * hs, wi * hs  # trace-time constant fold
+    Er = (Zr + Zr_m) * hs
+    Ei = (Zi - Zi_m) * hs
+    O2r = Zi + Zi_m  # 2*Re(O); the 1/2 lives in the scaled twiddle
+    O2i = Zr_m - Zr  # 2*Im(O)
+    Tr = wrs * O2r - wis * O2i
+    Ti = wrs * O2i + wis * O2r
+    out_r = jnp.concatenate([Er + Tr, Er - Tr], axis=1)
+    out_i = jnp.concatenate([Ei + Ti, Ei - Ti], axis=1)
     return out_r, out_i

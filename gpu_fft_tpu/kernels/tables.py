@@ -18,7 +18,16 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["dft_matrix", "dft_matrix_ext", "twiddle_table"]
+__all__ = ["dft_matrix", "dft_matrix_ext", "twiddle_table", "unit_roots"]
+
+
+def unit_roots(count: int, n: int, sign: int) -> tuple[np.ndarray, np.ndarray]:
+    """W_n^k = exp(sign * 2πi * k / n) for k = 0..count-1, split-complex f32.
+
+    The per-bin twiddle vector of the real-input packing recombination
+    (kernels/large.py:_real_packed_fft) and similar epilogues.
+    """
+    return _split_exp(np.arange(count, dtype=np.int64), n, sign)
 
 
 def _split_exp(num: np.ndarray, denom: int, sign: int) -> tuple[np.ndarray, np.ndarray]:

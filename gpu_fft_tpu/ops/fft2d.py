@@ -24,6 +24,7 @@ __all__ = [
     "fft2_device",
     "ifft2_device",
     "fftn_device",
+    "ifftn_device",
     "fftn",
     "ifftn",
     "rfft2",
@@ -168,6 +169,24 @@ def fftn_device(x, imag=None, axes=None, sign: int = -1):
     return xr, xi
 
 
+def ifftn_device(real, imag, axes=None):
+    """N-dimensional inverse FFT on device, normalized by the product of the
+    transformed axis lengths (``numpy.fft.ifftn`` semantics).
+
+    Device-side symmetry partner of :func:`fftn_device` (the host
+    :func:`ifftn` delegates here): split-complex f32 in and out, the 1/prod
+    scale applied on device.
+    """
+    import jax.numpy as jnp
+
+    xr = jnp.asarray(real, dtype=jnp.float32)
+    xi = jnp.asarray(imag, dtype=jnp.float32)
+    yr, yi = fftn_device(xr, xi, axes=axes, sign=+1)  # validates axes
+    ax = tuple(range(xr.ndim)) if axes is None else tuple(a % xr.ndim for a in axes)
+    s = np.float32(1.0 / np.prod([xr.shape[a] for a in ax]))
+    return yr * s, yi * s
+
+
 def fftn(x, axes=None):
     """Host-convenience N-D forward FFT (``numpy.fft.fftn`` semantics)."""
     yr, yi = fftn_device(np.asarray(x, dtype=np.float32), axes=axes)
@@ -177,12 +196,10 @@ def fftn(x, axes=None):
 def ifftn(real, imag, axes=None):
     """Host-convenience N-D inverse FFT, normalized by the product of the
     transformed axis lengths (``numpy.fft.ifftn`` semantics)."""
-    xr = np.asarray(real, dtype=np.float32)
-    xi = np.asarray(imag, dtype=np.float32)
-    yr, yi = fftn_device(xr, xi, axes=axes, sign=+1)  # validates axes
-    ax = tuple(range(xr.ndim)) if axes is None else tuple(a % xr.ndim for a in axes)
-    s = np.float32(1.0 / np.prod([xr.shape[a] for a in ax]))
-    return np.asarray(yr) * s, np.asarray(yi) * s
+    yr, yi = ifftn_device(
+        np.asarray(real, dtype=np.float32), np.asarray(imag, dtype=np.float32), axes
+    )
+    return np.asarray(yr), np.asarray(yi)
 
 
 def fft2(x):

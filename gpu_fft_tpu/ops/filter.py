@@ -54,10 +54,12 @@ def _best_block_fft_size(lh: int) -> int:
     tap count tried (v5e, 262,144-sample signal: 47/41/43/49 µs for
     33/257/1,025/4,097 taps, vs 50–63 µs for 8,192 and 32,768 blocks;
     the old cost model picked 2,048 → 53 µs).  Grown only to keep the
-    length-(lh−1) tail inside one hop (m ≥ 2·next_pow2(lh))."""
+    length-(lh−1) tail inside one hop (m ≥ 2·next_pow2(lh)).  The floor is
+    the per-chip table's ``oa_block_min`` (tuning.py)."""
+    from ..tuning import get_tuning
     from .transform import next_power_of_two
 
-    return max(16384, 2 * next_power_of_two(max(lh, 1)))
+    return max(get_tuning().oa_block_min, 2 * next_power_of_two(max(lh, 1)))
 
 
 def oaconvolve_device(x, h, block: int | None = None):

@@ -21,6 +21,7 @@ import numpy as np
 
 from .config import DIRECT_MAX, FUSED_MAX, MAX_N
 from .kernels.tables import dft_matrix_ext, twiddle_table
+from .tuning import get_tuning
 
 __all__ = ["FusedPlan", "get_fused_plan", "balanced_split", "describe_plan"]
 
@@ -28,18 +29,62 @@ __all__ = ["FusedPlan", "get_fused_plan", "balanced_split", "describe_plan"]
 # ── Shared dispatch predicates ───────────────────────────────────────────────
 # Single source of truth for the measured per-(B, n) selection; used by BOTH
 # the real dispatch (kernels/large.py) and describe_plan, so the
-# introspection can never drift from reality.  Evidence: docs/ABLATION.md.
+# introspection can never drift from reality.  The constants live in the
+# per-chip tuning table (tuning.py, round-2 verdict item 5); evidence for
+# the v5e row: docs/ABLATION.md.
 
 
 def wide_split_applies(b: int, n: int) -> bool:
     """Wide batches use the full-lane n2 = 128 split (measured §7 addendum)."""
-    return b >= 16 and 256 <= n <= 16384
+    t = get_tuning()
+    return b >= t.wide_batch_min and t.wide_n_min <= n <= t.wide_n_max
 
 
 def use_folded_layout(b: int, n: int) -> bool:
     """Folded layout (digit reversal in the final einsum's output
     permutation) wins except at single/double-signal big n (§7)."""
-    return n <= 16384 or b >= 2
+    t = get_tuning()
+    return n <= t.folded_n_max or b >= t.folded_batch_min
+
+
+def rfft_pack_applies(b: int, n: int) -> bool:
+    """Real-input packing: compute the length-n real forward transform as
+    ONE length-n/2 complex transform plus an O(n) recombination.
+
+    Halves every matmul stage's FLOPs — the decisive lever wherever the
+    transform is MXU-pass-bound (measured v5e, docs/ABLATION.md §11); below
+    the threshold the recombination's extra elementwise passes dominate.
+    """
+    return n >= get_tuning().rfft_pack_min
+
+
+@functools.lru_cache(maxsize=None)
+def get_pack_tables(n: int) -> tuple:
+    """Recombination tables for the real-input packed forward transform.
+
+    ``(wr, wi)``: W_n^k for k < n/2 (f64-generated f32), consumed by
+    ``kernels/large.py:_real_packed_fft``.
+    """
+    from .kernels.tables import unit_roots
+
+    return unit_roots(n // 2, n, -1)
+
+
+@functools.lru_cache(maxsize=None)
+def deinterleave_matrix() -> np.ndarray:
+    """(256, 256) 0/1 permutation: block-local even/odd separation.
+
+    Right-multiplying a (rows, 256) view sends each row's even elements to
+    columns 0..127 and odds to 128..255 — the MXU does in ~1 us what every
+    lane-shuffle formulation of a stride-2 deinterleave costs 35-50 us
+    (measured v5e, docs/ABLATION.md §11): arbitrary lane relayouts are
+    pathological, permutation matmuls are native.
+    """
+    p = np.zeros((256, 256), dtype=np.float32)
+    for src in range(256):
+        dst = src // 2 + (128 if src % 2 else 0)
+        p[src, dst] = 1.0
+    return p
 
 
 def fused_split(n: int, b: int) -> tuple[int, int]:
@@ -135,6 +180,8 @@ def get_fused_plan(n: int, sign: int, wide: bool = False, scale: float | None = 
 # F1 table set at ~256 KiB of VMEM.  Measured on v5e: 2^17 21->9.4 us,
 # 2^20 117->97 us vs the round-1 n/16384 rule; larger digits (256/512) lose
 # at every size.  Only grows above 128 when needed to keep n2 <= FUSED_MAX.
+# The live value is the per-chip table's (tuning.py); this module-level
+# constant remains as the documented v5e measurement.
 STAGE_A_N1 = 128
 
 def describe_plan(n: int, batch: int = 1, real_input: bool = True) -> dict:
@@ -206,7 +253,7 @@ def stage_a_col_tile(n1: int, n2: int) -> int:
 
 
 def _stage_a_n1(n: int) -> int:
-    n1 = min(STAGE_A_N1, n // 2)
+    n1 = min(get_tuning().stage_a_n1, n // 2)
     # Keep n2 a fused size (n1 grows past 128 only above n = 2^23).
     while n // n1 > FUSED_MAX:
         n1 *= 2
@@ -218,11 +265,16 @@ def get_stage_a_plan(n: int, sign: int) -> dict[str, Any]:
     """Tables for the staged large-N path (see kernels/large.py).
 
     ``f1``: the n1 x n1 column-DFT matrix (+ Karatsuba sum/diff variants);
-    ``tw``: the full (n1, n2) twiddle W_n^(k1 * col), block-fetched by the
-    kernel so only one column tile is VMEM-resident at a time.  ``stage_b``
-    carries the row-transform tables for the einsum stage B with the folded
-    digit reversal (m1/m2 ext DFT matrices and the n2-twiddle, oriented
-    (m2, m1) = [a2, j1]).
+    the stage-A twiddle W_n^(k1 * col) is stored FACTORED over the kernel's
+    column tile ct: ``two`` (n1, n2/ct) with two[k1, j] = W_n^(k1*j*ct) and
+    ``twi`` (n1, ct) with twi[k1, cc] = W_n^(k1*cc) — the kernel
+    reconstructs each (n1, ct) block with one complex multiply, replacing
+    the materialized table's n-sized HBM read (8 MB at 2^20, 134 MB at
+    2^24) with a per-step (n1, 1) DMA.  Both factors are f64-generated
+    unit-modulus entries, so the reconstructed twiddle is within 2 ulp of
+    the direct table.  ``stage_b`` carries the row-transform tables for the
+    einsum stage B with the folded digit reversal (m1/m2 ext DFT matrices
+    and the n2-twiddle, oriented (m2, m1) = [a2, j1]).
     """
     if n <= FUSED_MAX:
         raise ValueError(f"n={n} fits a fused plan; the staged path is not needed")
@@ -231,12 +283,18 @@ def get_stage_a_plan(n: int, sign: int) -> dict[str, Any]:
     n1 = _stage_a_n1(n)
     n2 = n // n1
     f1r, f1i, f1s, f1d = dft_matrix_ext(n1, sign)
-    twr, twi = twiddle_table(n1, n2, n, sign)
+    ct = stage_a_col_tile(n1, n2)
+    # outer[k1, j] = W_n^(k1 * j * ct) = W_(n/ct)^(k1 * j): exact integer
+    # angle reduction at the smaller denominator.
+    two_r, two_i = twiddle_table(n1, n2 // ct, n // ct, sign)
+    twi_r, twi_i = twiddle_table(n1, ct, n, sign)
     plan: dict[str, Any] = {
         "n1": n1,
         "n2": n2,
+        "ct": ct,
         "f1r": f1r, "f1i": f1i, "f1s": f1s, "f1d": f1d,
-        "twr": twr, "twi": twi,
+        "two_r": two_r, "two_i": two_i,
+        "twi_r": twi_r, "twi_i": twi_i,
         "stage_b": None,
     }
     if stage_b_plannable(n2):

@@ -1,0 +1,135 @@
+"""Per-chip dispatch constants (the measured tuning table).
+
+Round 2 hard-coded every dispatch predicate — the wide-split and
+folded-layout rules, the stage-A digit, the overlap-add block size — as v5e
+measurements baked into code (``plan.py``, ``ops/filter.py``).  This module
+makes the hardware dependence explicit: one :class:`ChipTuning` entry per
+chip generation, keyed by ``utils.roofline.detect_chip()``, with a
+``calibrated`` flag that says whether the entry is a hardware measurement or
+a model-derived transfer.  ``scripts/calibrate_chip.py`` re-runs the
+ablation harnesses on new hardware and prints a fresh entry to paste here.
+
+The reference's analog is its compile-time tuning constants
+(``WORKGROUP_SIZE``/``TILE_SIZE``/``TILE_BITS``, reference
+``src/lib.rs:100-111``) — fixed for one GPU class; here the table carries
+one row per TPU generation.
+
+Why the v5p/v6e/v4 rows currently EQUAL the v5e row: every predicate in the
+table is driven by MXU/VPU *geometry* — the 128-lane register width, the
+128x128 systolic array, the ~16 MiB/core VMEM — which is identical across
+v4/v5e/v5p/v6e; what differs per chip is the HBM/FLOP ratio
+(``roofline.CHIPS``), which moves the compute-vs-bandwidth *crossover*
+sizes, not the lane-geometry optima.  The block-size rule is the one entry
+the model says could shift (faster HBM lowers the latency-bound region), so
+treat uncalibrated rows as provisional: run the calibration script on real
+hardware before trusting benchmarks there.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from dataclasses import dataclass, replace
+
+__all__ = ["ChipTuning", "TUNING", "get_tuning"]
+
+
+@dataclass(frozen=True)
+class ChipTuning:
+    """Measured dispatch constants for one chip generation.
+
+    Every field cites the ablation that set it (docs/ABLATION.md):
+      * ``wide_batch_min`` / ``wide_n_min`` / ``wide_n_max`` — the fused
+        four-step switches to the full-lane n2=128 split when
+        b >= wide_batch_min and wide_n_min <= n <= wide_n_max (§7 addendum).
+      * ``folded_n_max`` / ``folded_batch_min`` — the folded (zero-transpose)
+        layout wins when n <= folded_n_max or b >= folded_batch_min (§7).
+      * ``stage_a_n1`` — the staged large-N column digit (§3: 128 = MXU
+        width wins at every measured N on v5e).
+      * ``oa_block_min`` — smallest overlap-add block transform length
+        (§9: blocks below this are launch-latency-bound).
+      * ``rfft_pack_min`` — smallest n where a real-input forward transform
+        runs as one n/2 complex transform plus an O(n) recombination (§11:
+        wins wherever the transform is MXU-pass-bound; below this the
+        recombination's extra elementwise passes cost more than the halved
+        matmuls save).
+    """
+
+    name: str
+    wide_batch_min: int
+    wide_n_min: int
+    wide_n_max: int
+    folded_n_max: int
+    folded_batch_min: int
+    stage_a_n1: int
+    oa_block_min: int
+    rfft_pack_min: int
+    calibrated: bool  # True = measured on this chip; False = transferred
+    note: str
+
+
+_V5E = ChipTuning(
+    name="v5e",
+    wide_batch_min=16,
+    wide_n_min=256,
+    wide_n_max=16384,
+    folded_n_max=16384,
+    folded_batch_min=2,
+    stage_a_n1=128,
+    oa_block_min=16384,
+    # Real-input packing measured SLOWER at every (B, n) on v5e — the
+    # permutation-matmul deinterleave + recombination overhead and the
+    # half-size plan's worse contraction classes eat the 2x FLOP cut
+    # (docs/ABLATION.md §11 addendum).  The path stays implemented and
+    # tested; the gate is effectively off.
+    rfft_pack_min=1 << 62,
+    calibrated=True,
+    note="measured on v5e 2026-08 (docs/ABLATION.md §3, §7, §9, §10, §11)",
+)
+
+TUNING = {
+    "v5e": _V5E,
+    # Geometry-identical transfers (same 128-lane VPU / 128x128 MXU /
+    # ~16 MiB VMEM); re-run scripts/calibrate_chip.py on hardware to promote
+    # calibrated=True.  The faster HBM on v5p/v6e can only LOWER the
+    # latency-bound oa_block_min / wide-split crossovers, so these values
+    # are conservative there.
+    "v5p": replace(_V5E, name="v5p", calibrated=False,
+                   note="transferred from v5e (same MXU/VPU geometry); uncalibrated"),
+    "v6e": replace(_V5E, name="v6e", calibrated=False,
+                   note="transferred from v5e (same MXU/VPU geometry); uncalibrated"),
+    "v4": replace(_V5E, name="v4", calibrated=False,
+                  note="transferred from v5e (same MXU/VPU geometry); uncalibrated"),
+    # The CPU test mesh mirrors the v5e entry so CPU tests exercise the
+    # same dispatch decisions the TPU takes.
+    "cpu-approx": replace(_V5E, name="cpu-approx", calibrated=False,
+                          note="CPU test mesh: mirrors v5e so tests cover the TPU dispatch"),
+}
+
+
+@functools.lru_cache(maxsize=1)
+def _detected_tuning() -> ChipTuning:
+    from .utils.roofline import detect_chip
+
+    try:
+        name = detect_chip().name
+    except Exception:  # jax not initialized / no devices: geometry defaults
+        name = "cpu-approx"
+    return TUNING.get(name, TUNING["cpu-approx"])
+
+
+def get_tuning() -> ChipTuning:
+    """The tuning entry for the detected chip (env-overridable).
+
+    ``GPU_FFT_TPU_CHIP`` forces a row (useful for cross-chip what-if runs
+    and for tests asserting the table is consulted).
+    """
+    forced = os.environ.get("GPU_FFT_TPU_CHIP")
+    if forced:
+        key = forced.strip().lower()
+        if key not in TUNING:
+            raise ValueError(
+                f"GPU_FFT_TPU_CHIP={forced!r} unknown; have {sorted(TUNING)}"
+            )
+        return TUNING[key]
+    return _detected_tuning()

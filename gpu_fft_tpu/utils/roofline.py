@@ -1,23 +1,33 @@
-"""Roofline accounting: FLOPs, bytes, and speed-of-light for each config.
+"""Roofline accounting: calibrated FLOPs, bytes, and speed-of-light per config.
 
-The repo's north star (BASELINE.json) is stated as a fraction of the HBM
-roofline, so the bench artifacts must *compute* that fraction, not assert it.
-For a transform config this module counts:
+The repo's north star (BASELINE.json) is stated as a fraction of roofline, so
+the bench artifacts must *compute* that fraction honestly.  Round 2's model
+assumed a nominal 6 bf16 MXU passes for every f32 matmul and promptly read
+115% of speed-of-light on one config — an instrument that overshoots 100%
+cannot certify the >=80% target (round-2 verdict item 2).  Round 3 replaces
+the nominal model with MEASURED components (scripts/calibrate_matmul.py,
+v5e 2026-08):
 
-* ``flops`` — useful FLOPs of the matmul-FFT algorithm as planned (mirrors
-  the factorization in ``kernels/large.py:transform_any`` / ``plan.py``).
-  These are *algorithm* FLOPs; each f32 MXU matmul additionally runs as
-  multiple bf16 passes (``precision_passes``: 6 under ``Precision.HIGHEST``,
-  3 under the error-corrected 3-pass form, 1 raw bf16), which is what the
-  MXU actually executes.
-* ``bytes`` — the speed-of-light HBM traffic: input + output arrays once.
-  Intermediates that XLA materializes between fusions are *not* counted, so
-  the derived time is a true lower bound.
-* ``sol_us`` — max(byte-bound, compute-bound) time on the detected chip;
-  ``pct_sol = sol_us / measured_us`` says how close a measurement is to the
-  hardware ceiling, and ``bound`` names which wall it is.
+* ``EFF_PASSES`` — effective bf16 passes per f32 matmul, by contraction
+  class K, from bare chained ``z @ W`` dots at HIGHEST.  K >= 128 runs at
+  ~6.0-6.3 passes (the nominal 6 + epilogue); K = 64 at ~11, K = 32 at ~28:
+  contractions shallower than the 128-deep systolic array idle most of it.
+  The bare dot IS speed-of-light for a matmul-factored FFT — nothing on the
+  chip runs the plan's dot products faster than a lone dot.
+* ``onchip_gbps`` / ``onchip_mb`` — measured streaming bandwidth for
+  working sets that stay on chip (~4.7 TB/s up to ~32 MB on v5e) vs the
+  HBM stream rate beyond (~610-630 GB/s measured at 128 MB, below the
+  819 GB/s spec).  Configs whose tensors fit on chip are NOT HBM-bound.
+* ``vpu_tflops`` — approximate elementwise throughput, charging the
+  twiddle/recombination epilogues that the MXU model ignores.
 
-Chip peak numbers are from published TPU specs (HBM GB/s, bf16 TFLOP/s).
+``sol = max(t_bytes, t_mxu, t_vpu)`` with per-stage contraction classes
+mirrored from the live plan (``plan.py`` / ``kernels/large.py``), so
+``pct_sol = sol / measured`` reads how close a measurement is to what bare
+dots + bare streams of the SAME plan could do; ``bound`` names the wall.
+
+Measurement error bars: the calibration rows carry <=6% IQR (re-measured
+rows <=2%); quote pct_sol as +-6% relative.
 """
 
 from __future__ import annotations
@@ -26,25 +36,58 @@ from dataclasses import dataclass
 
 from ..config import DIRECT_MAX, FUSED_MAX
 
-__all__ = ["ChipSpec", "detect_chip", "transform_cost", "roofline_row", "CHIPS"]
+__all__ = [
+    "ChipSpec",
+    "detect_chip",
+    "transform_cost",
+    "roofline_row",
+    "CHIPS",
+    "EFF_PASSES",
+    "eff_passes",
+]
 
 
 @dataclass(frozen=True)
 class ChipSpec:
     name: str
-    hbm_gbps: float  # HBM bandwidth, GB/s
-    bf16_tflops: float  # MXU peak, bf16 TFLOP/s
+    hbm_gbps: float  # HBM stream bandwidth, GB/s (measured where calibrated)
+    bf16_tflops: float  # MXU peak, bf16 TFLOP/s (published spec)
+    vpu_tflops: float  # elementwise f32 throughput, TFLOP/s (approximate)
+    onchip_gbps: float | None  # measured on-chip stream bw (None = uncalibrated)
+    onchip_mb: float  # working-set size that stays on chip
 
 
 CHIPS = {
-    "v5e": ChipSpec("v5e", 819.0, 197.0),
-    "v5p": ChipSpec("v5p", 2765.0, 459.0),
-    "v4": ChipSpec("v4", 1228.0, 275.0),
-    "v6e": ChipSpec("v6e", 1640.0, 918.0),
+    # v5e: hbm/onchip/vpu measured in this repo (scripts/calibrate_matmul.py
+    # + the bandwidth probes, 2026-08); bf16 peak is the published spec.
+    "v5e": ChipSpec("v5e", 620.0, 197.0, 4.0, 4700.0, 32.0),
+    # Other generations: published specs; on-chip numbers transferred from
+    # v5e by HBM ratio (UNCALIBRATED — re-run scripts/calibrate_matmul.py
+    # on hardware).
+    "v5p": ChipSpec("v5p", 2765.0, 459.0, 7.0, 4700.0 * 2765.0 / 819.0, 32.0),
+    "v4": ChipSpec("v4", 1228.0, 275.0, 4.0, 4700.0 * 1228.0 / 819.0, 32.0),
+    "v6e": ChipSpec("v6e", 1640.0, 918.0, 8.0, 4700.0 * 1640.0 / 819.0, 32.0),
     # CPU fallback so the accounting stays defined on the test mesh; the
     # numbers are order-of-magnitude only and flagged by the name.
-    "cpu-approx": ChipSpec("cpu-approx", 50.0, 1.0),
+    "cpu-approx": ChipSpec("cpu-approx", 50.0, 1.0, 0.1, None, 0.0),
 }
+
+
+# Effective bf16 MXU passes per f32 HIGHEST matmul, by contraction class —
+# measured on v5e (scripts/calibrate_matmul.py, chained bare dots, 2026-08).
+# The K-dependence is 128x128 systolic-array geometry, identical across
+# v4/v5e/v5p/v6e, so the v5e row transfers; re-calibrate to promote.
+EFF_PASSES = {
+    "v5e": {32: 28.3, 64: 11.2, 128: 6.31, 256: 6.04, 512: 6.12},
+}
+_EFF_DEFAULT = EFF_PASSES["v5e"]
+
+
+def eff_passes(chip_name: str, k: int) -> float:
+    """Measured effective passes for a contraction of size k (nearest class)."""
+    table = EFF_PASSES.get(chip_name, _EFF_DEFAULT)
+    key = min(table, key=lambda c: abs(c - k) / c)
+    return table[key]
 
 
 def detect_chip() -> ChipSpec:
@@ -76,45 +119,85 @@ def _stage_a_n1(n: int) -> int:
     return f(n)
 
 
-def transform_flops(b: int, n: int, real_input: bool) -> float:
-    """Algorithm FLOPs of one planned transform over a (b, n) batch.
+def _pack_applies(b: int, n: int) -> bool:
+    from ..plan import rfft_pack_applies
 
-    A real matmul (m, k) @ (k, j) counts 2*m*k*j; the Karatsuba complex
-    matmul is 3 real matmuls plus 5 elementwise passes; a complex elementwise
-    multiply is 6 FLOPs/element.  Mirrors ``kernels/large.py:transform_any``.
+    return rfft_pack_applies(b, n)
+
+
+def transform_stages(b: int, n: int, real_input: bool):
+    """Per-matmul-stage (flops, contraction) list + elementwise flops.
+
+    Mirrors the live dispatch (``kernels/large.py:transform_any``): the
+    real-input packing gate, direct/fourstep/staged planning, and the
+    Karatsuba 3-dot complex matmuls.  A real matmul (m, k) @ (k, j) counts
+    2*m*k*j; a complex elementwise multiply 6 flops/element.
     """
+    if real_input and n >= 8 and _pack_applies(b, n):
+        stages, elem = transform_stages(b, n // 2, real_input=False)
+        # Packed recombination: mirror/E/O/T/X epilogue, ~8 flops per
+        # original element (14-16 VPU ops per half element).
+        return stages, elem + 8.0 * b * n
     if n <= DIRECT_MAX:
-        # Direct: x @ F_n. Real input: 2 matmuls; complex: Karatsuba 3.
-        m = 2 if real_input else 3
-        return m * 2.0 * b * n * n + (0 if real_input else 7.0 * b * n)
+        if real_input:
+            return [(2 * 2.0 * b * n * n, n)], 0.0
+        return [(3 * 2.0 * b * n * n, n)], 7.0 * b * n
     if n <= FUSED_MAX:
         n1, n2 = _fused_split(n, b)
-        # Stage 1 column DFT: rows = b*n2, contraction n1, width n1.
-        s1 = (2 if real_input else 3) * 2.0 * b * n * n1
-        tw = 6.0 * b * n
-        # Stage 2 row DFT: complex Karatsuba over b*n1 rows of length n2.
-        s2 = 3 * 2.0 * b * n * n2
-        return s1 + tw + s2
+        stages = []
+        if real_input:
+            stages.append((2 * 2.0 * b * n * n1, n1))
+            elem = 6.0 * b * n
+        else:
+            stages.append((3 * 2.0 * b * n * n1, n1))
+            elem = 6.0 * b * n + 5.0 * b * n
+        stages.append((3 * 2.0 * b * n * n2, n2))
+        elem += 5.0 * b * n
+        return stages, elem
     n1 = _stage_a_n1(n)
     n2 = n // n1
-    sa = (2 if real_input else 3) * 2.0 * b * n * n1 + 6.0 * b * n
-    return sa + transform_flops(b * n1, n2, real_input=False)
+    if real_input:
+        stages = [(2 * 2.0 * b * n * n1, n1)]
+        elem = 6.0 * b * n
+    else:
+        stages = [(3 * 2.0 * b * n * n1, n1)]
+        elem = 6.0 * b * n + 5.0 * b * n
+    s2, e2 = transform_stages(b * n1, n2, real_input=False)
+    return stages + s2, elem + e2
+
+
+def transform_flops(b: int, n: int, real_input: bool) -> float:
+    """Total algorithm FLOPs (matmul + elementwise) of one planned transform."""
+    stages, elem = transform_stages(b, n, real_input)
+    return sum(f for f, _ in stages) + elem
 
 
 def transform_cost(b: int, n: int, kind: str = "fft") -> dict:
-    """FLOPs + speed-of-light bytes for one benchmark config.
+    """FLOPs + speed-of-light bytes + per-stage classes for one config.
 
     ``kind``: fft (real in, split-complex out), ifft (complex in/out),
-    roundtrip (fft + ifft), fft_sequential (same work as fft).
+    roundtrip (fft + ifft), fft_sequential (same work as fft), plus the
+    analysis-op kinds (see the table below).
     """
     f32 = 4
+
+    def parts(*specs):
+        stages: list = []
+        elem = 0.0
+        for bb, nn, real in specs:
+            s, e = transform_stages(bb, nn, real)
+            stages += s
+            elem += e
+        return stages, elem
+
     if kind in ("fft", "fft_batch", "fft_sequential", "fft_batchsize", "welch"):
-        # welch: (b, n) = (segments, nperseg); the gather/window/mean epilogue
-        # is O(bn) and excluded, so the SoL stays a true lower bound.
-        flops = transform_flops(b, n, real_input=True)
+        # welch: (b, n) = (segments, nperseg); the window/mean epilogue is
+        # O(bn) and excluded, so the SoL stays a true lower bound.
+        stages, elem = parts((b, n, True))
         bytes_ = b * n * f32 * (1 + 2)  # read x, write (re, im)
     elif kind in ("ifft", "ifft_batch", "ifft_sequential"):
-        flops = transform_flops(b, n, real_input=False) + 2.0 * b * n  # 1/N scale
+        stages, elem = parts((b, n, False))
+        elem += 2.0 * b * n  # 1/N scale
         bytes_ = b * n * f32 * (2 + 2)
     elif kind in (
         "roundtrip",
@@ -128,20 +211,14 @@ def transform_cost(b: int, n: int, kind: str = "fft") -> dict:
         "hilbert",
         "resample",
     ):
-        flops = (
-            transform_flops(b, n, real_input=True)
-            + transform_flops(b, n, real_input=False)
-            + 2.0 * b * n
-        )
+        stages, elem = parts((b, n, True), (b, n, False))
+        elem += 2.0 * b * n
         bytes_ = b * n * f32 * (1 + 2)  # x in, (re,im) of the roundtrip out
     elif kind in ("oaconvolve", "fftfilt"):
         # Overlap-add FIR: (b, n) = (blocks, block transform length m).
         # Forward real blocks + spectrum product + inverse complex + 1/m.
-        flops = (
-            transform_flops(b, n, real_input=True)
-            + transform_flops(b, n, real_input=False)
-            + 8.0 * b * n
-        )
+        stages, elem = parts((b, n, True), (b, n, False))
+        elem += 8.0 * b * n
         bytes_ = b * n * f32 * (1 + 1)  # real blocks in, real blocks out
     elif kind == "conv2d":
         # 2-D FFT convolution of ONE image via the one-sided (rfft2) path:
@@ -150,18 +227,14 @@ def transform_cost(b: int, n: int, kind: str = "fft") -> dict:
         # full complex rows (Hermitian reconstruction); kernel spectrum
         # amortized.
         hw = n // 2 + 1
-        flops = (
-            transform_flops(b, n, real_input=True)
-            + 2 * transform_flops(hw, b, real_input=False)
-            + transform_flops(b, n, real_input=False)
-            + 8.0 * b * hw
+        stages, elem = parts(
+            (b, n, True), (hw, b, False), (hw, b, False), (b, n, False)
         )
+        elem += 8.0 * b * hw
         bytes_ = b * n * f32 * (1 + 1)
     elif kind == "fft2":
         # b here means H (rows) and n means W: row pass + column pass.
-        flops = transform_flops(b, n, real_input=True) + transform_flops(
-            n, b, real_input=False
-        )
+        stages, elem = parts((b, n, True), (n, b, False))
         bytes_ = b * n * f32 * (1 + 2)
     elif kind == "fft_exact":
         # Bluestein: two complex pow2 transforms of length m plus chirp
@@ -169,11 +242,17 @@ def transform_cost(b: int, n: int, kind: str = "fft") -> dict:
         m = 1
         while m < 2 * n - 1:
             m *= 2
-        flops = 2 * transform_flops(b, m, real_input=False) + 3 * 6.0 * b * n
+        stages, elem = parts((b, m, False), (b, m, False))
+        elem += 3 * 6.0 * b * n
         bytes_ = b * n * f32 * (1 + 2)
     else:
         raise ValueError(f"unknown config kind {kind!r}")
-    return {"flops": flops, "bytes": bytes_}
+    return {
+        "flops": sum(f for f, _ in stages) + elem,
+        "bytes": bytes_,
+        "stages": stages,
+        "elem_flops": elem,
+    }
 
 
 def roofline_row(
@@ -182,30 +261,41 @@ def roofline_row(
     kind: str,
     measured_s: float,
     chip: ChipSpec | None = None,
-    precision_passes: int = 6,
+    precision_passes: int | None = None,
 ) -> dict:
-    """%-of-speed-of-light accounting for a measured config.
+    """Calibrated %-of-speed-of-light accounting for a measured config.
 
-    ``precision_passes`` is how many bf16 MXU passes realize each f32
-    matmul FLOP (6 = Precision.HIGHEST, 3 = error-corrected bf16x3).
+    ``t_mxu`` charges each matmul stage its MEASURED effective pass count
+    for its contraction class (EFF_PASSES); ``t_bytes`` uses the measured
+    on-chip stream rate when the config's tensors fit on chip, the measured
+    HBM rate otherwise; ``t_vpu`` charges elementwise epilogues.  ``sol``
+    is the max of the three — a lower bound achievable by bare dots and
+    bare streams of the same plan, so pct_sol <= 100 within the
+    calibration's ~6% error bars.
 
-    The model is deliberately simple and conservative: pct_sol slightly
-    above 100% has been observed (e.g. 110% at B=16 N=65,536), meaning
-    XLA's HIGHEST lowering needs fewer effective MXU passes than the
-    nominal 6 for some shapes; treat pct_sol as a lower bound on how close
-    to the hardware ceiling a config runs, not an exact utilization.
+    ``precision_passes`` optionally scales the MXU model for reduced
+    precision modes (3 = bf16x3 "high", 1 = raw bf16); None = the
+    calibrated HIGHEST model.
     """
     chip = chip or detect_chip()
     cost = transform_cost(b, n, kind)
-    t_bytes = cost["bytes"] / (chip.hbm_gbps * 1e9)
-    t_flops = cost["flops"] * precision_passes / (chip.bf16_tflops * 1e12)
-    sol = max(t_bytes, t_flops)
+    fits = chip.onchip_gbps is not None and cost["bytes"] <= chip.onchip_mb * 1e6
+    bw = chip.onchip_gbps if fits else chip.hbm_gbps
+    t_bytes = cost["bytes"] / (bw * 1e9)
+    scale = 1.0 if precision_passes is None else precision_passes / 6.0
+    t_mxu = sum(
+        f * eff_passes(chip.name, k) * scale for f, k in cost["stages"]
+    ) / (chip.bf16_tflops * 1e12)
+    t_vpu = cost["elem_flops"] / (chip.vpu_tflops * 1e12)
+    sol = max(t_bytes, t_mxu, t_vpu)
+    bound = {t_bytes: "onchip" if fits else "hbm", t_mxu: "mxu", t_vpu: "vpu"}[sol]
     return {
         "flops": cost["flops"],
         "bytes": cost["bytes"],
         "sol_us": sol * 1e6,
         "pct_sol": 100.0 * sol / measured_s if measured_s > 0 else 0.0,
-        "bound": "hbm" if t_bytes >= t_flops else "mxu",
+        "bound": bound,
         "chip": chip.name,
-        "precision_passes": precision_passes,
+        "model": "calibrated-v5e" if chip.name in EFF_PASSES else "transferred-v5e",
+        "pct_sol_rel_err": 0.06,
     }

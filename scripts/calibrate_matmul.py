@@ -1,0 +1,89 @@
+"""Calibrate the roofline's MXU model against bare matmuls on this chip.
+
+Round 2's roofline assumed every f32 matmul costs a nominal 6 bf16 MXU
+passes under ``Precision.HIGHEST`` — and promptly read 115% of
+speed-of-light on one config, i.e. XLA's lowering beats the nominal pass
+count for some shapes.  An instrument that overshoots 100% cannot certify
+the >=80% north star (round-2 verdict item 2), so this script MEASURES the
+effective pass count per contraction class:
+
+    eff_passes(K) = measured_time(bare z @ W chain) * bf16_peak / (2*M*K*N)
+
+for K in the contraction sizes the transform plans actually use (32..512),
+with M*K = 2^20 elements per operand (the headline working-set scale).  The
+bare matmul IS the speed-of-light reference for a matmul-factored FFT: no
+algorithm on this chip can run its dot products faster than a lone dot.
+
+Output: a ready-to-paste ``EFF_PASSES`` entry for utils/roofline.py plus
+per-class dispersion (the instrument's error bars, quoted in the bench
+report).  Run on real hardware:  python scripts/calibrate_matmul.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import numpy as np
+
+CONTRACTIONS = (32, 64, 128, 256, 512)
+ELEMENTS = 1 << 20  # M*K per operand: the headline working-set scale
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from gpu_fft_tpu.config import enable_compilation_cache
+    from gpu_fft_tpu.utils.profiling import chained_step_stats
+    from gpu_fft_tpu.utils.roofline import detect_chip
+
+    enable_compilation_cache()
+    chip = detect_chip()
+    peak = chip.bf16_tflops * 1e12
+    print(f"[calibrate] chip={chip.name} bf16 peak {chip.bf16_tflops} TFLOP/s",
+          file=sys.stderr, flush=True)
+
+    rng = np.random.default_rng(11)
+    out: dict = {}
+    for k in CONTRACTIONS:
+        m = ELEMENTS // k
+        # Chain several dots per loop step so MXU time dwarfs the memory
+        # system (a single small-K dot over an on-chip-resident operand
+        # measures the ~5 TB/s on-chip path, not the MXU).  d scales down
+        # with K so every class runs a similar total time.
+        d = max(2, 2048 // k)
+        ws = [jnp.asarray(rng.standard_normal((k, k)).astype(np.float32) * (0.5 / k))
+              for _ in range(min(d, 4))]
+        x0 = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
+
+        def step(z, ws=ws, d=d):
+            y = z
+            for i in range(d):
+                y = jnp.dot(y, ws[i % len(ws)], precision=lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+            # Renormalize so the chain neither explodes nor denormals out.
+            return y * jnp.float32(1e-3) + z * jnp.float32(0.5)
+
+        s = chained_step_stats(step, x0, k1=5, k2=55, reps=5)
+        flops = 2.0 * m * k * k * d
+        eff = s.median_s * peak / flops
+        spread = s.iqr_s / s.median_s if s.median_s else float("inf")
+        out[k] = {"eff_passes": round(eff, 3), "rel_iqr": round(spread, 4),
+                  "us": round(s.median_s * 1e6, 3), "m": m, "dots_per_step": d}
+        print(f"[calibrate] K={k:4d} M={m:7d} d={d:3d}: {s.median_s * 1e6:8.2f} us "
+              f"-> eff_passes={eff:6.3f} (rel iqr {spread:.1%})",
+              file=sys.stderr, flush=True)
+
+    entry = {str(k): v["eff_passes"] for k, v in out.items()}
+    bars = max(v["rel_iqr"] for v in out.values())
+    print(json.dumps({"chip": chip.name, "eff_passes": entry,
+                      "max_rel_iqr": round(bars, 4), "detail": out}, indent=2))
+    print(f"\n# paste into utils/roofline.py EFF_PASSES:\n"
+          f'    "{chip.name}": {{{", ".join(f"{k}: {v["eff_passes"]}" for k, v in out.items())}}},',
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -391,8 +391,14 @@ def render_markdown(raw, charts, out_md):
         "",
         "Dispersion: ±IQR over ≥5 paired chained-timing reps (the Criterion",
         "mean/CI/stddev analog).  %SoL: measured time as a fraction of the",
-        "speed-of-light bound on the detected chip (max of the HBM-traffic and",
-        "MXU-pass rooflines; see `gpu_fft_tpu/utils/roofline.py`); *bound*",
+        "CALIBRATED speed-of-light bound on the detected chip — the max of",
+        "the stream roofline (measured on-chip ~4.7 TB/s for ≤32 MB working",
+        "sets, measured HBM ~620 GB/s beyond), the MXU roofline (measured",
+        "effective bf16 passes per contraction class, bare-dot chains:",
+        "K≥128 ≈ 6.0-6.3, K=64 ≈ 11, K=32 ≈ 28), and the VPU elementwise",
+        "roofline; see `gpu_fft_tpu/utils/roofline.py` and",
+        "`scripts/calibrate_matmul.py`.  Model error bars: ±6% relative",
+        "(calibration IQR), so 100% ±6 is the certifiable ceiling; *bound*",
         "names which wall binds.",
         "",
         "| Benchmark | Backend | B | N | per-transform | ±IQR | Melem/s | %SoL | bound |",

@@ -108,6 +108,19 @@ def test_ifftn_roundtrip(rng):
     assert np.abs(ri).max() < 1e-4
 
 
+def test_ifftn_device_roundtrip_and_axes(rng):
+    # Device-side inverse (public symmetry partner of fftn_device): full
+    # roundtrip and an axis-subset case, everything staying on device.
+    x = rng.uniform(-1.0, 1.0, (3, 8, 16)).astype(np.float32)
+    yr, yi = gf.fftn_device(x)
+    rr, ri = gf.ifftn_device(yr, yi)
+    assert np.abs(np.asarray(rr) - x).max() < 1e-4
+    assert np.abs(np.asarray(ri)).max() < 1e-4
+    yr, yi = gf.fftn_device(x, axes=(1,))
+    rr, ri = gf.ifftn_device(yr, yi, axes=(1,))
+    assert np.abs(np.asarray(rr) - x).max() < 1e-4
+
+
 def test_fftn_errors():
     with pytest.raises(ValueError):
         gf.fftn(np.zeros((4, 1), np.float32))  # axis length < 2

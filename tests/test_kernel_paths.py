@@ -87,3 +87,59 @@ def test_inverse_boundaries(rng):
         out = gf.ifft(re, im)
         ref = np.fft.ifft(re.astype(np.float64) + 1j * im.astype(np.float64))
         assert np.abs(out[:n] - ref.real).max() < 1e-4, f"ifft n={n}"
+
+
+# ── Real-input packed forward path (round 3, docs/ABLATION.md §11) ───────────
+
+
+@pytest.mark.parametrize("n", [256, 4096, 65536, 1 << 17])
+def test_packed_real_path_matches_oracle(rng, n):
+    # The packing identity must hold at every size class it can dispatch to
+    # (fused and staged half-transforms), independent of the tuning gate.
+    import jax.numpy as jnp
+
+    from gpu_fft_tpu.kernels.large import _real_packed_fft
+
+    x = rng.uniform(-1.0, 1.0, (3, n)).astype(np.float32)
+    yr, yi = _real_packed_fft(jnp.asarray(x), n, None)
+    ref = np.fft.fft(x.astype(np.float64), axis=-1)
+    scale = float(np.abs(ref).max())
+    assert np.abs(np.asarray(yr) - ref.real).max() / scale < 2e-6
+    assert np.abs(np.asarray(yi) - ref.imag).max() / scale < 2e-6
+
+
+def test_packed_real_path_scale_folding(rng):
+    import jax.numpy as jnp
+
+    from gpu_fft_tpu.kernels.large import _real_packed_fft
+
+    n = 4096
+    x = rng.uniform(-1.0, 1.0, (2, n)).astype(np.float32)
+    yr, yi = _real_packed_fft(jnp.asarray(x), n, 1.0 / n)
+    ref = np.fft.fft(x.astype(np.float64), axis=-1) / n
+    scale = float(np.abs(ref).max())
+    assert np.abs(np.asarray(yr) - ref.real).max() / scale < 2e-6
+
+
+def test_packed_gate_still_meets_roundtrip_gate(rng, monkeypatch):
+    # Force the packing gate on and check the reference 5*log2(N)*eps
+    # roundtrip bound end-to-end through the public API.
+    from gpu_fft_tpu.kernels import large
+
+    monkeypatch.setattr(large, "rfft_pack_applies", lambda b, n: n >= 256)
+    n = 65536
+    x = rng.uniform(-1.0, 1.0, n).astype(np.float32)
+    re, im = gf.fft(x)
+    out = gf.ifft(re, im)
+    bound = 5 * np.log2(n) * np.finfo(np.float32).eps
+    assert np.abs(out[:n] - x).max() <= bound
+
+
+def test_deinterleave_matrix_is_permutation():
+    from gpu_fft_tpu.plan import deinterleave_matrix
+
+    p = deinterleave_matrix()
+    assert p.sum() == 256 and (p.sum(0) == 1).all() and (p.sum(1) == 1).all()
+    v = np.arange(256, dtype=np.float32)
+    out = v @ p
+    assert (out[:128] == v[0::2]).all() and (out[128:] == v[1::2]).all()

@@ -141,3 +141,58 @@ def test_describe_plan_dispatch_map():
     assert s["stage_b_split"] == (64, 128)
     with pytest.raises(ValueError):
         describe_plan(100)
+
+
+# ── Per-chip tuning table (round-2 verdict item 5) ───────────────────────────
+
+
+def test_tuning_table_is_consulted(monkeypatch):
+    # The dispatch predicates must read the per-chip table, not baked-in
+    # constants: overriding the selected row changes every decision.
+    from dataclasses import replace
+
+    from gpu_fft_tpu import tuning
+    from gpu_fft_tpu.ops.filter import _best_block_fft_size
+    from gpu_fft_tpu.plan import _stage_a_n1, use_folded_layout, wide_split_applies
+
+    base = tuning.TUNING["v5e"]
+    assert wide_split_applies(64, 4096) and not wide_split_applies(4, 4096)
+    assert use_folded_layout(1, 4096) and not use_folded_layout(1, 65536)
+    assert _stage_a_n1(1 << 20) == 128
+    assert _best_block_fft_size(33) == 16384
+
+    mod = replace(
+        base,
+        name="test",
+        wide_batch_min=2,
+        folded_n_max=65536,
+        stage_a_n1=256,
+        oa_block_min=4096,
+        calibrated=False,
+        note="test row",
+    )
+    monkeypatch.setitem(tuning.TUNING, "v6e", mod)
+    monkeypatch.setenv("GPU_FFT_TPU_CHIP", "v6e")
+    assert wide_split_applies(4, 4096)  # batch_min now 2
+    assert use_folded_layout(1, 65536)  # folded_n_max now 65536
+    assert _stage_a_n1(1 << 20) == 256
+    assert _best_block_fft_size(33) == 4096
+
+
+def test_tuning_every_chip_has_a_row():
+    from gpu_fft_tpu.tuning import TUNING
+    from gpu_fft_tpu.utils.roofline import CHIPS
+
+    for name in CHIPS:
+        assert name in TUNING, f"no tuning row for chip {name}"
+    assert TUNING["v5e"].calibrated  # the measured row
+
+
+def test_tuning_unknown_chip_env_rejected(monkeypatch):
+    import pytest as _pytest
+
+    from gpu_fft_tpu.tuning import get_tuning
+
+    monkeypatch.setenv("GPU_FFT_TPU_CHIP", "v99x")
+    with _pytest.raises(ValueError):
+        get_tuning()

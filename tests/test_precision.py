@@ -47,6 +47,34 @@ def test_full_meets_gate_and_bands_order(monkeypatch, rng):
         assert 1e-4 < e_fast < 2e-2
 
 
+def test_high_routes_staged_stage_a_through_jnp(monkeypatch, rng):
+    # Under "high" the staged path must NOT use the Pallas stage-A kernel
+    # (Mosaic would silently run 6-pass HIGHEST there, making the mode's
+    # meaning size-dependent — round-2 verdict item 8).  Verified by
+    # poisoning the kernel entry point: "high" must never reach it, "full"
+    # must.  Correctness of the jnp-routed staged transform is checked too.
+    import jax.numpy as jnp
+
+    from gpu_fft_tpu.kernels import large
+
+    n = 1 << 17
+    x = rng.uniform(-1.0, 1.0, (1, n)).astype(np.float32)
+
+    def poisoned(*a, **k):
+        raise AssertionError("pallas stage_a used under precision=high")
+
+    monkeypatch.setattr(config, "PRECISION", "high")
+    monkeypatch.setattr(large, "stage_a", poisoned)
+    yr, yi = large.transform_any(jnp.asarray(x), None, n, -1)
+    ref = np.fft.fft(x[0].astype(np.float64))
+    scale = float(np.abs(ref).max())
+    assert float(np.abs(np.asarray(yr[0]) - ref.real).max()) / scale < 2e-4
+
+    monkeypatch.setattr(config, "PRECISION", "full")
+    with pytest.raises(AssertionError, match="precision=high"):
+        large.transform_any(jnp.asarray(x), None, n, -1)
+
+
 def test_invalid_mode_rejected(monkeypatch):
     monkeypatch.setattr(config, "PRECISION", "bogus")
     with pytest.raises(KeyError):

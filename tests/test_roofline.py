@@ -11,12 +11,33 @@ def test_transform_cost_direct_vs_fused():
     c = roofline.transform_cost(8, 256, "fft")
     assert c["flops"] == pytest.approx(2 * 2.0 * 8 * 256 * 256)
     assert c["bytes"] == 8 * 256 * 4 * 3
+    assert c["stages"] == [(2 * 2.0 * 8 * 256 * 256, 256)]
     # Fused four-step FLOPs scale ~ n*(n1+n2), far below direct's n^2.
+    # n=65536 real input takes the PACKED path (mirroring transform_any):
+    # one complex 32768 four-step + the O(n) recombination.
     c2 = roofline.transform_cost(1, 65536, "fft")
     assert c2["flops"] < 2 * 2.0 * 65536 * 65536
-    n1, n2 = 256, 256
-    expected = 2 * 2.0 * 65536 * n1 + 6.0 * 65536 + 3 * 2.0 * 65536 * n2
+    h = 32768
+    h1, h2 = 128, 256
+    mm = 3 * 2.0 * h * h1 + 3 * 2.0 * h * h2
+    expected = mm + (6.0 + 5.0 + 5.0) * h + 8.0 * 65536
     assert c2["flops"] == pytest.approx(expected)
+    assert [k for _, k in c2["stages"]] == [h1, h2]
+    # Below the packing threshold the plain real four-step is mirrored.
+    c3 = roofline.transform_cost(1, 16384, "fft")
+    assert [k for _, k in c3["stages"]] == [128, 128]
+    assert c3["flops"] == pytest.approx(
+        2 * 2.0 * 16384 * 128 + 3 * 2.0 * 16384 * 128 + (6.0 + 5.0) * 16384
+    )
+
+
+def test_eff_passes_classes():
+    # Calibrated shape classes: K >= 128 near-nominal, small K penalized.
+    assert roofline.eff_passes("v5e", 128) == pytest.approx(6.31)
+    assert roofline.eff_passes("v5e", 64) == pytest.approx(11.2)
+    assert roofline.eff_passes("v5e", 200) == pytest.approx(6.04)  # nearest 256
+    # Unknown chips transfer the v5e table (same MXU geometry).
+    assert roofline.eff_passes("v5p", 128) == pytest.approx(6.31)
 
 
 def test_large_n_recursion_counts_both_stages():
@@ -33,11 +54,23 @@ def test_roundtrip_cost_exceeds_forward():
 
 def test_roofline_row_fields_and_bounds():
     row = roofline.roofline_row(1, 65536, "fft", measured_s=10e-6, chip=roofline.CHIPS["v5e"])
-    assert row["bound"] in ("hbm", "mxu")
+    assert row["bound"] in ("hbm", "onchip", "mxu", "vpu")
     assert 0 < row["pct_sol"] <= 100.0 or row["pct_sol"] > 0  # finite, positive
     assert row["sol_us"] > 0
+    assert row["model"] == "calibrated-v5e"
+    assert row["pct_sol_rel_err"] == pytest.approx(0.06)
     # SoL can never exceed the measured time by definition of pct.
     assert row["pct_sol"] == pytest.approx(100.0 * row["sol_us"] / 10.0)
+
+
+def test_roofline_row_onchip_vs_hbm_stream():
+    # A config whose tensors fit on chip must NOT be charged HBM rates.
+    small = roofline.roofline_row(1, 65536, "fft", 1e-6, chip=roofline.CHIPS["v5e"])
+    assert small["bound"] != "hbm"
+    # A config far beyond the on-chip capacity streams from HBM.
+    big = roofline.roofline_row(64, 1 << 20, "fft", 1e-3, chip=roofline.CHIPS["v5e"])
+    cost = roofline.transform_cost(64, 1 << 20, "fft")
+    assert cost["bytes"] > 32e6
 
 
 def test_detect_chip_runs():
