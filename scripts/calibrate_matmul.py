@@ -76,12 +76,53 @@ def main() -> None:
               f"-> eff_passes={eff:6.3f} (rel iqr {spread:.1%})",
               file=sys.stderr, flush=True)
 
+    # ── Pattern calibration: the plan's dots are not lone square dots ──────
+    # Real stages run PAIRS sharing one operand (x @ F1r, x @ F1i); complex
+    # stages run KARATSUBA TRIPLES ((a+b) @ W1, a @ W2, b @ W3 + combines).
+    # XLA schedules shared-operand groups cheaper per flop than isolated
+    # dots (operand reuse across the HIGHEST pass decomposition), so the
+    # roofline uses per-(K, pattern) effective passes.
+    patterns: dict = {}
+    for k in (128, 256):
+        m = ELEMENTS // k
+        ws = [jnp.asarray(rng.standard_normal((k, k)).astype(np.float32) * (0.5 / k))
+              for _ in range(3)]
+        x0 = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
+
+        def pair(z, ws=ws):
+            a = jnp.dot(z, ws[0], precision=lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+            bq = jnp.dot(z, ws[1], precision=lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32)
+            return a * jnp.float32(0.5) + bq * jnp.float32(0.5)
+
+        def triple(z, ws=ws):
+            a = z
+            bq = z * jnp.float32(0.5)
+            k1 = jnp.dot(a + bq, ws[0], precision=lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32)
+            k2 = jnp.dot(a, ws[1], precision=lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32)
+            k3 = jnp.dot(bq, ws[2], precision=lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32)
+            return (k1 - k3) * jnp.float32(0.5) + (k1 + k2) * jnp.float32(0.5)
+
+        for name, fn, d in (("pair", pair, 2), ("triple", triple, 3)):
+            s = chained_step_stats(fn, x0, k1=10, k2=110, reps=5)
+            flops = 2.0 * m * k * k * d
+            eff = s.median_s * peak / flops
+            patterns[f"{name}_k{k}"] = round(eff, 3)
+            print(f"[calibrate] {name:6s} K={k}: {s.median_s * 1e6:8.2f} us "
+                  f"-> eff_passes={eff:6.3f}", file=sys.stderr, flush=True)
+
     entry = {str(k): v["eff_passes"] for k, v in out.items()}
     bars = max(v["rel_iqr"] for v in out.values())
     print(json.dumps({"chip": chip.name, "eff_passes": entry,
+                      "patterns": patterns,
                       "max_rel_iqr": round(bars, 4), "detail": out}, indent=2))
     print(f"\n# paste into utils/roofline.py EFF_PASSES:\n"
-          f'    "{chip.name}": {{{", ".join(f"{k}: {v["eff_passes"]}" for k, v in out.items())}}},',
+          f'    "{chip.name}": {{{", ".join(f"{k}: {v["eff_passes"]}" for k, v in out.items())}}},'
+          f"\n# patterns: {patterns}",
           file=sys.stderr)
 
 
