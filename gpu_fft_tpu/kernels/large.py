@@ -35,7 +35,6 @@ from ..plan import (
     get_pack_tables,
     get_stage_a_plan,
     rfft_pack_applies,
-    stage_a_col_tile,
     use_folded_layout,
     wide_split_applies,
 )
@@ -97,7 +96,7 @@ def transform_any(xr, xi, n: int, sign: int, scale: float | None = None):
         # measured equal to deferring the twiddle into stage B's fusion, and
         # 1.5x faster than composing XLA's own 2-D dots into the graph — see
         # docs/ABLATION.md §12 for the full variant matrix.
-        yr, yi = stage_a(x3r, x3i, n1, n2, plan, stage_a_col_tile(n1, n2))
+        yr, yi = stage_a(x3r, x3i, n1, n2, plan, plan["ct"])
 
     if plan["stage_b"] is not None:
         # Stage B with the digit reversal folded into the final einsum's

@@ -74,11 +74,21 @@ CHIPS = {
 
 
 # Effective bf16 MXU passes per f32 HIGHEST matmul, by contraction class —
-# measured on v5e (scripts/calibrate_matmul.py, chained bare dots, 2026-08).
-# The K-dependence is 128x128 systolic-array geometry, identical across
-# v4/v5e/v5p/v6e, so the v5e row transfers; re-calibrate to promote.
+# measured on v5e (scripts/calibrate_matmul.py, 2026-08) as the MARGINAL
+# bare-dot cost (two chain depths differenced, so loop-carry and boundary
+# traffic cancel), then RATCHETED down wherever a real composed config
+# implies a faster per-class rate — the instrument must lower-bound every
+# achievable execution, and XLA's in-context scheduling of the (16, 65536)
+# four-step (71.5 us best over rounds for 2.68 GFLOP of K=256 dots)
+# implies ~5.2 effective passes where every bare chain measures 6.0-6.35;
+# the K=256 entry carries a further safety margin for run dispersion.
+# Shared-operand pairs and Karatsuba triples calibrate within 4% of the
+# singles (patterns row of scripts/calibrate_matmul.py), so one value per
+# class suffices.  The K-dependence is 128x128 systolic-array geometry,
+# identical across v4/v5e/v5p/v6e, so the v5e row transfers;
+# re-calibrate to promote.
 EFF_PASSES = {
-    "v5e": {32: 28.3, 64: 11.2, 128: 6.31, 256: 6.04, 512: 6.12},
+    "v5e": {32: 26.8, 64: 14.6, 128: 6.11, 256: 5.0, 512: 5.92},
 }
 _EFF_DEFAULT = EFF_PASSES["v5e"]
 

@@ -49,31 +49,42 @@ def main() -> None:
     out: dict = {}
     for k in CONTRACTIONS:
         m = ELEMENTS // k
-        # Chain several dots per loop step so MXU time dwarfs the memory
-        # system (a single small-K dot over an on-chip-resident operand
-        # measures the ~5 TB/s on-chip path, not the MXU).  d scales down
-        # with K so every class runs a similar total time.
-        d = max(2, 2048 // k)
+        # MARGINAL dot cost: time chains with d1 and d2 = 3*d1 dots per loop
+        # step and difference them.  This cancels BOTH the chain's loop-carry
+        # overhead and the per-step boundary traffic — an in-context composed
+        # graph pays neither, and an instrument built from a contaminated
+        # bare chain reads >100% on well-scheduled configs (round-2's 115%
+        # row reproduced with chained single dots at nominal-6 AND at naive
+        # chained-eff calibration).
+        d1 = max(2, 1024 // k)
+        d2 = 3 * d1
         ws = [jnp.asarray(rng.standard_normal((k, k)).astype(np.float32) * (0.5 / k))
-              for _ in range(min(d, 4))]
+              for _ in range(4)]
         x0 = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
 
-        def step(z, ws=ws, d=d):
-            y = z
-            for i in range(d):
-                y = jnp.dot(y, ws[i % len(ws)], precision=lax.Precision.HIGHEST,
-                            preferred_element_type=jnp.float32)
-            # Renormalize so the chain neither explodes nor denormals out.
-            return y * jnp.float32(1e-3) + z * jnp.float32(0.5)
+        def make_step(d):
+            def step(z):
+                y = z
+                for i in range(d):
+                    y = jnp.dot(y, ws[i % len(ws)], precision=lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32)
+                # Renormalize so the chain neither explodes nor denormals out.
+                return y * jnp.float32(1e-3) + z * jnp.float32(0.5)
 
-        s = chained_step_stats(step, x0, k1=5, k2=55, reps=5)
-        flops = 2.0 * m * k * k * d
-        eff = s.median_s * peak / flops
-        spread = s.iqr_s / s.median_s if s.median_s else float("inf")
+            return step
+
+        s1 = chained_step_stats(make_step(d1), x0, k1=5, k2=55, reps=5)
+        s2 = chained_step_stats(make_step(d2), x0, k1=5, k2=55, reps=5)
+        marginal_s = (s2.median_s - s1.median_s) / (d2 - d1)
+        flops = 2.0 * m * k * k
+        eff = marginal_s * peak / flops
+        spread = max(s1.iqr_s / s1.median_s, s2.iqr_s / s2.median_s)
         out[k] = {"eff_passes": round(eff, 3), "rel_iqr": round(spread, 4),
-                  "us": round(s.median_s * 1e6, 3), "m": m, "dots_per_step": d}
-        print(f"[calibrate] K={k:4d} M={m:7d} d={d:3d}: {s.median_s * 1e6:8.2f} us "
-              f"-> eff_passes={eff:6.3f} (rel iqr {spread:.1%})",
+                  "marginal_us": round(marginal_s * 1e6, 4), "m": m,
+                  "d1": d1, "d2": d2}
+        print(f"[calibrate] K={k:4d} M={m:7d} d={d1}->{d2}: marginal "
+              f"{marginal_s * 1e6:7.3f} us/dot -> eff_passes={eff:6.3f} "
+              f"(rel iqr {spread:.1%})",
               file=sys.stderr, flush=True)
 
     # ── Pattern calibration: the plan's dots are not lone square dots ──────

@@ -13,17 +13,12 @@ def test_transform_cost_direct_vs_fused():
     assert c["bytes"] == 8 * 256 * 4 * 3
     assert c["stages"] == [(2 * 2.0 * 8 * 256 * 256, 256)]
     # Fused four-step FLOPs scale ~ n*(n1+n2), far below direct's n^2.
-    # n=65536 real input takes the PACKED path (mirroring transform_any):
-    # one complex 32768 four-step + the O(n) recombination.
     c2 = roofline.transform_cost(1, 65536, "fft")
     assert c2["flops"] < 2 * 2.0 * 65536 * 65536
-    h = 32768
-    h1, h2 = 128, 256
-    mm = 3 * 2.0 * h * h1 + 3 * 2.0 * h * h2
-    expected = mm + (6.0 + 5.0 + 5.0) * h + 8.0 * 65536
+    n1, n2 = 256, 256
+    expected = 2 * 2.0 * 65536 * n1 + (6.0 + 5.0) * 65536 + 3 * 2.0 * 65536 * n2
     assert c2["flops"] == pytest.approx(expected)
-    assert [k for _, k in c2["stages"]] == [h1, h2]
-    # Below the packing threshold the plain real four-step is mirrored.
+    assert [k for _, k in c2["stages"]] == [n1, n2]
     c3 = roofline.transform_cost(1, 16384, "fft")
     assert [k for _, k in c3["stages"]] == [128, 128]
     assert c3["flops"] == pytest.approx(
@@ -31,13 +26,27 @@ def test_transform_cost_direct_vs_fused():
     )
 
 
+def test_transform_cost_mirrors_packing_gate(monkeypatch):
+    # When the (currently disabled) real-input packing gate is on, the cost
+    # model mirrors the packed plan: one n/2 complex transform + O(n) elem.
+    from gpu_fft_tpu import plan as plan_mod
+
+    monkeypatch.setattr(plan_mod, "rfft_pack_applies", lambda b, n: True)
+    c2 = roofline.transform_cost(1, 65536, "fft")
+    h, h1, h2 = 32768, 128, 256
+    mm = 3 * 2.0 * h * h1 + 3 * 2.0 * h * h2
+    expected = mm + (6.0 + 5.0 + 5.0) * h + 8.0 * 65536
+    assert c2["flops"] == pytest.approx(expected)
+    assert [k for _, k in c2["stages"]] == [h1, h2]
+
+
 def test_eff_passes_classes():
     # Calibrated shape classes: K >= 128 near-nominal, small K penalized.
-    assert roofline.eff_passes("v5e", 128) == pytest.approx(6.31)
-    assert roofline.eff_passes("v5e", 64) == pytest.approx(11.2)
-    assert roofline.eff_passes("v5e", 200) == pytest.approx(6.04)  # nearest 256
+    assert roofline.eff_passes("v5e", 128) == pytest.approx(6.11)
+    assert roofline.eff_passes("v5e", 64) == pytest.approx(14.6)
+    assert roofline.eff_passes("v5e", 200) == pytest.approx(5.0)  # nearest 256
     # Unknown chips transfer the v5e table (same MXU geometry).
-    assert roofline.eff_passes("v5p", 128) == pytest.approx(6.31)
+    assert roofline.eff_passes("v5p", 128) == pytest.approx(6.11)
 
 
 def test_large_n_recursion_counts_both_stages():
