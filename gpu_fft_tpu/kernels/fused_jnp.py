@@ -26,7 +26,14 @@ from .. import config
 from ..config import KARATSUBA
 from ..plan import FusedPlan
 
-__all__ = ["fused_fft_jnp", "fused_fft_jnp_folded", "stage_a_jnp", "stage_b_jnp"]
+__all__ = [
+    "fused_fft_jnp",
+    "fused_fft_jnp_folded",
+    "fused_fft_jnp_half",
+    "stage_a_jnp",
+    "stage_b_jnp",
+    "stage_b_half_jnp",
+]
 
 
 def _prec():
@@ -175,6 +182,116 @@ def stage_b_jnp(yr, yi, n1: int, n2: int, t: dict):
     rr, ri = cm("bkcj,cJ->bJjk", wr, wi, "f2")
     n = n1 * n2
     return rr.reshape(b, n), ri.reshape(b, n)
+
+
+def _hermitian_mirror(sr, si, n1: int, axis: int):
+    """Full-spectrum (.., n1, ..) arrays from half-spectrum (.., h, ..) ones.
+
+    A real-input transform's spectrum is Hermitian: X[n-k] = conj(X[k]).
+    With flat output index k = k1 + n1*j, the complement n - k =
+    (n1 - k1) + n1*(n2 - 1 - j) for k1 in [1, n1) — the j part is a PURE
+    reversal (digits complement independently, no carries), so the missing
+    k1' in [h, n1) half is an axis-reversal + conjugate of the computed
+    k1 = n1 - k1' in [1, n1/2] half.  ``axis`` carries k1 (a MAJOR axis
+    here, so the concat is cheap); every OTHER non-batch axis of ``sr/si``
+    must be a j-digit axis, reversed together (rev of each digit == rev of
+    flat j).  Returns (.., n1, ..) arrays ready for the final digit-reversal
+    transpose.
+    """
+    from jax import lax
+
+    h = n1 // 2 + 1
+    rev_axes = tuple(range(1, sr.ndim))  # all non-batch axes (k1 + j digits)
+    idx = [slice(None)] * sr.ndim
+    idx[axis] = slice(1, h)
+    tail_r = lax.rev(sr[tuple(idx)], rev_axes)
+    tail_i = -lax.rev(si[tuple(idx)], rev_axes)
+    idx[axis] = slice(0, h - 1)
+    head = tuple(idx)
+    return (
+        jnp.concatenate([sr[head], tail_r], axis),
+        jnp.concatenate([si[head], tail_i], axis),
+    )
+
+
+def fused_fft_jnp_half(xr, plan: FusedPlan):
+    """Real-input fused four-step computing only k1 <= n1/2, mirroring the rest.
+
+    The spectrum of a real signal is Hermitian, and in the transpose-form
+    four-step the k1 digit is a batch-major row axis from the twiddle on —
+    so slicing to h = n1/2 + 1 rows halves the second matmul stage AND both
+    remaining transposes, then one cheap rev+concat epilogue reconstructs
+    the full spectrum (docs/ABLATION.md §13; the PACKED rfft trick was
+    rejected in §11 because its even/odd deinterleave relayouts cost more
+    than the halved matmuls saved — this form reindexes nothing until the
+    final mirror).  Valid for either sign; requires real input.
+    """
+    b, n = xr.shape
+    assert plan.kind == "fourstep", plan.kind
+    n1, n2 = plan.n1, plan.n2
+    t = plan.tables
+    h = n1 // 2 + 1
+    xtr = jnp.swapaxes(xr.reshape(b, n1, n2), 1, 2).reshape(b * n2, n1)
+    pr = _dot(xtr, t["f1r"])
+    pi = _dot(xtr, t["f1i"])
+    p3r = pr.reshape(b, n2, n1)[:, :, :h]
+    p3i = pi.reshape(b, n2, n1)[:, :, :h]
+    twr = t["twr"][:, :h]  # (n2, n1) sliced to the kept half
+    twi = t["twi"][:, :h]
+    zr = p3r * twr - p3i * twi
+    zi = p3r * twi + p3i * twr
+    qr = jnp.swapaxes(zr, 1, 2).reshape(b * h, n2)
+    qi = jnp.swapaxes(zi, 1, 2).reshape(b * h, n2)
+    rr, ri = _cmatmul(qr, qi, t, "f2")
+    f_r, f_i = _hermitian_mirror(
+        rr.reshape(b, h, n2), ri.reshape(b, h, n2), n1, axis=1
+    )
+    yr = jnp.swapaxes(f_r, 1, 2).reshape(b, n)
+    yi = jnp.swapaxes(f_i, 1, 2).reshape(b, n)
+    return yr, yi
+
+
+def stage_b_half_jnp(yr, yi, n1: int, n2: int, t: dict):
+    """Real-input stage B: k1 <= n1/2 slice + Hermitian mirror epilogue.
+
+    Same math and tables as :func:`stage_b_jnp`, but the k1 batch axis is
+    sliced to h = n1/2 + 1 rows (the k1 = 0 and k1 = n1/2 self-conjugate
+    columns are computed directly, so there is no special case), the final
+    einsum emits its NATIVE output order 'bkjJ' (J on lanes — the folded
+    'bJjk' order pads the h-sized minor axis back to a full lane tile and
+    forfeits the halving), and one explicit half-sized transpose performs
+    the digit reversal after the mirror.  Measured v5e at 2^20 B=1:
+    75-77 us vs 90-101 for the full folded form (docs/ABLATION.md §13).
+    """
+    b = yr.shape[0]
+    h = n1 // 2 + 1
+    m1, m2 = t["m1"], t["m2"]
+    zr = yr[:, :h, :].reshape(b, h, m1, m2)
+    zi = yi[:, :h, :].reshape(b, h, m1, m2)
+
+    def cm(eq, xr_, xi_, prefix):
+        if KARATSUBA:
+            k1 = jnp.einsum(eq, xr_ + xi_, t[prefix + "r"], precision=_prec())
+            k2 = jnp.einsum(eq, xr_, t[prefix + "d"], precision=_prec())
+            k3 = jnp.einsum(eq, xi_, t[prefix + "s"], precision=_prec())
+            return k1 - k3, k1 + k2
+        pr = jnp.einsum(eq, xr_, t[prefix + "r"], precision=_prec())
+        pi = jnp.einsum(eq, xi_, t[prefix + "i"], precision=_prec())
+        qr = jnp.einsum(eq, xr_, t[prefix + "i"], precision=_prec())
+        qi = jnp.einsum(eq, xi_, t[prefix + "r"], precision=_prec())
+        return pr - pi, qr + qi
+
+    pr, pi = cm("bkac,aj->bkcj", zr, zi, "f1")
+    twr = t["twr"][None, None]
+    twi = t["twi"][None, None]
+    wr = pr * twr - pi * twi
+    wi = pr * twi + pi * twr
+    s_r, s_i = cm("bkcj,cJ->bkjJ", wr, wi, "f2")  # (b, h, m1, m2)
+    f_r, f_i = _hermitian_mirror(s_r, s_i, n1, axis=1)  # (b, n1, m1, m2)
+    n = n1 * n2
+    out_r = jnp.transpose(f_r, (0, 3, 2, 1)).reshape(b, n)
+    out_i = jnp.transpose(f_i, (0, 3, 2, 1)).reshape(b, n)
+    return out_r, out_i
 
 
 def stage_a_jnp(x3r, x3i, plan: dict):

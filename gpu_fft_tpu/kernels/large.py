@@ -34,12 +34,19 @@ from ..plan import (
     get_fused_plan,
     get_pack_tables,
     get_stage_a_plan,
+    half_spectrum_applies,
     rfft_pack_applies,
     use_folded_layout,
     wide_split_applies,
 )
 from .fused import stage_a
-from .fused_jnp import fused_fft_jnp, fused_fft_jnp_folded, stage_b_jnp
+from .fused_jnp import (
+    fused_fft_jnp,
+    fused_fft_jnp_folded,
+    fused_fft_jnp_half,
+    stage_b_half_jnp,
+    stage_b_jnp,
+)
 
 __all__ = ["transform_any"]
 
@@ -57,6 +64,18 @@ def transform_any(xr, xi, n: int, sign: int, scale: float | None = None):
         return _real_packed_fft(xr, n, scale)
     if n <= FUSED_MAX:
         b = xr.shape[0]
+        if xi is None and half_spectrum_applies(n):
+            # Real input at big fused sizes: compute only the k1 <= n1/2
+            # spectrum half and mirror the rest (Hermitian symmetry, valid
+            # for either sign) — halves the dominant second matmul and both
+            # trailing transposes; 1.04-1.35x measured at every (B, n) with
+            # n >= 2^15 (docs/ABLATION.md §13).  The gate (>= 2^15) is
+            # above the wide-split region, so the balanced transpose-form
+            # split is always the right base here; ``scale`` folds into the
+            # plan's f2 tables like the full-spectrum forms.
+            plan = get_fused_plan(n, sign, wide=False, scale=scale)
+            if plan.kind == "fourstep":
+                return fused_fft_jnp_half(xr, plan)
         # Split and layout choices are the shared measured predicates in
         # plan.py (single source of truth with describe_plan; evidence in
         # docs/ABLATION.md §7): wide batches take the full-lane n2=128
@@ -99,6 +118,11 @@ def transform_any(xr, xi, n: int, sign: int, scale: float | None = None):
         yr, yi = stage_a(x3r, x3i, n1, n2, plan, plan["ct"])
 
     if plan["stage_b"] is not None:
+        if xi is None and half_spectrum_applies(n):
+            # Real input: k1 <= n1/2 slice + Hermitian mirror epilogue —
+            # halves stage B's matmuls and the digit-reversal transpose
+            # (1.18-1.31x measured at every staged size, ABLATION.md §13).
+            return stage_b_half_jnp(yr, yi, n1, n2, plan["stage_b"])
         # Stage B with the digit reversal folded into the final einsum's
         # output permutation — no separate HBM transpose pass.
         return stage_b_jnp(yr, yi, n1, n2, plan["stage_b"])

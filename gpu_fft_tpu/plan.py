@@ -58,6 +58,21 @@ def rfft_pack_applies(b: int, n: int) -> bool:
     return n >= get_tuning().rfft_pack_min
 
 
+def half_spectrum_applies(n: int) -> bool:
+    """Real-input transforms compute only the k1 <= n1/2 spectrum half and
+    mirror the rest (Hermitian symmetry: X[n-k] = conj(X[k]) for real input,
+    either sign).
+
+    Unlike the packed-rfft trick (§11, rejected: its even/odd deinterleave
+    relayouts cost more than the halved matmuls save), this slices the k1
+    digit AFTER the twiddle, where it is a batch-major row axis — halving the
+    second matmul stage and the trailing transposes with zero reindexing
+    until one cheap rev+concat mirror epilogue (measured v5e: 1.18-1.35x at
+    every (B, n) with n >= 2^15, docs/ABLATION.md §13).
+    """
+    return n >= get_tuning().half_spectrum_min
+
+
 @functools.lru_cache(maxsize=None)
 def get_pack_tables(n: int) -> tuple:
     """Recombination tables for the real-input packed forward transform.
@@ -197,7 +212,9 @@ def describe_plan(n: int, batch: int = 1, real_input: bool = True) -> dict:
     >>> p = describe_plan(4096); (p["path"], p["layout"], p["split"])
     ('fourstep', 'folded', (64, 64))
     >>> p = describe_plan(65536, batch=1); (p["layout"], p["split"])
-    ('transpose', (256, 256))
+    ('half-spectrum', (256, 256))
+    >>> p = describe_plan(65536, batch=1, real_input=False); p["layout"]
+    'transpose'
     >>> p = describe_plan(1 << 20); (p["path"], p["split"], p["stage_b_split"])
     ('staged', (128, 8192), (64, 128))
     """
@@ -209,7 +226,18 @@ def describe_plan(n: int, batch: int = 1, real_input: bool = True) -> dict:
     if n <= DIRECT_MAX:
         out.update(path="direct", engine="jnp matmul", split=(n, 1), layout=None)
         return out
+    half = real_input and half_spectrum_applies(n)
     if n <= FUSED_MAX:
+        if half:
+            n1, n2 = balanced_split(n)
+            out.update(
+                path="fourstep",
+                engine="jnp einsum graph",
+                split=(n1, n2),
+                wide=False,
+                layout="half-spectrum",
+            )
+            return out
         wide = wide_split_applies(batch, n)
         n1, n2 = fused_split(n, batch)
         out.update(
@@ -226,7 +254,7 @@ def describe_plan(n: int, batch: int = 1, real_input: bool = True) -> dict:
         path="staged",
         engine="pallas stage-A + folded-einsum stage-B",
         split=(n1, n2),
-        layout="folded",
+        layout="half-spectrum" if half and stage_b_plannable(n2) else "folded",
         stage_b_split=(n2 // 128, 128) if stage_b_plannable(n2) else None,
     )
     return out

@@ -53,6 +53,11 @@ class ChipTuning:
         wins wherever the transform is MXU-pass-bound; below this the
         recombination's extra elementwise passes cost more than the halved
         matmuls save).
+      * ``half_spectrum_min`` — smallest n where a real-input transform
+        computes only the k1 <= n1/2 half of the spectrum and mirrors the
+        rest via Hermitian symmetry (§13: halves the post-twiddle matmul
+        stage and the trailing transposes; wins 1.18-1.35x at every
+        measured (B, n) with n >= 2^15, ~breaks even at 2^14).
     """
 
     name: str
@@ -64,6 +69,7 @@ class ChipTuning:
     stage_a_n1: int
     oa_block_min: int
     rfft_pack_min: int
+    half_spectrum_min: int
     calibrated: bool  # True = measured on this chip; False = transferred
     note: str
 
@@ -83,6 +89,11 @@ _V5E = ChipTuning(
     # (docs/ABLATION.md §11 addendum).  The path stays implemented and
     # tested; the gate is effectively off.
     rfft_pack_min=1 << 62,
+    # Hermitian half-spectrum real-input path: measured v5e 2026-08
+    # (docs/ABLATION.md §13) — staged sizes win 1.18-1.31x, fused sizes win
+    # from 2^15 up (2^16: 1.11x B=1, 1.27x B=2, 1.35x B=16); 2^14 breaks
+    # even (0.97x), so the gate opens at 2^15.
+    half_spectrum_min=1 << 15,
     calibrated=True,
     note="measured on v5e 2026-08 (docs/ABLATION.md §3, §7, §9, §10, §11)",
 )

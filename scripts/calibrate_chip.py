@@ -116,6 +116,31 @@ def main() -> None:
         if t < best_bt:
             best_blk, best_bt = blk, t
 
+    # ── half_spectrum_min: smallest n where the Hermitian half path wins ───
+    from gpu_fft_tpu.kernels.fused_jnp import fused_fft_jnp, fused_fft_jnp_half
+
+    print("[calibrate] half-spectrum gate (real input, B=1, transpose form):")
+    half_min = 1 << 62
+    for n in ((1 << 14, 1 << 15) if args.quick else (1 << 13, 1 << 14, 1 << 15, 1 << 16)):
+        plan = get_fused_plan(n, -1, wide=False)
+        x = jnp.asarray(rng.standard_normal((1, n)).astype(np.float32))
+
+        def full_step(v, plan=plan):
+            yr, yi = fused_fft_jnp(v, None, plan)
+            return yr * jnp.float32(1e-6) + v * jnp.float32(0.9)
+
+        def half_step(v, plan=plan):
+            yr, yi = fused_fft_jnp_half(v, plan)
+            return yr * jnp.float32(1e-6) + v * jnp.float32(0.9)
+
+        t_full = time_step(full_step, x)
+        t_half = time_step(half_step, x)
+        win = t_half < t_full
+        print(f"  n={n:6d}: full {t_full*1e6:7.2f} us  half {t_half*1e6:7.2f} us"
+              f"  -> {'half' if win else 'full'}")
+        if win:
+            half_min = min(half_min, n)
+
     print("\n[calibrate] paste into gpu_fft_tpu/tuning.py TUNING:")
     print(f"""    "{chip.name}": ChipTuning(
         name="{chip.name}",
@@ -126,11 +151,15 @@ def main() -> None:
         folded_batch_min=2,
         stage_a_n1={best_digit},
         oa_block_min={best_blk},
+        rfft_pack_min=1 << 62,
+        half_spectrum_min={half_min},
         calibrated=True,
         note="measured by scripts/calibrate_chip.py",
     ),""")
     print("[calibrate] NOTE: folded/wide n-ranges above keep the v5e bounds; "
-          "run scripts/ablate_fused_folded.py for the full per-(B, n) map.")
+          "run scripts/ablate_fused_folded.py for the full per-(B, n) map. "
+          "rfft_pack_min stays disabled by default — scripts/ablate_rfft_pack.py "
+          "is its dedicated harness (it lost at every (B, n) on v5e).")
 
 
 if __name__ == "__main__":

@@ -134,10 +134,15 @@ def test_describe_plan_dispatch_map():
     p = describe_plan(4096, batch=64)
     assert p["path"] == "fourstep" and p["wide"] and p["split"] == (32, 128)
     assert p["layout"] == "folded"
-    assert describe_plan(65536, batch=1)["layout"] == "transpose"
-    assert describe_plan(65536, batch=2)["layout"] == "folded"
+    # Real input at n >= half_spectrum_min takes the Hermitian half path.
+    assert describe_plan(65536, batch=1)["layout"] == "half-spectrum"
+    assert describe_plan(65536, batch=1, real_input=False)["layout"] == "transpose"
+    assert describe_plan(65536, batch=2, real_input=False)["layout"] == "folded"
+    assert describe_plan(16384, batch=1)["layout"] == "folded"
     s = describe_plan(1 << 20)
     assert s["path"] == "staged" and s["split"] == (128, 8192)
+    assert s["layout"] == "half-spectrum"
+    assert describe_plan(1 << 20, real_input=False)["layout"] == "folded"
     assert s["stage_b_split"] == (64, 128)
     with pytest.raises(ValueError):
         describe_plan(100)
@@ -153,13 +158,19 @@ def test_tuning_table_is_consulted(monkeypatch):
 
     from gpu_fft_tpu import tuning
     from gpu_fft_tpu.ops.filter import _best_block_fft_size
-    from gpu_fft_tpu.plan import _stage_a_n1, use_folded_layout, wide_split_applies
+    from gpu_fft_tpu.plan import (
+        _stage_a_n1,
+        half_spectrum_applies,
+        use_folded_layout,
+        wide_split_applies,
+    )
 
     base = tuning.TUNING["v5e"]
     assert wide_split_applies(64, 4096) and not wide_split_applies(4, 4096)
     assert use_folded_layout(1, 4096) and not use_folded_layout(1, 65536)
     assert _stage_a_n1(1 << 20) == 128
     assert _best_block_fft_size(33) == 16384
+    assert half_spectrum_applies(1 << 15) and not half_spectrum_applies(1 << 14)
 
     mod = replace(
         base,
@@ -168,6 +179,7 @@ def test_tuning_table_is_consulted(monkeypatch):
         folded_n_max=65536,
         stage_a_n1=256,
         oa_block_min=4096,
+        half_spectrum_min=1 << 62,
         calibrated=False,
         note="test row",
     )
@@ -177,6 +189,7 @@ def test_tuning_table_is_consulted(monkeypatch):
     assert use_folded_layout(1, 65536)  # folded_n_max now 65536
     assert _stage_a_n1(1 << 20) == 256
     assert _best_block_fft_size(33) == 4096
+    assert not half_spectrum_applies(1 << 20)  # gate now off everywhere
 
 
 def test_tuning_every_chip_has_a_row():
