@@ -277,6 +277,15 @@ def main() -> None:
             if t(a) and t(bname) and t(a) > t(bname) * 1.25:
                 violations.append(f"{a} > {bname}")
                 c[a]["suspect"] = True
+    # The roofline is a lower bound by construction: a measurement beating
+    # "bare dots + bare streams of the same plan" means the MODEL no longer
+    # mirrors the live dispatch (round-2 verdict weak item 1 — e.g. a new
+    # dispatch route the cost model doesn't know about), never that the
+    # chip broke physics.  6% calibration error bars + dispersion margin.
+    for name, row in c.items():
+        if row.get("pct_sol", 0.0) > 112.0:
+            violations.append(f"{name} pct_sol {row['pct_sol']:.0f} > 100 (+margin)")
+            row["suspect"] = True
     details["invariant_violations"] = violations
 
     # Measured batch-vs-sequential speedups.

@@ -135,6 +135,12 @@ def _pack_applies(b: int, n: int) -> bool:
     return rfft_pack_applies(b, n)
 
 
+def _half_applies(n: int) -> bool:
+    from ..plan import half_spectrum_applies
+
+    return half_spectrum_applies(n)
+
+
 def transform_stages(b: int, n: int, real_input: bool):
     """Per-matmul-stage (flops, contraction) list + elementwise flops.
 
@@ -153,6 +159,22 @@ def transform_stages(b: int, n: int, real_input: bool):
             return [(2 * 2.0 * b * n * n, n)], 0.0
         return [(3 * 2.0 * b * n * n, n)], 7.0 * b * n
     if n <= FUSED_MAX:
+        if real_input and _half_applies(n):
+            # Hermitian half-spectrum route (kernels/fused_jnp.py:
+            # fused_fft_jnp_half): balanced split, full first stage, then
+            # only h = n1/2 + 1 k1-rows survive — the second matmul, the
+            # twiddle and the stage-2 epilogue all scale by h/n1; one
+            # rev+concat mirror epilogue (~2 flops/elem charged).
+            from ..plan import balanced_split
+
+            n1, n2 = balanced_split(n)
+            frac = (n1 // 2 + 1) / n1
+            stages = [
+                (2 * 2.0 * b * n * n1, n1),
+                (3 * 2.0 * b * n * n2 * frac, n2),
+            ]
+            elem = (6.0 + 5.0) * b * n * frac + 2.0 * b * n
+            return stages, elem
         n1, n2 = _fused_split(n, b)
         stages = []
         if real_input:
@@ -173,6 +195,13 @@ def transform_stages(b: int, n: int, real_input: bool):
         stages = [(3 * 2.0 * b * n * n1, n1)]
         elem = 6.0 * b * n + 5.0 * b * n
     s2, e2 = transform_stages(b * n1, n2, real_input=False)
+    if real_input and _half_applies(n):
+        # Staged half route (stage_b_half_jnp): stage A is full-width; the
+        # k1 axis is sliced to h = n1/2 + 1 rows before stage B, so every
+        # stage-B matmul and epilogue scales by h/n1, plus the mirror.
+        frac = (n1 // 2 + 1) / n1
+        s2 = [(f * frac, k) for f, k in s2]
+        e2 = e2 * frac + 2.0 * b * n
     return stages + s2, elem + e2
 
 

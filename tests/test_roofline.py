@@ -13,12 +13,24 @@ def test_transform_cost_direct_vs_fused():
     assert c["bytes"] == 8 * 256 * 4 * 3
     assert c["stages"] == [(2 * 2.0 * 8 * 256 * 256, 256)]
     # Fused four-step FLOPs scale ~ n*(n1+n2), far below direct's n^2.
+    # Real input at n >= half_spectrum_min rides the Hermitian half route:
+    # full first stage, second matmul / twiddle / epilogue scaled by
+    # h/n1 = (n1/2 + 1)/n1, plus the ~2 flops/elem mirror.
     c2 = roofline.transform_cost(1, 65536, "fft")
     assert c2["flops"] < 2 * 2.0 * 65536 * 65536
     n1, n2 = 256, 256
-    expected = 2 * 2.0 * 65536 * n1 + (6.0 + 5.0) * 65536 + 3 * 2.0 * 65536 * n2
+    frac = (n1 // 2 + 1) / n1
+    expected = (
+        2 * 2.0 * 65536 * n1
+        + 3 * 2.0 * 65536 * n2 * frac
+        + (6.0 + 5.0) * 65536 * frac
+        + 2.0 * 65536
+    )
     assert c2["flops"] == pytest.approx(expected)
     assert [k for _, k in c2["stages"]] == [n1, n2]
+    # Below the gate (and for complex input) the full-spectrum model holds.
+    cfull = roofline.transform_cost(1, 65536, "ifft")
+    assert cfull["stages"][1][0] == pytest.approx(3 * 2.0 * 65536 * n2)
     c3 = roofline.transform_cost(1, 16384, "fft")
     assert [k for _, k in c3["stages"]] == [128, 128]
     assert c3["flops"] == pytest.approx(
