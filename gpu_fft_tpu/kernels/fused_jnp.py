@@ -30,6 +30,7 @@ __all__ = [
     "fused_fft_jnp",
     "fused_fft_jnp_folded",
     "fused_fft_jnp_half",
+    "fused_irfft_jnp",
     "stage_a_jnp",
     "stage_b_jnp",
     "stage_b_half_jnp",
@@ -292,6 +293,65 @@ def stage_b_half_jnp(yr, yi, n1: int, n2: int, t: dict):
     out_r = jnp.transpose(f_r, (0, 3, 2, 1)).reshape(b, n)
     out_i = jnp.transpose(f_i, (0, 3, 2, 1)).reshape(b, n)
     return out_r, out_i
+
+
+def fused_irfft_jnp(xr, xi, plan: dict):
+    """Real-output inverse of a full Hermitian spectrum, Hermitian-FOLDED.
+
+    The dual of :func:`fused_fft_jnp_half`: instead of computing half the
+    spectrum and mirroring, fold the conjugate half of the INPUT before the
+    matmuls.  With the spectrum as a (n2, n1) grid (flat k = k1 + n1*k2),
+    column n1-k1 is a conjugate k2-reversal of column k1, so
+
+        x[m1*n2 + m2] = Re( sum_{k1=0}^{n1/2} c_k1 * w_{n1}^{m1 k1}
+                            * w_n^{m2 k1} * G[k1, m2] ) * scale,
+        G[k1, m2] = sum_{k2} X[k1 + n1*k2] * w_{n2}^{m2 k2},
+
+    (c and scale folded into the plan tables).  Costs: stage 1 reads and
+    contracts only h1 = n1/2 + 1 grid columns (half); the twiddle acts on
+    half; stage 2 needs only the REAL part — two real einsums over a full
+    n1/2 = MXU-tile contraction plus a rank-1 Nyquist broadcast — and its
+    'bkm,kM->bMm' output order IS the natural-order signal (zero
+    transposes, zero mirror).  ~2.7x the full inverse's FLOP cut
+    (docs/ABLATION.md §14).
+
+    ``xr, xi``: (B, n) full split-complex Hermitian spectrum (only the
+    k1 <= n1/2 grid columns are read — XLA dead-code-eliminates the rest
+    of any producer that feeds this directly).  Returns the (B, n) real
+    signal.  Correct ONLY for Hermitian input (real-signal spectra).
+    """
+    b, n = xr.shape
+    n1, n2, h1 = plan["n1"], plan["n2"], plan["h1"]
+    assert n == n1 * n2, (n, n1, n2)
+    gr = xr.reshape(b, n2, n1)[:, :, :h1]  # [b, k2, k1]
+    gi = xi.reshape(b, n2, n1)[:, :, :h1]
+
+    def cm(eq, ar, ai, prefix):
+        if KARATSUBA:
+            k1 = jnp.einsum(eq, ar + ai, plan[prefix + "r"], precision=_prec())
+            k2 = jnp.einsum(eq, ar, plan[prefix + "d"], precision=_prec())
+            k3 = jnp.einsum(eq, ai, plan[prefix + "s"], precision=_prec())
+            return k1 - k3, k1 + k2
+        pr = jnp.einsum(eq, ar, plan[prefix + "r"], precision=_prec())
+        pi = jnp.einsum(eq, ai, plan[prefix + "i"], precision=_prec())
+        qr = jnp.einsum(eq, ar, plan[prefix + "i"], precision=_prec())
+        qi = jnp.einsum(eq, ai, plan[prefix + "r"], precision=_prec())
+        return pr - pi, qr + qi
+
+    # Stage 1: contract k2 -> m2; k1 rides a major row axis, m2 on lanes.
+    gr_m, gi_m = cm("bck,cm->bkm", gr, gi, "g2")  # (b, h1, n2)
+    twr = plan["twr"][None]  # (h1, n2) = [k1, m2]
+    twi = plan["twi"][None]
+    zr = gr_m * twr - gi_m * twi
+    zi = gr_m * twi + gi_m * twr
+    # Stage 2: contract k1 in [0, n1/2) — real part only, natural order out.
+    half = n1 // 2
+    out = jnp.einsum(
+        "bkm,kM->bMm", zr[:, :half, :], plan["w1r"], precision=_prec()
+    ) - jnp.einsum("bkm,kM->bMm", zi[:, :half, :], plan["w1i"], precision=_prec())
+    # Nyquist (k1 = n1/2) column: stage-2 factor is scale * (-1)^m1 (real).
+    out = out + plan["alt"][None, :, None] * zr[:, half, :][:, None, :]
+    return out.reshape(b, n)
 
 
 def stage_a_jnp(x3r, x3i, plan: dict):

@@ -32,9 +32,11 @@ from .. import config
 from ..config import FUSED_MAX
 from ..plan import (
     get_fused_plan,
+    get_irfft_plan,
     get_pack_tables,
     get_stage_a_plan,
     half_spectrum_applies,
+    irfft_half_applies,
     rfft_pack_applies,
     use_folded_layout,
     wide_split_applies,
@@ -44,11 +46,36 @@ from .fused_jnp import (
     fused_fft_jnp,
     fused_fft_jnp_folded,
     fused_fft_jnp_half,
+    fused_irfft_jnp,
     stage_b_half_jnp,
     stage_b_jnp,
 )
 
-__all__ = ["transform_any"]
+__all__ = ["transform_any", "inverse_real"]
+
+
+def inverse_real(xr, xi, n: int, scale: float | None = None):
+    """Real-output inverse transform of a HERMITIAN (B, n) spectrum.
+
+    The real-output dual of ``transform_any(xr, None, ...)``'s real-input
+    paths: every consumer that inverts a real signal's spectrum (irfft,
+    convolution/filtering epilogues, istft) discards the imaginary part,
+    so for n >= tuning.irfft_half_min the conjugate half of the INPUT is
+    folded before the matmuls (kernels/fused_jnp.py:fused_irfft_jnp) —
+    half the stage-1 contraction, real-only stage 2, natural output order.
+    Measured v5e: 1.11-1.46x at every (B, n) with n >= 2^15; below that
+    the full inverse's better-tiled batched contractions win, so this
+    falls back to ``transform_any`` + drop imag (docs/ABLATION.md §14).
+
+    Unnormalized unless ``scale`` is given (1/n for numpy irfft
+    semantics); at folded sizes the scale lives in the plan tables (zero
+    extra passes).  Correct ONLY for Hermitian input — garbage in the
+    conjugate half silently changes the answer rather than erroring.
+    """
+    if n <= FUSED_MAX and n >= 16 and irfft_half_applies(n):
+        return fused_irfft_jnp(xr, xi, get_irfft_plan(n, scale=scale))
+    yr, _ = transform_any(xr, xi, n, +1, scale=scale)
+    return yr
 
 
 def transform_any(xr, xi, n: int, sign: int, scale: float | None = None):

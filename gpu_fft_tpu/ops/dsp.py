@@ -76,8 +76,11 @@ def fft_convolve_device(a, b):
     br, bi = transform_any(pb, None, m, -1)
     cr = ar * br - ai * bi
     ci = ar * bi + ai * br
-    yr, _ = transform_any(cr, ci, m, +1)
-    out = yr[:, :lfull] * jnp.float32(1.0 / m)
+    # Real-output inverse with the Hermitian-fold dispatch (1/m in-table).
+    from ..kernels.large import inverse_real
+
+    yr = inverse_real(cr, ci, m, scale=1.0 / m)
+    out = yr[:, :lfull]
     return out[0] if squeeze else out
 
 
@@ -125,8 +128,10 @@ def fft_convolve(a, b, mode: str = "full"):
     fr, fi = transform_any(jnp.asarray(pair), None, m, -1)
     cr = fr[0] * fr[1] - fi[0] * fi[1]
     ci = fr[0] * fi[1] + fi[0] * fr[1]
-    yr, _ = transform_any(cr[None], ci[None], m, +1)
-    full = np.asarray(yr[0])[:lfull] / np.float32(m)
+    from ..kernels.large import inverse_real
+
+    yr = inverse_real(cr[None], ci[None], m, scale=1.0 / m)
+    full = np.asarray(yr[0])[:lfull]
     if mode == "full":
         return full
     if mode == "same":

@@ -76,7 +76,7 @@ def oaconvolve_device(x, h, block: int | None = None):
     """
     import jax.numpy as jnp
 
-    from ..kernels.large import transform_any
+    from ..kernels.large import inverse_real, transform_any
     from .transform import next_power_of_two
 
     x = jnp.asarray(x, dtype=jnp.float32)
@@ -130,10 +130,11 @@ def oaconvolve_device(x, h, block: int | None = None):
     xi = xi.reshape(b, nblocks, m)
     cr = xr * hr[:, None, :] - xi * hi[:, None, :]
     ci = xr * hi[:, None, :] + xi * hr[:, None, :]
-    yr, _ = transform_any(
-        cr.reshape(b * nblocks, m), ci.reshape(b * nblocks, m), m, +1
-    )
-    blocks = yr.reshape(b, nblocks, m) * jnp.float32(1.0 / m)
+    # Real-output inverse: folds the Hermitian half of the product spectrum
+    # before the matmuls when the block length clears tuning.irfft_half_min
+    # (docs/ABLATION.md §14); the 1/m normalization rides the plan tables.
+    yr = inverse_real(cr.reshape(b * nblocks, m), ci.reshape(b * nblocks, m), m, scale=1.0 / m)
+    blocks = yr.reshape(b, nblocks, m)
 
     # Overlap-add: block k spans [k*hop, k*hop + m).  Since m <= 2*hop
     # (cost model guarantees m >= 2*lh so the tail lh-1 < hop), each tail
@@ -653,14 +654,14 @@ class FIRStream:
                 f"FIRStream.step expects ({self.batch}, {self.chunk}) chunks, "
                 f"got {x.shape}"
             )
-        from ..kernels.large import transform_any
+        from ..kernels.large import inverse_real, transform_any
 
         xp = jnp.pad(x, ((0, 0), (0, self._m - self.chunk)))
         xr, xi = transform_any(xp, None, self._m, -1)
         cr = xr * self._hr - xi * self._hi
         ci = xr * self._hi + xi * self._hr
-        yfull, _ = transform_any(cr, ci, self._m, +1)
-        full = yfull[:, : self.chunk + self.taps - 1] * jnp.float32(1.0 / self._m)
+        yfull = inverse_real(cr, ci, self._m, scale=1.0 / self._m)
+        full = yfull[:, : self.chunk + self.taps - 1]
         t = self.taps - 1
         y = full[:, : self.chunk]
         if t > 0:

@@ -326,6 +326,19 @@ def irfft_device(xr, xi, backend=None):
     xi = xi.at[..., 0].set(0.0).at[..., h - 1].set(0.0)
     full_r = jnp.concatenate([xr, jnp.flip(xr[..., 1:-1], axis=-1)], axis=-1)
     full_i = jnp.concatenate([xi, -jnp.flip(xi[..., 1:-1], axis=-1)], axis=-1)
+    resolved = resolve_backend(backend)
+    if resolved is Backend.PALLAS and n >= 16:
+        # Default device path: real-output inverse with the Hermitian-fold
+        # dispatch (kernels/large.py:inverse_real) — the fold reads only
+        # the k1 <= n1/2 grid columns, so XLA dead-code-eliminates the
+        # mirrored half of the reconstruction above at the winning sizes.
+        from ..kernels.large import inverse_real
+
+        squeeze = full_r.ndim == 1
+        rr = full_r[None] if squeeze else full_r
+        ri = full_i[None] if squeeze else full_i
+        yr = inverse_real(rr, ri, n, scale=1.0 / n)
+        return yr[0] if squeeze else yr
     yr, _ = ifft_device(full_r, full_i, backend=backend)
     return yr
 

@@ -58,6 +58,21 @@ def rfft_pack_applies(b: int, n: int) -> bool:
     return n >= get_tuning().rfft_pack_min
 
 
+def irfft_half_applies(n: int) -> bool:
+    """Real-OUTPUT inverse transforms fold the Hermitian half of the input
+    spectrum BEFORE the matmuls (X[n-k] = conj(X[k]) makes the k1 > n1/2
+    grid columns exact conjugate k2-reversals of the kept ones, so their
+    stage contributions are conjugates and out = Re(sum over k1 <= n1/2)).
+
+    Halves the first matmul stage AND reads only half the spectrum; the
+    second stage needs only the REAL part — two real matmuls instead of
+    four — with the natural output order falling out of the einsum (zero
+    transposes, zero mirror).  ~2.7x FLOP cut vs the full complex inverse
+    (docs/ABLATION.md §14).
+    """
+    return n >= get_tuning().irfft_half_min
+
+
 def half_spectrum_applies(n: int) -> bool:
     """Real-input transforms compute only the k1 <= n1/2 spectrum half and
     mirror the rest (Hermitian symmetry: X[n-k] = conj(X[k]) for real input,
@@ -187,6 +202,53 @@ def get_fused_plan(n: int, sign: int, wide: bool = False, scale: float | None = 
         "twr": twr, "twi": twi,
     }
     return FusedPlan(n=n, sign=sign, kind="fourstep", n1=n1, n2=n2, tables=tables)
+
+
+@functools.lru_cache(maxsize=None)
+def get_irfft_plan(n: int, scale: float | None = None) -> dict:
+    """Tables for the real-output Hermitian-fold inverse (fused sizes).
+
+    Math (kernels/fused_jnp.py:fused_irfft_jnp): with the spectrum viewed
+    as a (n2, n1) grid (flat k = k1 + n1*k2), Hermitian symmetry makes
+    column n1-k1 a conjugate k2-reversal of column k1, so the k1 > n1/2
+    terms of x[m1*n2 + m2] = (1/n) sum w_{n1}^{m1 k1} w_n^{m2 k1} G[k1, m2]
+    are conjugates of the kept ones and the output is
+    Re(sum_{k1<=n1/2} c_k1 * ...), c_0 = c_{n1/2} = 1, else 2.
+
+    Tables (all sign +1, f64-generated):
+      * ``g2*``  — (n2, n2) DFT contracting k2 -> m2 (+ Karatsuba variants).
+      * ``twr/twi`` — (h1, n2) twiddle w_n^{+k1 m2}, h1 = n1/2 + 1.
+      * ``w1r/w1i`` — (n1/2, n1) final stage w_{n1}^{+m1 k1} with the
+        c_k1 weights AND ``scale`` folded in; rows k1 in [0, n1/2) keep the
+        contraction a full MXU tile (the +1th Nyquist row would pad the
+        contraction from n1/2 to the next 128 multiple).
+      * ``alt`` — (n1,) scale * (-1)^m1: the k1 = n1/2 Nyquist column's
+        stage-2 factor is real, so its contribution is a rank-1 broadcast.
+    """
+    if n & (n - 1) or n < 16:
+        raise ValueError(f"irfft plans require power-of-two n >= 16, got {n}")
+    if n > FUSED_MAX:
+        raise ValueError(f"n={n} exceeds FUSED_MAX={FUSED_MAX}")
+    n1, n2 = balanced_split(n)
+    h1 = n1 // 2 + 1
+    k = 1.0 if scale is None else float(scale)
+    g2r, g2i, g2s, g2d = dft_matrix_ext(n2, +1)
+    twr, twi = twiddle_table(h1, n2, n, +1)
+    half = n1 // 2
+    red = np.mod(
+        np.outer(np.arange(half, dtype=np.int64), np.arange(n1, dtype=np.int64)), n1
+    ).astype(np.float64)
+    ang = (2.0 * np.pi / n1) * red
+    c = np.full((half, 1), 2.0 * k)
+    c[0] = k
+    w1r = (np.cos(ang) * c).astype(np.float32)
+    w1i = (np.sin(ang) * c).astype(np.float32)
+    alt = (k * (-1.0) ** np.arange(n1, dtype=np.float64)).astype(np.float32)
+    return {
+        "n1": n1, "n2": n2, "h1": h1,
+        "g2r": g2r, "g2i": g2i, "g2s": g2s, "g2d": g2d,
+        "twr": twr, "twi": twi, "w1r": w1r, "w1i": w1i, "alt": alt,
+    }
 
 
 # Stage-A digit: n1 = 128 at every measured N (the full n1 x engine sweep is

@@ -58,6 +58,10 @@ class ChipTuning:
         rest via Hermitian symmetry (§13: halves the post-twiddle matmul
         stage and the trailing transposes; wins 1.18-1.35x at every
         measured (B, n) with n >= 2^15, ~breaks even at 2^14).
+      * ``irfft_half_min`` — smallest n where a real-OUTPUT inverse folds
+        the conjugate half of the input spectrum before the matmuls (§14:
+        the dual of half_spectrum — half the stage-1 contraction, real-only
+        stage 2, natural output order).
     """
 
     name: str
@@ -70,6 +74,7 @@ class ChipTuning:
     oa_block_min: int
     rfft_pack_min: int
     half_spectrum_min: int
+    irfft_half_min: int
     calibrated: bool  # True = measured on this chip; False = transferred
     note: str
 
@@ -94,6 +99,12 @@ _V5E = ChipTuning(
     # from 2^15 up (2^16: 1.11x B=1, 1.27x B=2, 1.35x B=16); 2^14 breaks
     # even (0.97x), so the gate opens at 2^15.
     half_spectrum_min=1 << 15,
+    # Real-output inverse Hermitian fold: measured v5e 2026-08
+    # (docs/ABLATION.md §14) — 1.11-1.46x at every (B, n) with n >= 2^15
+    # (2^16: 1.28x B=1, 1.46x B=16); below that the full inverse's
+    # better-tiled batched contractions win (2^12 B=16: 0.62x), so the
+    # gate opens at 2^15, mirroring half_spectrum_min.
+    irfft_half_min=1 << 15,
     calibrated=True,
     note="measured on v5e 2026-08 (docs/ABLATION.md §3, §7, §9, §10, §11)",
 )

@@ -1,0 +1,101 @@
+"""Real-output inverse Hermitian-fold path (kernels/fused_jnp.py:fused_irfft_jnp).
+
+The dual of the forward half-spectrum path: real-output inverses fold the
+conjugate half of the input spectrum before the matmuls for
+n >= tuning.irfft_half_min (measured v5e gate 2^15, docs/ABLATION.md §14).
+The CPU test mesh mirrors the v5e tuning row, so both sides of the gate are
+exercised here: n = 2^14 takes the full complex inverse, n >= 2^15 the fold.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gpu_fft_tpu.kernels.fused_jnp import fused_irfft_jnp
+from gpu_fft_tpu.kernels.large import inverse_real, transform_any
+from gpu_fft_tpu.plan import get_irfft_plan, irfft_half_applies
+
+
+def _hermitian_spectrum(rng, b, n):
+    x = rng.standard_normal((b, n)).astype(np.float32)
+    X = np.fft.fft(x.astype(np.float64), axis=-1)
+    return x, X.real.astype(np.float32), X.imag.astype(np.float32)
+
+
+def _bound(n):
+    return 5 * np.log2(n) * np.finfo(np.float32).eps
+
+
+@pytest.mark.parametrize("n", [16, 256, 4096, 1 << 14, 1 << 15, 1 << 16])
+@pytest.mark.parametrize("b", [1, 3])
+def test_fused_irfft_matches_numpy(n, b):
+    """The fold kernel itself reconstructs the signal at every fused size."""
+    rng = np.random.default_rng(n + b)
+    x, xr, xi = _hermitian_spectrum(rng, b, n)
+    plan = get_irfft_plan(n, scale=1.0 / n)
+    out = np.asarray(fused_irfft_jnp(jnp.asarray(xr), jnp.asarray(xi), plan))
+    err = np.abs(out - x).max() / np.abs(x).max()
+    assert err < _bound(n), f"n={n} b={b}: relative error {err:.2e}"
+
+
+@pytest.mark.parametrize("n", [1 << 14, 1 << 15, 1 << 16, 1 << 17])
+def test_inverse_real_dispatch_matches_full_inverse(n):
+    """inverse_real == transform_any(+1).real on both sides of the gate
+    (2^14 full path, 2^15/2^16 fold, 2^17 staged fallback)."""
+    rng = np.random.default_rng(n)
+    x, xr, xi = _hermitian_spectrum(rng, 2, n)
+    got = np.asarray(inverse_real(jnp.asarray(xr), jnp.asarray(xi), n, scale=1.0 / n))
+    ref, _ = transform_any(jnp.asarray(xr), jnp.asarray(xi), n, +1, scale=1.0 / n)
+    np.testing.assert_allclose(got, np.asarray(ref), atol=5e-4 * np.abs(x).max())
+    err = np.abs(got - x).max() / np.abs(x).max()
+    assert err < _bound(n)
+
+
+def test_gate_is_tuning_driven():
+    assert not irfft_half_applies(1 << 14)
+    assert irfft_half_applies(1 << 15)
+
+
+def test_plan_rejects_bad_n():
+    with pytest.raises(ValueError):
+        get_irfft_plan(48)  # not a power of two
+    with pytest.raises(ValueError):
+        get_irfft_plan(8)  # below the minimum
+
+
+def test_unnormalized_scale_none():
+    """scale=None means the unnormalized inverse (n * signal)."""
+    rng = np.random.default_rng(7)
+    n = 1 << 15
+    x, xr, xi = _hermitian_spectrum(rng, 1, n)
+    out = np.asarray(inverse_real(jnp.asarray(xr), jnp.asarray(xi), n))
+    err = np.abs(out / n - x).max() / np.abs(x).max()
+    assert err < _bound(n)
+
+
+def test_oaconvolve_large_block_rides_fold():
+    """A block length past the gate (2^15) keeps scipy parity."""
+    from gpu_fft_tpu.ops.filter import oaconvolve
+
+    scipy_signal = pytest.importorskip("scipy.signal")
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal(100_000).astype(np.float32)
+    h = rng.standard_normal(4_097).astype(np.float32)
+    got = oaconvolve(x, h, block=1 << 15)
+    ref = scipy_signal.oaconvolve(x.astype(np.float64), h.astype(np.float64))
+    assert got.shape == ref.shape
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 2e-5
+
+
+@pytest.mark.parametrize("n", [1 << 15, 1 << 16])
+def test_irfft_device_roundtrip_past_gate(n):
+    from gpu_fft_tpu.ops.transform import irfft_device, rfft_device
+
+    rng = np.random.default_rng(n)
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    yr, yi = rfft_device(jnp.asarray(x))
+    back = np.asarray(irfft_device(yr, yi))
+    err = np.abs(back - x).max() / np.abs(x).max()
+    assert err < 2 * _bound(n)
