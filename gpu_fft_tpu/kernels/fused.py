@@ -178,13 +178,18 @@ def _stage_a_complex_kernel_full(
     yi_ref[0] = yi
 
 
-def stage_a(xr, xi, n1: int, n2: int, tables, col_tile: int):
+def stage_a(xr, xi, n1: int, n2: int, tables, col_tile: int, col_tiles: int | None = None):
     """Run the column-DFT+twiddle stage over a (B, n1, n2) view.
 
     ``tables``: f1 group (n1 x n1, ext) + twiddle — either factored
     (``two_r/two_i`` (n1, n2/ct) + ``twi_r/twi_i`` (n1, ct), the production
     layout from ``plan.get_stage_a_plan``) or a materialized (n1, n2)
     ``twr/twi`` pair (legacy).  Returns split-complex (B, n1, n2).
+
+    ``col_tiles`` limits the grid to the FIRST ``col_tiles`` column tiles,
+    returning (B, n1, col_tiles * col_tile) — the real-output inverse only
+    needs columns c <= n2/2 (the rest are conjugate mirrors,
+    plan.get_stage_b_irfft_plan), so it skips ~half the stage-A programs.
     """
     b = xr.shape[0]
     factored = "two_r" in tables
@@ -192,7 +197,11 @@ def stage_a(xr, xi, n1: int, n2: int, tables, col_tile: int):
         raise ValueError(
             f"col_tile {col_tile} does not match the plan's factored tile {tables['ct']}"
         )
-    grid = (b, n2 // col_tile)
+    n_tiles = n2 // col_tile if col_tiles is None else col_tiles
+    if not 1 <= n_tiles <= n2 // col_tile:
+        raise ValueError(f"col_tiles {col_tiles} out of range for n2={n2}, ct={col_tile}")
+    n2 = n_tiles * col_tile  # output width: the kept column range
+    grid = (b, n_tiles)
     x_spec = _vmem_spec((1, n1, col_tile), lambda i, j: (i, 0, j))
     f_spec = lambda shape: pl.BlockSpec(shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
     if factored:

@@ -32,6 +32,7 @@ __all__ = [
     "fused_fft_jnp_half",
     "fused_irfft_jnp",
     "stage_a_jnp",
+    "stage_b_irfft_jnp",
     "stage_b_jnp",
     "stage_b_half_jnp",
 ]
@@ -352,6 +353,116 @@ def fused_irfft_jnp(xr, xi, plan: dict):
     # Nyquist (k1 = n1/2) column: stage-2 factor is scale * (-1)^m1 (real).
     out = out + plan["alt"][None, :, None] * zr[:, half, :][:, None, :]
     return out.reshape(b, n)
+
+
+def stage_b_irfft_jnp(yr, yi, n1: int, t: dict):
+    """Real-output stage B for the staged inverse: per-row Hermitian fold.
+
+    ``yr, yi``: (B, n1, n2) post-twiddle stage-A output of a HERMITIAN
+    spectrum's staged inverse (sign +1).  Each k1 row is itself Hermitian
+    over n2 — Z[k1, n2-c] = conj(Z[k1, c]) exactly (phase proof in
+    plan.py:get_stage_b_irfft_plan) — so stage B applies the fused-size
+    fold (:func:`fused_irfft_jnp`) per row with the fold digit on the row
+    layout's minor axis: stage 1 contracts the m1 digit over only
+    h = 65 of the 128 minor-digit columns, the twiddle acts on half, and
+    stage 2 is two real einsums whose ``bKqm,qM->bMmK`` output order IS
+    the globally digit-reversed natural order (K = the stage-A k1 digit
+    rides the minor output axis; zero transposes), plus the rank-1
+    Nyquist broadcast.  ``t`` is ``plan.get_stage_b_irfft_plan(n, scale)``
+    — scale and the c_q fold weights live in the ``w1``/``alt`` tables.
+
+    Returns the (B, n) REAL signal, natural order.
+    """
+    Q, P = t["n1"], t["n2"]  # Q = 128 fold digit (minor), P = m1
+    b = yr.shape[0]
+    gr = yr.reshape(b, n1, P, Q)[..., : t["h1"]]  # [b, K, p, q]
+    gi = yi.reshape(b, n1, P, Q)[..., : t["h1"]]
+    return stage_b_irfft_from_half(gr, gi, t)
+
+
+def irfft_fold_columns(zr, zi, t: dict):
+    """Build the fold's (B, n1, P, h) input from HALF the stage-A columns.
+
+    ``zr, zi``: (B, n1, W) — the first W >= n2/2 + 1 post-twiddle stage-A
+    columns (``stage_a(..., col_tiles=G)``).  The remaining columns are
+    conjugate mirrors — Z[k1, n2-c] = conj(Z[k1, c]) exactly (phase proof
+    in plan.py:get_stage_b_irfft_plan) — so the p >= P/2 blocks of the
+    fold input g[p, q] = Z[p*Q + q], q <= Q/2, reconstruct as pure
+    axis-reversals of the computed range:
+
+      q in [1, Q/2]: g[p, q] = conj(Z[(P-1-p)*Q + (Q-q)]) — a 2-D rev over
+        (p, q) of the computed blocks' upper-q half (the cheap reversal
+        form, never a flat rev — docs/ABLATION.md §11);
+      q = 0:         g[p, 0] = conj(Z[(P-p)*Q]) — a rev of the block-start
+        plane shifted by one block (sources c = Q..(P/2)*Q <= n2/2, all
+        within the computed range).
+
+    This is what lets the real-output staged inverse skip ~half the
+    stage-A programs — the dominant cost of the staged path.
+    """
+    from jax import lax
+
+    b, n1 = zr.shape[0], zr.shape[1]
+    Q, P, h = t["n1"], t["n2"], t["h1"]
+    ph = P // 2
+    assert zr.shape[2] >= ph * Q + 1, (zr.shape, P, Q)
+    blk_r = zr[:, :, : ph * Q].reshape(b, n1, ph, Q)
+    blk_i = zi[:, :, : ph * Q].reshape(b, n1, ph, Q)
+    lo_r = blk_r[..., :h]
+    lo_i = blk_i[..., :h]
+    # p >= P/2, q in [1, Q/2]: rev over (p', q') of the q' in (Q/2, Q) half.
+    hi_r = lax.rev(blk_r[..., Q - h + 1 :], (2, 3))
+    hi_i = -lax.rev(blk_i[..., Q - h + 1 :], (2, 3))
+    # p >= P/2, q = 0: sources Z[(P-p)*Q] = block starts p'' in [1, P/2]
+    # reversed; the p'' = P/2 start is column n2/2 itself.
+    q0_r = jnp.concatenate(
+        [blk_r[:, :, 1:, 0], zr[:, :, ph * Q : ph * Q + 1]], axis=2
+    )  # (b, n1, ph) block starts p'' = 1..P/2
+    q0_i = jnp.concatenate([blk_i[:, :, 1:, 0], zi[:, :, ph * Q : ph * Q + 1]], axis=2)
+    q0_r = lax.rev(q0_r, (2,))[..., None]
+    q0_i = -lax.rev(q0_i, (2,))[..., None]
+    gr = jnp.concatenate([lo_r, jnp.concatenate([q0_r, hi_r], axis=3)], axis=2)
+    gi = jnp.concatenate([lo_i, jnp.concatenate([q0_i, hi_i], axis=3)], axis=2)
+    return gr, gi
+
+
+def stage_b_irfft_from_half(gr, gi, t: dict):
+    """The fold contraction on a pre-built (B, n1, P, h) input; see
+    :func:`stage_b_irfft_jnp` (which builds the input by slicing a full
+    stage-A output) and :func:`irfft_fold_columns` (which builds it from
+    half the columns)."""
+    b, n1 = gr.shape[0], gr.shape[1]
+    Q, P = t["n1"], t["n2"]
+
+    def cm(eq, ar, ai, prefix):
+        if KARATSUBA:
+            k1 = jnp.einsum(eq, ar + ai, t[prefix + "r"], precision=_prec())
+            k2 = jnp.einsum(eq, ar, t[prefix + "d"], precision=_prec())
+            k3 = jnp.einsum(eq, ai, t[prefix + "s"], precision=_prec())
+            return k1 - k3, k1 + k2
+        pr = jnp.einsum(eq, ar, t[prefix + "r"], precision=_prec())
+        pi = jnp.einsum(eq, ai, t[prefix + "i"], precision=_prec())
+        qr = jnp.einsum(eq, ar, t[prefix + "i"], precision=_prec())
+        qi = jnp.einsum(eq, ai, t[prefix + "r"], precision=_prec())
+        return pr - pi, qr + qi
+
+    # Stage 1: contract the major row digit p -> m over the kept half.
+    gr_m, gi_m = cm("bKpq,pm->bKqm", gr, gi, "g2")  # (b, n1, h, P)
+    twr = t["twr"][None, None]  # (h, P) = [q, m]
+    twi = t["twi"][None, None]
+    zr = gr_m * twr - gi_m * twi
+    zi = gr_m * twi + gi_m * twr
+    # Stage 2: contract q in [0, Q/2), REAL part only; output order
+    # [b, M, m, K] flattens to the global natural order k = K + n1*(M*P+m).
+    half = Q // 2
+    out = jnp.einsum(
+        "bKqm,qM->bMmK", zr[:, :, :half, :], t["w1r"], precision=_prec()
+    ) - jnp.einsum("bKqm,qM->bMmK", zi[:, :, :half, :], t["w1i"], precision=_prec())
+    # Nyquist (q = Q/2): stage-2 factor is scale * (-1)^M, a real rank-1
+    # broadcast of the (b, K, P) Nyquist slice.
+    nyq = jnp.transpose(zr[:, :, half, :], (0, 2, 1))  # (b, P, n1) = [b, m, K]
+    out = out + t["alt"][None, :, None, None] * nyq[:, None, :, :]
+    return out.reshape(b, n1 * P * Q)
 
 
 def stage_a_jnp(x3r, x3i, plan: dict):

@@ -37,6 +37,7 @@ from ..plan import (
     get_stage_a_plan,
     half_spectrum_applies,
     irfft_half_applies,
+    irfft_half_staged_applies,
     rfft_pack_applies,
     use_folded_layout,
     wide_split_applies,
@@ -48,6 +49,7 @@ from .fused_jnp import (
     fused_fft_jnp_half,
     fused_irfft_jnp,
     stage_b_half_jnp,
+    stage_b_irfft_jnp,
     stage_b_jnp,
 )
 
@@ -74,6 +76,37 @@ def inverse_real(xr, xi, n: int, scale: float | None = None):
     """
     if n <= FUSED_MAX and n >= 16 and irfft_half_applies(n):
         return fused_irfft_jnp(xr, xi, get_irfft_plan(n, scale=scale))
+    if n > FUSED_MAX and irfft_half_staged_applies(n):
+        from ..plan import get_stage_b_irfft_plan
+
+        bt = get_stage_b_irfft_plan(n, scale=scale)
+        if bt is not None:
+            from .fused_jnp import irfft_fold_columns, stage_b_irfft_from_half
+
+            b = xr.shape[0]
+            plan = get_stage_a_plan(n, +1)
+            n1, n2, ct = plan["n1"], plan["n2"], plan["ct"]
+            x3r = xr.reshape(b, n1, n2)
+            x3i = xi.reshape(b, n1, n2)
+            # Hermitian input makes the post-twiddle stage-A output itself
+            # conjugate-symmetric over columns (Z[k1, n2-c] = conj(Z[k1, c]),
+            # phase proof in plan.get_stage_b_irfft_plan), so stage A — the
+            # dominant staged cost — runs on only the first ceil((n2/2+1)/ct)
+            # column tiles and the rest reconstruct as cheap axis-reversals
+            # (kernels/fused_jnp.py:irfft_fold_columns).
+            tiles = -(-(n2 // 2 + 1) // ct)
+            if config.PRECISION == "high":
+                from .fused_jnp import stage_a_jnp
+
+                yr, yi = stage_a_jnp(x3r, x3i, plan)
+                yr = yr[:, :, : tiles * ct]
+                yi = yi[:, :, : tiles * ct]
+            else:
+                yr, yi = stage_a(x3r, x3i, n1, n2, plan, ct, col_tiles=tiles)
+            g_r, g_i = irfft_fold_columns(yr, yi, bt)
+            # Per-row Hermitian fold stage B: half the stage-1 contraction,
+            # real-only stage 2, digit reversal folded into the output order.
+            return stage_b_irfft_from_half(g_r, g_i, bt)
     yr, _ = transform_any(xr, xi, n, +1, scale=scale)
     return yr
 

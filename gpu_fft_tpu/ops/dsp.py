@@ -321,3 +321,96 @@ def ifftshift(x, axes=None):
 
         return jnp.fft.ifftshift(x, axes=axes)
     return np.fft.ifftshift(np.asarray(x), axes=axes)
+
+
+def fftfreq(n: int, d: float = 1.0):
+    """Sample frequencies of an n-point FFT (``numpy.fft.fftfreq``).
+
+    >>> fftfreq(4, d=0.25).tolist()
+    [0.0, 1.0, -2.0, -1.0]
+    """
+    if n < 1:
+        raise ValueError(f"fftfreq requires n >= 1, got {n}")
+    return np.fft.fftfreq(n, d=d).astype(np.float32)
+
+
+def rfftfreq(n: int, d: float = 1.0):
+    """Sample frequencies of an n-point one-sided rfft (``numpy.fft.rfftfreq``).
+
+    >>> rfftfreq(8, d=0.125).tolist()
+    [0.0, 1.0, 2.0, 3.0, 4.0]
+    """
+    if n < 1:
+        raise ValueError(f"rfftfreq requires n >= 1, got {n}")
+    return np.fft.rfftfreq(n, d=d).astype(np.float32)
+
+
+def next_fast_len(target: int, real: bool = False):
+    """Smallest transform length >= target that hits the library's fast path.
+
+    Every transform here is a power-of-two MXU matmul plan (the reference
+    pads the same way: ``src/fft.rs:23-27``), so unlike
+    ``scipy.fft.next_fast_len`` (5-smooth) this returns the next power of
+    two.  ``real`` is accepted for scipy signature compatibility and does
+    not change the answer.
+
+    >>> next_fast_len(1000)
+    1024
+    >>> next_fast_len(1024)
+    1024
+    """
+    from .transform import next_power_of_two
+
+    if target < 1:
+        raise ValueError(f"next_fast_len requires target >= 1, got {target}")
+    return max(2, next_power_of_two(target))
+
+
+def hfft(input_real, input_imag):
+    """FFT of a signal with Hermitian symmetry -> real spectrum
+    (``numpy.fft.hfft`` with n = 2*(len(input)-1)).
+
+    The time-domain signal is Hermitian (its h = n//2 + 1 unique samples
+    are given), so its spectrum is REAL — computed as the real-output
+    inverse path un-normalized: hfft(a) == irfft(conj(a)) * n, riding the
+    Hermitian-fold dispatch (kernels/large.py:inverse_real).
+    """
+    from ..kernels.large import inverse_real
+
+    import jax.numpy as jnp
+
+    xr = np.asarray(input_real, dtype=np.float32)
+    xi = np.asarray(input_imag, dtype=np.float32)
+    if xr.shape != xi.shape or xr.ndim != 1:
+        raise ValueError(
+            f"hfft: real and imag must be equal-length 1-D arrays, got {xr.shape} vs {xi.shape}"
+        )
+    h = xr.shape[0]
+    n = 2 * (h - 1)
+    if h < 2 or n & (n - 1):
+        raise ValueError(f"hfft: expected n//2 + 1 samples of a power-of-two n, got {h}")
+    full_r = np.concatenate([xr, xr[1:-1][::-1]])
+    full_i = np.concatenate([-xi, xi[1:-1][::-1]])  # conj, Hermitian-extended
+    full_i[0] = 0.0
+    full_i[h - 1] = 0.0
+    out = inverse_real(jnp.asarray(full_r[None]), jnp.asarray(full_i[None]), n)
+    return np.asarray(out[0])
+
+
+def ihfft(input):
+    """Inverse of :func:`hfft`: real spectrum -> the h = n//2 + 1 unique
+    samples of the Hermitian time signal (``numpy.fft.ihfft`` semantics:
+    returns the conjugate of the forward rfft / n).
+    """
+    from .transform import fft
+
+    x = np.asarray(input, dtype=np.float32)
+    if x.ndim != 1 or x.size < 2:
+        raise ValueError(f"ihfft expects a 1-D real spectrum of length >= 2, got {x.shape}")
+    n = x.shape[0]
+    if n & (n - 1):
+        raise ValueError(f"ihfft: length {n} is not a power of two")
+    re, im = fft(x)
+    h = n // 2 + 1
+    s = np.float32(1.0 / n)
+    return re[:h] * s, -im[:h] * s

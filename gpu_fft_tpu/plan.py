@@ -73,6 +73,14 @@ def irfft_half_applies(n: int) -> bool:
     return n >= get_tuning().irfft_half_min
 
 
+def irfft_half_staged_applies(n: int) -> bool:
+    """Staged real-output inverses run half-column stage A + the per-row
+    stage-B fold from this size up (docs/ABLATION.md §14 addendum: 1.11x
+    at 2^18 rising to 1.28x at 2^22; neutral at 2^17, where the column-tile
+    granularity leaves stage A whole)."""
+    return n >= get_tuning().irfft_half_staged_min
+
+
 def half_spectrum_applies(n: int) -> bool:
     """Real-input transforms compute only the k1 <= n1/2 spectrum half and
     mirror the rest (Hermitian symmetry: X[n-k] = conj(X[k]) for real input,
@@ -205,7 +213,9 @@ def get_fused_plan(n: int, sign: int, wide: bool = False, scale: float | None = 
 
 
 @functools.lru_cache(maxsize=None)
-def get_irfft_plan(n: int, scale: float | None = None) -> dict:
+def get_irfft_plan(
+    n: int, scale: float | None = None, split: tuple[int, int] | None = None
+) -> dict:
     """Tables for the real-output Hermitian-fold inverse (fused sizes).
 
     Math (kernels/fused_jnp.py:fused_irfft_jnp): with the spectrum viewed
@@ -224,12 +234,22 @@ def get_irfft_plan(n: int, scale: float | None = None) -> dict:
         contraction from n1/2 to the next 128 multiple).
       * ``alt`` — (n1,) scale * (-1)^m1: the k1 = n1/2 Nyquist column's
         stage-2 factor is real, so its contribution is a rank-1 broadcast.
+
+    ``split`` overrides the balanced (n1, n2) factorization — n1 is the
+    FOLD digit (the minor digit of the flat index).  The staged stage-B
+    fold passes (m2, m1) = (128, n2/128) so the fold digit matches the
+    row layout's minor digit (get_stage_b_irfft_plan).
     """
     if n & (n - 1) or n < 16:
         raise ValueError(f"irfft plans require power-of-two n >= 16, got {n}")
     if n > FUSED_MAX:
         raise ValueError(f"n={n} exceeds FUSED_MAX={FUSED_MAX}")
-    n1, n2 = balanced_split(n)
+    if split is None:
+        n1, n2 = balanced_split(n)
+    else:
+        n1, n2 = split
+        if n1 * n2 != n or n1 < 4 or n1 & (n1 - 1) or n2 & (n2 - 1):
+            raise ValueError(f"bad irfft split {split} for n={n}")
     h1 = n1 // 2 + 1
     k = 1.0 if scale is None else float(scale)
     g2r, g2i, g2s, g2d = dft_matrix_ext(n2, +1)
@@ -401,3 +421,30 @@ def get_stage_a_plan(n: int, sign: int) -> dict[str, Any]:
             "twr": btwr, "twi": btwi,
         }
     return plan
+
+
+def get_stage_b_irfft_plan(n: int, scale: float | None = None) -> dict | None:
+    """Per-row Hermitian-fold tables for the staged real-output inverse.
+
+    After the staged inverse's stage A + twiddle, each k1 row of the
+    (B, n1, n2) intermediate is ITSELF a Hermitian length-n2 sequence:
+    with S[k1, c] = sum_a w_{n1}^{a k1} X[a*n2 + c] and the input Hermitian
+    (X[n-i] = conj(X[i])), S[k1, n2-c] = conj(w_{n1}^{k1} S[k1, c]), and
+    the stage-A twiddle w_n^{k1(n2-c)} = w_{n1}^{k1} * conj(w_n^{k1 c})
+    supplies exactly the cancelling phase, so Z[k1, n2-c] = conj(Z[k1, c])
+    with no residual factor (kernels/fused_jnp.py:stage_b_irfft_jnp).
+
+    Stage B for real output is then the fused-size fold applied per row:
+    :func:`get_irfft_plan` at length n2 with split (m2, m1) = (128, n2/128)
+    — the fold digit aligned with the row layout's MINOR digit, stage-2
+    contraction 64 deep.  Returns None when stage B is not plannable
+    (forced-small test configs).
+    """
+    n1 = _stage_a_n1(n)
+    n2 = n // n1
+    if not stage_b_plannable(n2) or n2 < 16:
+        return None
+    m1, m2 = n2 // 128, 128
+    if m2 * m1 != n2 or m2 & (m2 - 1):
+        return None
+    return get_irfft_plan(n2, scale=scale, split=(m2, m1))

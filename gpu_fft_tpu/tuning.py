@@ -62,6 +62,11 @@ class ChipTuning:
         the conjugate half of the input spectrum before the matmuls (§14:
         the dual of half_spectrum — half the stage-1 contraction, real-only
         stage 2, natural output order).
+      * ``irfft_half_staged_min`` — smallest STAGED n where the real-output
+        inverse runs stage A on only the first n2/2 column tiles (the rest
+        are conjugate mirrors) + the per-row stage-B fold (§14 addendum:
+        1.11x at 2^18 up to 1.28x at 2^22; ~neutral at 2^17 where the
+        column-tile granularity leaves stage A whole).
     """
 
     name: str
@@ -75,6 +80,7 @@ class ChipTuning:
     rfft_pack_min: int
     half_spectrum_min: int
     irfft_half_min: int
+    irfft_half_staged_min: int
     calibrated: bool  # True = measured on this chip; False = transferred
     note: str
 
@@ -105,6 +111,11 @@ _V5E = ChipTuning(
     # better-tiled batched contractions win (2^12 B=16: 0.62x), so the
     # gate opens at 2^15, mirroring half_spectrum_min.
     irfft_half_min=1 << 15,
+    # Staged real-output inverse: half-column stage A + per-row stage-B
+    # fold, measured v5e 2026-08 (docs/ABLATION.md §14 addendum) — 1.11x
+    # at 2^18, 1.21x at 2^20 B=1, 1.28x at 2^22; 0.96-1.01x at 2^17
+    # (ceil((n2/2+1)/512) = all tiles there), so the gate opens at 2^18.
+    irfft_half_staged_min=1 << 18,
     calibrated=True,
     note="measured on v5e 2026-08 (docs/ABLATION.md §3, §7, §9, §10, §11)",
 )

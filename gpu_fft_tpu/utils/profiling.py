@@ -135,11 +135,22 @@ def chained_step_stats(
         tb = timed(k1 + span_)
         return (tb - ta) / span_
 
-    # Pilot: size the span so chain time dominates readback jitter.
+    # Pilot: size the span so chain time dominates readback jitter.  The
+    # span GROWS GEOMETRICALLY with wall-time feedback (<= 8x per probe)
+    # rather than jumping straight to ceil(min_span_s / pilot): a pilot
+    # drowned in transport noise reads ~0 and the one-shot jump then
+    # requests max_span iterations — at a large-n step that is tens of
+    # seconds of device work in ONE call, which the remote-transport
+    # worker kills (observed as "TPU worker crashed" at n = 2^20).  Each
+    # probe is bounded by ~8x a chain that measured under min_span_s.
+    base = timed(k1)
     span = k2 - k1
-    pilot = max(sample(span), 0.0)
-    want = int(np.ceil(min_span_s / max(pilot, 1e-9)))
-    span = int(min(max_span, max(span, want)))
+    while span < max_span:
+        signal = timed(k1 + span) - base
+        if signal >= min_span_s:
+            break
+        factor = min(8, max(2, int(np.ceil(min_span_s / max(signal, 1e-4)))))
+        span = int(min(max_span, span * factor))
 
     good: list = []
     for _attempt in range(3):
@@ -155,7 +166,11 @@ def chained_step_stats(
         med = float(np.median(good))
         if med * span >= 0.5 * min_span_s or span >= max_span:
             break
-        span = int(min(max_span, max(span * 2, np.ceil(min_span_s / max(med, 1e-9)))))
+        # Same transport-safety bound as the pilot ramp: grow at most 8x
+        # per round so a noise-floor median can never request a chain
+        # longer than ~8x one that just measured fine.
+        want = np.ceil(min_span_s / max(med, 1e-9))
+        span = int(min(max_span, span * 8, max(span * 2, want)))
     suspect = len(good) < len(samples)
     if not good:
         # Even the doubled span drowned in noise; report the floor, flagged.

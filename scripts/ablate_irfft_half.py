@@ -41,19 +41,39 @@ def main():
     enable_compilation_cache()
     rng = np.random.default_rng(0)
 
-    for b, n in [
-        (1, 4096), (16, 4096), (64, 4096),
-        (1, 16384), (4, 16384), (33, 16384),   # 33 = oaconvolve's block count shape
-        (1, 65536), (2, 65536), (16, 65536),
-    ]:
+    import sys
+
+    if len(sys.argv) > 1 and sys.argv[1] == "staged":
+        # The staged-size fold (stage_b_irfft_jnp): inverse_real dispatches
+        # to stage A + per-row fold at these sizes.
+        configs = [
+            (1, 1 << 17), (4, 1 << 17),
+            (1, 1 << 18),
+            (1, 1 << 20), (4, 1 << 20),
+            (1, 1 << 22),
+        ]
+    else:
+        configs = [
+            (1, 4096), (16, 4096), (64, 4096),
+            (1, 16384), (4, 16384), (33, 16384),  # 33 = oaconvolve's block count
+            (1, 65536), (2, 65536), (16, 65536),
+        ]
+    for b, n in configs:
         x = rng.standard_normal((b, n)).astype(np.float32)
         X = np.fft.fft(x.astype(np.float64), axis=-1)
         xr = jnp.asarray(X.real.astype(np.float32))
         xi = jnp.asarray(X.imag.astype(np.float32))
-        plan = get_irfft_plan(n, scale=1.0 / n)
 
-        def half(zr, zi, plan=plan):
-            return fused_irfft_jnp(zr, zi, plan)
+        if n <= 65536:
+            plan = get_irfft_plan(n, scale=1.0 / n)
+
+            def half(zr, zi, plan=plan):
+                return fused_irfft_jnp(zr, zi, plan)
+        else:
+            from gpu_fft_tpu.kernels.large import inverse_real
+
+            def half(zr, zi, n=n):
+                return inverse_real(zr, zi, n, scale=1.0 / n)
 
         def ship(zr, zi, n=n):
             yr, _ = transform_any(zr, zi, n, +1, scale=1.0 / n)

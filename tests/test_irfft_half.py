@@ -39,10 +39,11 @@ def test_fused_irfft_matches_numpy(n, b):
     assert err < _bound(n), f"n={n} b={b}: relative error {err:.2e}"
 
 
-@pytest.mark.parametrize("n", [1 << 14, 1 << 15, 1 << 16, 1 << 17])
+@pytest.mark.parametrize("n", [1 << 14, 1 << 15, 1 << 16, 1 << 17, 1 << 18])
 def test_inverse_real_dispatch_matches_full_inverse(n):
-    """inverse_real == transform_any(+1).real on both sides of the gate
-    (2^14 full path, 2^15/2^16 fold, 2^17 staged fallback)."""
+    """inverse_real == transform_any(+1).real on both sides of both gates
+    (2^14 full path, 2^15/2^16 fused fold, 2^17 staged fallback, 2^18
+    half-column stage A + per-row stage-B fold)."""
     rng = np.random.default_rng(n)
     x, xr, xi = _hermitian_spectrum(rng, 2, n)
     got = np.asarray(inverse_real(jnp.asarray(xr), jnp.asarray(xi), n, scale=1.0 / n))
@@ -53,8 +54,12 @@ def test_inverse_real_dispatch_matches_full_inverse(n):
 
 
 def test_gate_is_tuning_driven():
+    from gpu_fft_tpu.plan import irfft_half_staged_applies
+
     assert not irfft_half_applies(1 << 14)
     assert irfft_half_applies(1 << 15)
+    assert not irfft_half_staged_applies(1 << 17)
+    assert irfft_half_staged_applies(1 << 18)
 
 
 def test_plan_rejects_bad_n():
