@@ -130,6 +130,13 @@ def main() -> None:
 
     # ── Inverse + roundtrip at the headline size ────────────────────────────
     measure("ifft_n65536", fft_inverse_step(65536), dev((1, 65536)), b=1, n=65536, kind="ifft")
+    # Real-output inverse rows: the Hermitian-fold dispatch (ABLATION §14).
+    from gpu_fft_tpu.utils.profiling import irfft_step
+
+    measure("irfft_n65536", irfft_step(65536), dev((1, 65536)), b=1, n=65536, kind="irfft")
+    measure(
+        "irfft_n1048576", irfft_step(1 << 20), dev((1, 1 << 20)), b=1, n=1 << 20, kind="irfft"
+    )
     measure(
         "roundtrip_n65536",
         fft_roundtrip_step(65536),

@@ -277,6 +277,27 @@ def fft_inverse_step(n: int):
     return step
 
 
+def irfft_step(n: int):
+    """x -> inverse_real(x + jx) rescaled — the real-OUTPUT inverse path
+    (Hermitian-fold dispatch, kernels/large.py:inverse_real).  Input
+    aliasing is safe for the same reason as :func:`fft_inverse_step`
+    (Karatsuba contracts real/imag against different tables); timing is
+    shape-driven, so a non-Hermitian operand measures the same program
+    consumers run.  The 1/n scale lives in the plan tables; the sqrt(n/2)
+    rescale keeps the chain steady (one epilogue pass, same harness cost
+    as every other step builder)."""
+    import numpy as _np
+
+    from ..kernels.large import inverse_real
+
+    s = _np.float32(_np.sqrt(n / 2.0))
+
+    def step(x):
+        return inverse_real(x, x, n, scale=1.0 / n) * s
+
+    return step
+
+
 def fft_roundtrip_step(n: int):
     """x -> re(IFFT(FFT(x))) with the 1/n inverse normalization."""
     import numpy as _np

@@ -205,6 +205,52 @@ def transform_stages(b: int, n: int, real_input: bool):
     return stages + s2, elem + e2
 
 
+def irfft_stages(b: int, n: int):
+    """Stage list for the real-OUTPUT inverse (``kernels/large.py:
+    inverse_real``), mirroring its dispatch: the fused Hermitian fold at
+    irfft_half_min <= n <= FUSED_MAX, the half-column stage A + per-row
+    stage-B fold at n >= irfft_half_staged_min, and the full complex
+    inverse + drop-imag otherwise.  Returns (stages, elem_flops,
+    read_fraction) — the fold reads only its kept fraction of the input
+    spectrum, which the byte charge must reflect to keep pct_sol <= 100.
+    """
+    from ..plan import balanced_split, irfft_half_applies, irfft_half_staged_applies
+
+    if n <= FUSED_MAX and n >= 16 and irfft_half_applies(n):
+        n1, n2 = balanced_split(n)
+        h1 = n1 // 2 + 1
+        stages = [
+            # Stage 1: Karatsuba complex contraction of k2 over h1 columns.
+            (3 * 2.0 * b * h1 * n2 * n2, n2),
+            # Stage 2: two REAL einsums contracting n1/2, natural order out.
+            (2 * 2.0 * b * n * (n1 // 2), n1 // 2),
+        ]
+        elem = 6.0 * b * h1 * n2 + 2.0 * b * n  # twiddle + Nyquist broadcast
+        return stages, elem, h1 / n1
+    if n > FUSED_MAX and irfft_half_staged_applies(n):
+        n1 = _stage_a_n1(n)
+        n2 = n // n1
+        from ..plan import stage_a_col_tile
+
+        ct = stage_a_col_tile(n1, n2)
+        w = -(-(n2 // 2 + 1) // ct) * ct  # computed stage-A columns
+        P, q = n2 // 128, 128
+        h = q // 2 + 1
+        stages = [
+            # Half-column complex stage A (Karatsuba).
+            (3 * 2.0 * b * n1 * n1 * w, n1),
+            # Per-row stage-B fold: complex stage 1 over h of q minor cols.
+            (3 * 2.0 * b * n1 * h * P * P, P),
+            # Real-only stage 2 contracting q/2.
+            (2 * 2.0 * b * n * (q // 2), q // 2),
+        ]
+        # stage-A twiddle + fold-input reversal passes + row twiddle.
+        elem = 6.0 * b * n1 * w + 2.0 * b * n + 6.0 * b * n1 * h * P
+        return stages, elem, w / n2
+    stages, elem = transform_stages(b, n, real_input=False)
+    return stages, elem, 1.0
+
+
 def transform_flops(b: int, n: int, real_input: bool) -> float:
     """Total algorithm FLOPs (matmul + elementwise) of one planned transform."""
     stages, elem = transform_stages(b, n, real_input)
@@ -238,6 +284,12 @@ def transform_cost(b: int, n: int, kind: str = "fft") -> dict:
         stages, elem = parts((b, n, False))
         elem += 2.0 * b * n  # 1/N scale
         bytes_ = b * n * f32 * (2 + 2)
+    elif kind == "irfft":
+        # Real-output inverse (inverse_real): Hermitian-fold dispatch; the
+        # fold reads only its kept fraction of the spectrum and the 1/N
+        # scale lives in the plan tables (no extra pass).
+        stages, elem, read_frac = irfft_stages(b, n)
+        bytes_ = b * n * f32 * (2.0 * read_frac + 1)
     elif kind in (
         "roundtrip",
         "roundtrip_batch",

@@ -143,6 +143,12 @@ def main() -> None:
     for n in ([4096, 65536] if not args.quick else [4096]):
         for backend in ("pallas", "xla"):
             run(f"ifft/{backend}/n{n}", "ifft", backend, 1, n, inv(n, backend))
+    if not args.quick:
+        # Real-output inverse rows (the Hermitian-fold dispatch, ABLATION §14).
+        from gpu_fft_tpu.utils.profiling import irfft_step
+
+        for n in (65536, 1 << 20):
+            run(f"irfft/pallas/n{n}", "irfft", "pallas", 1, n, irfft_step(n))
     for b, n in batches:
         for backend in ("pallas", "xla"):
             run(f"fft_batch/{backend}/b{b}_n{n}", "fft_batch", backend, b, n, fwd(n, backend))
