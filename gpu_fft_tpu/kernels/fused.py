@@ -178,7 +178,23 @@ def _stage_a_complex_kernel_full(
     yi_ref[0] = yi
 
 
-def stage_a(xr, xi, n1: int, n2: int, tables, col_tile: int, col_tiles: int | None = None):
+# Tables whose leading axis is k1 — sliceable when only `rows` output rows
+# are needed (the f1 group and every twiddle form).
+_ROW_TABLES = frozenset(
+    {"f1r", "f1i", "f1s", "f1d", "two_r", "two_i", "twi_r", "twi_i", "twr", "twi"}
+)
+
+
+def stage_a(
+    xr,
+    xi,
+    n1: int,
+    n2: int,
+    tables,
+    col_tile: int,
+    col_tiles: int | None = None,
+    rows: int | None = None,
+):
     """Run the column-DFT+twiddle stage over a (B, n1, n2) view.
 
     ``tables``: f1 group (n1 x n1, ext) + twiddle — either factored
@@ -190,6 +206,14 @@ def stage_a(xr, xi, n1: int, n2: int, tables, col_tile: int, col_tiles: int | No
     returning (B, n1, col_tiles * col_tile) — the real-output inverse only
     needs columns c <= n2/2 (the rest are conjugate mirrors,
     plan.get_stage_b_irfft_plan), so it skips ~half the stage-A programs.
+
+    ``rows`` limits the OUTPUT to the first ``rows`` k1 rows (the f1 and
+    twiddle tables are sliced at trace time), returning (B, rows, n2) —
+    a real input's stage-A output is conjugate-symmetric over k1
+    (S[n1-k1, c] = conj(S[k1, c])), and the half-spectrum stage B reads
+    only k1 <= n1/2, so the forward staged real path computes just
+    ceil-to-sublane(n1/2 + 1) rows instead of n1: ~0.56x the dominant
+    stage-A matmul (docs/ABLATION.md §13 addendum).
     """
     b = xr.shape[0]
     factored = "two_r" in tables
@@ -202,6 +226,15 @@ def stage_a(xr, xi, n1: int, n2: int, tables, col_tile: int, col_tiles: int | No
         raise ValueError(f"col_tiles {col_tiles} out of range for n2={n2}, ct={col_tile}")
     n2 = n_tiles * col_tile  # output width: the kept column range
     grid = (b, n_tiles)
+    out_rows = n1
+    if rows is not None:
+        if not 8 <= rows <= n1 or rows % 8:
+            raise ValueError(f"rows {rows} must be a sublane multiple in [8, n1={n1}]")
+        tables = {
+            k: (v[:rows] if k in _ROW_TABLES and hasattr(v, "shape") else v)
+            for k, v in tables.items()
+        }
+        out_rows = rows
     x_spec = _vmem_spec((1, n1, col_tile), lambda i, j: (i, 0, j))
     f_spec = lambda shape: pl.BlockSpec(shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
     if factored:
@@ -210,16 +243,17 @@ def stage_a(xr, xi, n1: int, n2: int, tables, col_tile: int, col_tiles: int | No
         tw_specs = [
             f_spec(tables["two_r"].shape),
             f_spec(tables["two_i"].shape),
-            f_spec((n1, col_tile)),
-            f_spec((n1, col_tile)),
+            f_spec((out_rows, col_tile)),
+            f_spec((out_rows, col_tile)),
         ]
         tw_args = (tables["two_r"], tables["two_i"], tables["twi_r"], tables["twi_i"])
     else:
-        tw_spec = pl.BlockSpec((n1, col_tile), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+        tw_spec = pl.BlockSpec((out_rows, col_tile), lambda i, j: (0, j), memory_space=pltpu.VMEM)
         tw_specs = [tw_spec, tw_spec]
         tw_args = (tables["twr"], tables["twi"])
-    out_shape = [jax.ShapeDtypeStruct((b, n1, n2), jnp.float32)] * 2
-    out_specs = [x_spec, x_spec]
+    out_shape = [jax.ShapeDtypeStruct((b, out_rows, n2), jnp.float32)] * 2
+    o_spec = _vmem_spec((1, out_rows, col_tile), lambda i, j: (i, 0, j))
+    out_specs = [o_spec, o_spec]
     if xi is None:
         kern = _stage_a_real_kernel if factored else _stage_a_real_kernel_full
         names = ("f1r", "f1i")

@@ -158,6 +158,20 @@ def transform_any(xr, xi, n: int, sign: int, scale: float | None = None):
     plan = get_stage_a_plan(n, sign)
     n1, n2 = plan["n1"], plan["n2"]
 
+    # Real input + half-spectrum stage B: the stage-A output is conjugate-
+    # symmetric over k1 (real x => S[n1-k1, c] = conj(S[k1, c])) and
+    # stage_b_half_jnp reads only k1 <= n1/2, so the kernel computes just
+    # the first ceil-to-sublane(n1/2 + 1) rows — ~0.56x the dominant
+    # stage-A matmul (docs/ABLATION.md §13 addendum).
+    half_rows = None
+    if (
+        xi is None
+        and half_spectrum_applies(n)
+        and plan["stage_b"] is not None
+        and config.PRECISION != "high"
+    ):
+        half_rows = -(-(n1 // 2 + 1) // 8) * 8
+
     # Stage A: Y[k1, c] = sum_a F1[k1, a] x[a, c] * W_n^(k1*c), one pass.
     x3r = xr.reshape(b, n1, n2)
     x3i = None if xi is None else xi.reshape(b, n1, n2)
@@ -175,7 +189,7 @@ def transform_any(xr, xi, n: int, sign: int, scale: float | None = None):
         # measured equal to deferring the twiddle into stage B's fusion, and
         # 1.5x faster than composing XLA's own 2-D dots into the graph — see
         # docs/ABLATION.md §12 for the full variant matrix.
-        yr, yi = stage_a(x3r, x3i, n1, n2, plan, plan["ct"])
+        yr, yi = stage_a(x3r, x3i, n1, n2, plan, plan["ct"], rows=half_rows)
 
     if plan["stage_b"] is not None:
         if xi is None and half_spectrum_applies(n):

@@ -188,17 +188,21 @@ def transform_stages(b: int, n: int, real_input: bool):
         return stages, elem
     n1 = _stage_a_n1(n)
     n2 = n // n1
+    half = real_input and _half_applies(n)
+    # Row-limited stage A (kernels/fused.py:stage_a rows=...): the real
+    # staged half path computes only ceil-to-sublane(n1/2 + 1) k1 rows.
+    frac_a = (-(-(n1 // 2 + 1) // 8) * 8) / n1 if half else 1.0
     if real_input:
-        stages = [(2 * 2.0 * b * n * n1, n1)]
-        elem = 6.0 * b * n
+        stages = [(2 * 2.0 * b * n * n1 * frac_a, n1)]
+        elem = 6.0 * b * n * frac_a
     else:
         stages = [(3 * 2.0 * b * n * n1, n1)]
         elem = 6.0 * b * n + 5.0 * b * n
     s2, e2 = transform_stages(b * n1, n2, real_input=False)
-    if real_input and _half_applies(n):
-        # Staged half route (stage_b_half_jnp): stage A is full-width; the
-        # k1 axis is sliced to h = n1/2 + 1 rows before stage B, so every
-        # stage-B matmul and epilogue scales by h/n1, plus the mirror.
+    if half:
+        # Staged half route (stage_b_half_jnp): the k1 axis is sliced to
+        # h = n1/2 + 1 rows before stage B, so every stage-B matmul and
+        # epilogue scales by h/n1, plus the mirror.
         frac = (n1 // 2 + 1) / n1
         s2 = [(f * frac, k) for f, k in s2]
         e2 = e2 * frac + 2.0 * b * n
