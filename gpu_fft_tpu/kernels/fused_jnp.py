@@ -234,10 +234,14 @@ def fused_fft_jnp_half(xr, plan: FusedPlan):
     t = plan.tables
     h = n1 // 2 + 1
     xtr = jnp.swapaxes(xr.reshape(b, n1, n2), 1, 2).reshape(b * n2, n1)
-    pr = _dot(xtr, t["f1r"])
-    pi = _dot(xtr, t["f1i"])
-    p3r = pr.reshape(b, n2, n1)[:, :, :h]
-    p3i = pi.reshape(b, n2, n1)[:, :, :h]
+    # Trace-time column slice of the stage-1 tables: XLA does NOT narrow
+    # the dot through a post-hoc output slice (measured +4-6% at B=1 —
+    # docs/ABLATION.md §13 addendum), so only the h kept k1 columns are
+    # computed explicitly.
+    pr = _dot(xtr, t["f1r"][:, :h])
+    pi = _dot(xtr, t["f1i"][:, :h])
+    p3r = pr.reshape(b, n2, h)
+    p3i = pi.reshape(b, n2, h)
     twr = t["twr"][:, :h]  # (n2, n1) sliced to the kept half
     twi = t["twi"][:, :h]
     zr = p3r * twr - p3i * twi
