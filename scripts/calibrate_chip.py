@@ -141,6 +141,34 @@ def main() -> None:
         if win:
             half_min = min(half_min, n)
 
+    # ── irfft_half_min: smallest n where the real-output inverse fold wins ─
+    from gpu_fft_tpu.kernels.fused_jnp import fused_irfft_jnp
+    from gpu_fft_tpu.kernels.large import transform_any
+    from gpu_fft_tpu.plan import get_irfft_plan
+
+    print("[calibrate] irfft fold gate (real output, B=1):")
+    irfft_min = 1 << 62
+    for n in ((1 << 14, 1 << 15) if args.quick else (1 << 13, 1 << 14, 1 << 15, 1 << 16)):
+        iplan = get_irfft_plan(n, scale=1.0 / n)
+        x = jnp.asarray(rng.standard_normal((1, n)).astype(np.float32))
+
+        def full_inv_step(v, n=n):
+            yr, _ = transform_any(v, v, n, +1, scale=1.0 / n)
+            return yr * jnp.float32(1e-3) + v * jnp.float32(0.9)
+
+        def fold_step(v, iplan=iplan):
+            return fused_irfft_jnp(v, v, iplan) * jnp.float32(1e-3) + v * jnp.float32(0.9)
+
+        t_full = time_step(full_inv_step, x)
+        t_fold = time_step(fold_step, x)
+        win = t_fold < t_full
+        print(f"  n={n:6d}: full {t_full*1e6:7.2f} us  fold {t_fold*1e6:7.2f} us"
+              f"  -> {'fold' if win else 'full'}")
+        if win:
+            irfft_min = min(irfft_min, n)
+    # The staged gate needs the 2^17-2^18 head-to-head
+    # (scripts/ablate_irfft_half.py staged); keep the v5e transfer here and
+    # flag it in the note.
     print("\n[calibrate] paste into gpu_fft_tpu/tuning.py TUNING:")
     print(f"""    "{chip.name}": ChipTuning(
         name="{chip.name}",
@@ -153,6 +181,8 @@ def main() -> None:
         oa_block_min={best_blk},
         rfft_pack_min=1 << 62,
         half_spectrum_min={half_min},
+        irfft_half_min={irfft_min},
+        irfft_half_staged_min=1 << 18,  # v5e transfer; re-run ablate_irfft_half.py staged
         calibrated=True,
         note="measured by scripts/calibrate_chip.py",
     ),""")
