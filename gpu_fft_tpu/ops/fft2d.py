@@ -31,7 +31,27 @@ __all__ = [
     "irfft2",
     "rfft2_device",
     "irfft2_device",
+    "rfftn",
+    "irfftn",
+    "rfftn_device",
+    "irfftn_device",
 ]
+
+
+def _normalize_axes(ndim: int, axes, name: str) -> tuple:
+    """Validate and canonicalize an ``axes`` argument (numpy.fft semantics)."""
+    if axes is None:
+        return tuple(range(ndim))
+    norm = []
+    for a in axes:
+        if not -ndim <= a < ndim:  # numpy.fft raises too
+            raise ValueError(f"{name}: axis {a} out of range for rank {ndim}")
+        norm.append(a % ndim)
+    if not norm:
+        raise ValueError(f"{name}: axes must name at least one axis")
+    if len(set(norm)) != len(norm):
+        raise ValueError(f"{name}: repeated axes {tuple(axes)}")
+    return tuple(norm)
 
 
 def _check_sides(h: int, w: int) -> None:
@@ -135,19 +155,7 @@ def fftn_device(x, imag=None, axes=None, sign: int = -1):
         raise ValueError(f"fftn: real and imag shapes differ: {xr.shape} vs {xi.shape}")
     if xr.ndim == 0:
         raise ValueError("fftn expects at least one axis")
-    if axes is None:
-        axes = tuple(range(xr.ndim))
-    else:
-        norm = []
-        for a in axes:
-            if not -xr.ndim <= a < xr.ndim:  # numpy.fft.fftn raises too
-                raise ValueError(f"fftn: axis {a} out of range for rank {xr.ndim}")
-            norm.append(a % xr.ndim)
-        axes = tuple(norm)
-    if not axes:
-        raise ValueError("fftn: axes must name at least one axis")
-    if len(set(axes)) != len(axes):
-        raise ValueError(f"fftn: repeated axes {axes}")
+    axes = _normalize_axes(xr.ndim, axes, "fftn")
     for a in axes:
         s = xr.shape[a]
         if s < 2:
@@ -298,5 +306,110 @@ def irfft2(real, imag):
     return np.asarray(
         irfft2_device(
             np.asarray(real, dtype=np.float32), np.asarray(imag, dtype=np.float32)
+        )
+    )
+
+
+def rfftn_device(x, axes=None):
+    """One-sided N-D FFT of real input (``numpy.fft.rfftn`` semantics).
+
+    ``x``: real f32 of any rank.  The LAST axis in ``axes`` (default: all
+    axes, so the last array axis) carries the real transform and shrinks to
+    ``n//2 + 1`` unique bins — riding the measured Hermitian half-spectrum
+    dispatch when it is a power of two (non-pow2 lengths run the full exact
+    transform and slice); every other named axis gets a full complex FFT of
+    any length >= 2 (non-pow2 via Bluestein).  Returns split-complex
+    (re, im), unnormalized, on device.
+    """
+    import jax.numpy as jnp
+
+    from ..config import MAX_N
+    from .exact import _check_exact_n
+    from .transform import rfft_device
+
+    x = jnp.asarray(x, dtype=jnp.float32)
+    if x.ndim == 0:
+        raise ValueError("rfftn expects at least one axis")
+    axes = _normalize_axes(x.ndim, axes, "rfftn")
+    last = axes[-1]
+    w = x.shape[last]
+    if w < 2:
+        raise ValueError(f"rfftn axis {last} has length {w} < 2")
+    if w > MAX_N:
+        raise ValueError(f"rfftn axis {last} length {w} exceeds the maximum {MAX_N}")
+    _check_exact_n(w)
+    hw = w // 2 + 1
+    mr = jnp.moveaxis(x, last, -1)
+    lead = mr.shape[:-1]
+    b = int(np.prod(lead)) if lead else 1
+    if w & (w - 1) == 0:
+        rr, ri = rfft_device(mr.reshape(b, w))
+    else:
+        rr, ri = _rows(mr.reshape(b, w), None, w, -1)
+        rr, ri = rr[..., :hw], ri[..., :hw]
+    xr = jnp.moveaxis(rr.reshape(*lead, hw), -1, last)
+    xi = jnp.moveaxis(ri.reshape(*lead, hw), -1, last)
+    if axes[:-1]:
+        xr, xi = fftn_device(xr, xi, axes=axes[:-1], sign=-1)
+    return xr, xi
+
+
+def irfftn_device(real, imag, axes=None):
+    """Inverse of :func:`rfftn_device`: real output back, 1/prod normalized
+    (``numpy.fft.irfftn`` semantics, even last-axis output length).
+
+    ``real, imag``: split-complex spectra whose LAST named axis holds
+    ``n//2 + 1`` one-sided bins of a POWER-OF-TWO n (the real-output
+    Hermitian-fold dispatch handles that axis); the other named axes are
+    full two-sided spectra of any length.  Returns the real f32 array with
+    the last named axis expanded to ``2 * (bins - 1)``.
+    """
+    import jax.numpy as jnp
+
+    from .transform import irfft_device
+
+    xr = jnp.asarray(real, dtype=jnp.float32)
+    xi = jnp.asarray(imag, dtype=jnp.float32)
+    if xr.shape != xi.shape:
+        raise ValueError(f"irfftn: real and imag shapes differ: {xr.shape} vs {xi.shape}")
+    if xr.ndim == 0:
+        raise ValueError("irfftn expects at least one axis")
+    axes = _normalize_axes(xr.ndim, axes, "irfftn")
+    last = axes[-1]
+    hw = xr.shape[last]
+    w = 2 * (hw - 1)
+    if hw < 2 or w & (w - 1):
+        raise ValueError(
+            f"irfftn: last axis must hold n//2 + 1 bins of a power-of-two n, "
+            f"got {hw} bins"
+        )
+    rest = axes[:-1]
+    if rest:
+        # Unnormalized inverse over the complex axes; their 1/prod scale is
+        # applied on the HALF-width spectrum (cheaper than after expansion).
+        xr, xi = fftn_device(xr, xi, axes=rest, sign=+1)
+        s = jnp.float32(1.0 / np.prod([xr.shape[a] for a in rest]))
+        xr, xi = xr * s, xi * s
+    mr = jnp.moveaxis(xr, last, -1)
+    mi = jnp.moveaxis(xi, last, -1)
+    lead = mr.shape[:-1]
+    b = int(np.prod(lead)) if lead else 1
+    out = irfft_device(mr.reshape(b, hw), mi.reshape(b, hw))  # carries 1/w
+    return jnp.moveaxis(out.reshape(*lead, w), -1, last)
+
+
+def rfftn(x, axes=None):
+    """Host-convenience one-sided N-D FFT; see :func:`rfftn_device`."""
+    yr, yi = rfftn_device(np.asarray(x, dtype=np.float32), axes=axes)
+    return np.asarray(yr), np.asarray(yi)
+
+
+def irfftn(real, imag, axes=None):
+    """Host-convenience inverse of :func:`rfftn`; see :func:`irfftn_device`."""
+    return np.asarray(
+        irfftn_device(
+            np.asarray(real, dtype=np.float32),
+            np.asarray(imag, dtype=np.float32),
+            axes=axes,
         )
     )

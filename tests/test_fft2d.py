@@ -194,3 +194,81 @@ def test_rfft2_contract_errors(rng):
         gf.irfft2(np.ones((8, 5), np.float32), np.ones((8, 4), np.float32))
     with pytest.raises(ValueError):
         gf.irfft2(np.ones((8, 6), np.float32), np.ones((8, 6), np.float32))  # bad bins
+
+
+def test_rfftn_3d_matches_numpy(rng):
+    x = rng.uniform(-1.0, 1.0, (4, 12, 32)).astype(np.float32)
+    re, im = gf.rfftn(x)
+    ref = np.fft.rfftn(x.astype(np.float64))
+    assert re.shape == ref.shape == (4, 12, 17)
+    scale = np.abs(ref).max()
+    assert np.abs(re - ref.real).max() / scale < 1e-5
+    assert np.abs(im - ref.imag).max() / scale < 1e-5
+
+
+def test_rfftn_axes_subset_and_order(rng):
+    # axes=(0, 2): real transform on axis 2 (the LAST listed), complex on 0.
+    x = rng.uniform(-1.0, 1.0, (8, 5, 16)).astype(np.float32)
+    re, im = gf.rfftn(x, axes=(0, 2))
+    ref = np.fft.rfftn(x.astype(np.float64), axes=(0, 2))
+    assert re.shape == ref.shape == (8, 5, 9)
+    scale = np.abs(ref).max()
+    assert np.abs(re - ref.real).max() / scale < 1e-5
+    assert np.abs(im - ref.imag).max() / scale < 1e-5
+    # Negative axes normalize like numpy.
+    re2, _ = gf.rfftn(x, axes=(0, -1))
+    assert np.abs(re2 - re).max() == 0.0
+
+
+def test_rfftn_non_pow2_last_axis_exact(rng):
+    # Non-pow2 real axis: full exact transform, sliced to the half spectrum.
+    x = rng.uniform(-1.0, 1.0, (6, 15)).astype(np.float32)
+    re, im = gf.rfftn(x)
+    ref = np.fft.rfftn(x.astype(np.float64))
+    assert re.shape == ref.shape == (6, 8)
+    scale = np.abs(ref).max()
+    assert np.abs(re - ref.real).max() / scale < 1e-5
+    assert np.abs(im - ref.imag).max() / scale < 1e-5
+
+
+def test_irfftn_matches_numpy(rng):
+    spec = (
+        rng.uniform(-1.0, 1.0, (6, 8, 9)) + 1j * rng.uniform(-1.0, 1.0, (6, 8, 9))
+    ).astype(np.complex128)
+    out = gf.irfftn(spec.real.astype(np.float32), spec.imag.astype(np.float32))
+    ref = np.fft.irfftn(spec)
+    assert out.shape == ref.shape == (6, 8, 16)
+    scale = max(np.abs(ref).max(), 1e-12)
+    assert np.abs(out - ref).max() / scale < 1e-4
+
+
+def test_rfftn_roundtrip_3d(rng):
+    x = rng.uniform(-1.0, 1.0, (3, 10, 64)).astype(np.float32)
+    out = gf.irfftn(*gf.rfftn(x))
+    eps = 5.0 * np.log2(3 * 10 * 64) * np.finfo(np.float32).eps
+    assert np.abs(out - x).max() <= eps
+
+
+def test_rfftn_jit_composable(rng):
+    import jax
+
+    x = rng.standard_normal((2, 8, 32)).astype(np.float32)
+    f = jax.jit(lambda a: gf.irfftn_device(*gf.rfftn_device(a)))
+    out = np.asarray(f(x))
+    assert np.abs(out - x).max() < 1e-5
+
+
+def test_rfftn_contract_errors():
+    with pytest.raises(ValueError):
+        gf.rfftn(np.float32(1.0))  # rank 0
+    with pytest.raises(ValueError):
+        gf.rfftn(np.ones((4, 1), np.float32))  # last axis < 2
+    with pytest.raises(ValueError):
+        gf.rfftn(np.ones((4, 8), np.float32), axes=(0, 0))  # repeated
+    with pytest.raises(ValueError):
+        gf.rfftn(np.ones((4, 8), np.float32), axes=(2,))  # out of range
+    with pytest.raises(ValueError):
+        # last axis bins not n//2 + 1 of a power of two
+        gf.irfftn(np.ones((4, 6), np.float32), np.ones((4, 6), np.float32))
+    with pytest.raises(ValueError):
+        gf.irfftn(np.ones((4, 9), np.float32), np.ones((4, 8), np.float32))
