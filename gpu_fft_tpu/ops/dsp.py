@@ -366,6 +366,21 @@ def next_fast_len(target: int, real: bool = False):
     return max(2, next_power_of_two(target))
 
 
+def prev_fast_len(target: int, real: bool = False):
+    """Largest transform length <= target that hits the library's fast path
+    (``scipy.fft.prev_fast_len`` signature; power-of-two rule, the dual of
+    :func:`next_fast_len`).
+
+    >>> prev_fast_len(1000)
+    512
+    >>> prev_fast_len(1024)
+    1024
+    """
+    if target < 2:
+        raise ValueError(f"prev_fast_len requires target >= 2, got {target}")
+    return 1 << (int(target).bit_length() - 1)
+
+
 def hfft(input_real, input_imag):
     """FFT of a signal with Hermitian symmetry -> real spectrum
     (``numpy.fft.hfft`` with n = 2*(len(input)-1)).

@@ -35,6 +35,12 @@ __all__ = [
     "irfftn",
     "rfftn_device",
     "irfftn_device",
+    "hfft2",
+    "ihfft2",
+    "hfftn",
+    "ihfftn",
+    "hfftn_device",
+    "ihfftn_device",
 ]
 
 
@@ -413,3 +419,93 @@ def irfftn(real, imag, axes=None):
             axes=axes,
         )
     )
+
+
+def hfftn_device(real, imag, axes=None):
+    """N-D FFT of a Hermitian-symmetric signal -> REAL spectrum
+    (``scipy.fft.hfftn`` semantics, even last-axis output length).
+
+    ``real, imag``: the ``n//2 + 1`` unique last-axis samples of the
+    Hermitian signal (power-of-two n), full complex samples on the other
+    named axes.  Uses the identity ``hfftn(a) = irfftn(conj(a)) * prod(n)``
+    so the whole transform rides the real-output Hermitian-fold dispatch
+    (``kernels/large.py:inverse_real``) — the same path as 1-D
+    :func:`gpu_fft_tpu.hfft`.  Returns the real f32 spectrum with the last
+    named axis expanded to ``2 * (bins - 1)``, unnormalized.
+    """
+    import jax.numpy as jnp
+
+    xr = jnp.asarray(real, dtype=jnp.float32)
+    xi = jnp.asarray(imag, dtype=jnp.float32)
+    if xr.shape != xi.shape:
+        raise ValueError(f"hfftn: real and imag shapes differ: {xr.shape} vs {xi.shape}")
+    if xr.ndim == 0:
+        raise ValueError("hfftn expects at least one axis")
+    naxes = _normalize_axes(xr.ndim, axes, "hfftn")
+    last = naxes[-1]
+    hw = xr.shape[last]
+    w = 2 * (hw - 1)
+    if hw < 2 or w & (w - 1):
+        raise ValueError(
+            f"hfftn: last axis must hold n//2 + 1 samples of a power-of-two n, "
+            f"got {hw} samples"
+        )
+    prod = float(w) * float(np.prod([xr.shape[a] for a in naxes[:-1]] or [1.0]))
+    out = irfftn_device(xr, -xi, axes=naxes)
+    return out * jnp.float32(prod)
+
+
+def ihfftn_device(x, axes=None):
+    """Inverse of :func:`hfftn_device`: real spectrum -> the one-sided
+    Hermitian signal (``scipy.fft.ihfftn``: ``conj(rfftn(x)) / prod(n)``).
+
+    Returns split-complex (re, im) with the last named axis reduced to
+    ``n//2 + 1`` unique samples; power-of-two lengths ride the half-spectrum
+    forward dispatch, other lengths on the non-last axes run Bluestein.
+    """
+    import jax.numpy as jnp
+
+    x = jnp.asarray(x, dtype=jnp.float32)
+    if x.ndim == 0:
+        raise ValueError("ihfftn expects at least one axis")
+    naxes = _normalize_axes(x.ndim, axes, "ihfftn")
+    w = x.shape[naxes[-1]]
+    if w < 2 or w & (w - 1):
+        raise ValueError(f"ihfftn: last axis length {w} is not a power of two >= 2")
+    rr, ri = rfftn_device(x, axes=naxes)
+    s = jnp.float32(1.0 / np.prod([x.shape[a] for a in naxes]))
+    return rr * s, -(ri * s)
+
+
+def hfft2(real, imag, axes=(-2, -1)):
+    """2-D Hermitian-input FFT (``scipy.fft.hfft2``); see :func:`hfftn_device`."""
+    return np.asarray(
+        hfftn_device(
+            np.asarray(real, dtype=np.float32),
+            np.asarray(imag, dtype=np.float32),
+            axes=axes,
+        )
+    )
+
+
+def ihfft2(x, axes=(-2, -1)):
+    """2-D inverse of :func:`hfft2` (``scipy.fft.ihfft2``); see :func:`ihfftn_device`."""
+    yr, yi = ihfftn_device(np.asarray(x, dtype=np.float32), axes=axes)
+    return np.asarray(yr), np.asarray(yi)
+
+
+def hfftn(real, imag, axes=None):
+    """Host-convenience N-D Hermitian-input FFT; see :func:`hfftn_device`."""
+    return np.asarray(
+        hfftn_device(
+            np.asarray(real, dtype=np.float32),
+            np.asarray(imag, dtype=np.float32),
+            axes=axes,
+        )
+    )
+
+
+def ihfftn(x, axes=None):
+    """Host-convenience inverse of :func:`hfftn`; see :func:`ihfftn_device`."""
+    yr, yi = ihfftn_device(np.asarray(x, dtype=np.float32), axes=axes)
+    return np.asarray(yr), np.asarray(yi)

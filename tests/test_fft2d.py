@@ -272,3 +272,78 @@ def test_rfftn_contract_errors():
         gf.irfftn(np.ones((4, 6), np.float32), np.ones((4, 6), np.float32))
     with pytest.raises(ValueError):
         gf.irfftn(np.ones((4, 9), np.float32), np.ones((4, 8), np.float32))
+
+
+def test_hfftn_matches_scipy(rng):
+    import scipy.fft
+
+    spec = (
+        rng.uniform(-1.0, 1.0, (5, 6, 9)) + 1j * rng.uniform(-1.0, 1.0, (5, 6, 9))
+    ).astype(np.complex128)
+    out = gf.hfftn(spec.real.astype(np.float32), spec.imag.astype(np.float32))
+    ref = scipy.fft.hfftn(spec)
+    assert out.shape == ref.shape == (5, 6, 16)
+    scale = np.abs(ref).max()
+    assert np.abs(out - ref).max() / scale < 1e-4
+
+
+def test_ihfftn_matches_scipy(rng):
+    import scipy.fft
+
+    x = rng.uniform(-1.0, 1.0, (4, 6, 16)).astype(np.float32)
+    re, im = gf.ihfftn(x)
+    ref = scipy.fft.ihfftn(x.astype(np.float64))
+    assert re.shape == ref.shape == (4, 6, 9)
+    scale = max(np.abs(ref).max(), 1e-12)
+    assert np.abs(re - ref.real).max() / scale < 1e-5
+    assert np.abs(im - ref.imag).max() / scale < 1e-5
+
+
+def test_hfft2_roundtrip_and_axes(rng):
+    import scipy.fft
+
+    spec = (
+        rng.uniform(-1.0, 1.0, (3, 8, 5)) + 1j * rng.uniform(-1.0, 1.0, (3, 8, 5))
+    ).astype(np.complex128)
+    # hfft2 default axes=(-2, -1): real axis is the LAST (length 5 -> n=8).
+    out = gf.hfft2(spec.real.astype(np.float32), spec.imag.astype(np.float32))
+    ref = scipy.fft.hfft2(spec)
+    assert out.shape == ref.shape == (3, 8, 8)
+    scale = np.abs(ref).max()
+    assert np.abs(out - ref).max() / scale < 1e-4
+    # ihfft2 of the real spectrum matches scipy's one-sided inverse.
+    re2, im2 = gf.ihfft2(out)
+    ref2 = scipy.fft.ihfft2(ref)
+    scale2 = max(np.abs(ref2).max(), 1e-12)
+    assert np.abs(re2 - ref2.real).max() / scale2 < 1e-5
+    assert np.abs(im2 - ref2.imag).max() / scale2 < 1e-5
+
+
+def test_hfftn_matches_1d_hfft(rng):
+    # Rank-1 hfftn == the existing 1-D hfft (same dispatch underneath).
+    re = rng.uniform(-1.0, 1.0, 17).astype(np.float32)
+    im = rng.uniform(-1.0, 1.0, 17).astype(np.float32)
+    a = gf.hfftn(re, im)
+    b = gf.hfft(re, im)
+    assert a.shape == b.shape == (32,)
+    assert np.abs(a - b).max() < 1e-5
+
+
+def test_hfftn_contract_errors():
+    with pytest.raises(ValueError):
+        gf.hfftn(np.ones((4, 6), np.float32), np.ones((4, 6), np.float32))  # 6 bins
+    with pytest.raises(ValueError):
+        gf.hfftn(np.ones((4, 9), np.float32), np.ones((4, 8), np.float32))  # mismatch
+    with pytest.raises(ValueError):
+        gf.ihfftn(np.ones((4, 12), np.float32))  # non-pow2 last axis
+    with pytest.raises(ValueError):
+        gf.ihfftn(np.float32(3.0))  # rank 0
+
+
+def test_prev_fast_len():
+    assert gf.prev_fast_len(1000) == 512
+    assert gf.prev_fast_len(1024) == 1024
+    assert gf.prev_fast_len(2) == 2
+    assert gf.prev_fast_len(3, real=True) == 2
+    with pytest.raises(ValueError):
+        gf.prev_fast_len(1)
