@@ -23,6 +23,7 @@ from .mesh import (
     welch_sharded,
 )
 from .distributed import distributed_fft, distributed_ifft
+from .pencil import fft2_sharded, ifft2_sharded
 
 __all__ = [
     "default_mesh",
@@ -33,4 +34,6 @@ __all__ = [
     "welch_sharded",
     "distributed_fft",
     "distributed_ifft",
+    "fft2_sharded",
+    "ifft2_sharded",
 ]

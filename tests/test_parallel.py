@@ -211,3 +211,55 @@ def test_oaconvolve_sharded_contracts(mesh8):
         oaconvolve_sharded(np.ones(1024, np.float32), np.ones(1, np.float32), mesh8)
     with pytest.raises(ValueError):  # taps longer than one device's chunk
         oaconvolve_sharded(np.ones(64, np.float32), np.ones(32, np.float32), mesh8)
+
+
+def test_fft2_sharded_pencil_matches_oracle(mesh8, rng):
+    from gpu_fft_tpu.parallel import fft2_sharded, ifft2_sharded
+
+    x = rng.standard_normal((64, 128)).astype(np.float32)
+    yr, yi = fft2_sharded(x, mesh8, sp_axis="dp")
+    ref = np.fft.fft2(x.astype(np.float64))
+    scale = np.abs(ref).max()
+    assert np.abs(np.asarray(yr) - ref.real).max() / scale < 3e-5
+    assert np.abs(np.asarray(yi) - ref.imag).max() / scale < 3e-5
+    br, bi = ifft2_sharded(yr, yi, mesh8, sp_axis="dp")
+    assert np.abs(np.asarray(br) - x).max() < 1e-4
+    assert np.abs(np.asarray(bi)).max() < 1e-4
+
+
+def test_fft2_sharded_complex_and_batch(mesh2x4, rng):
+    from gpu_fft_tpu.parallel import fft2_sharded
+
+    xb = rng.standard_normal((4, 32, 64)).astype(np.float32)
+    zb = rng.standard_normal((4, 32, 64)).astype(np.float32)
+    yr, yi = fft2_sharded(xb, mesh2x4, dp_axis="dp", imag=zb)
+    ref = np.fft.fft2((xb + 1j * zb).astype(np.complex128))
+    scale = np.abs(ref).max()
+    assert np.abs(np.asarray(yr) - ref.real).max() / scale < 3e-5
+    assert np.abs(np.asarray(yi) - ref.imag).max() / scale < 3e-5
+
+
+def test_fft2_sharded_layout_stays_row_sharded(mesh8, rng):
+    # the result must keep the input's row sharding (no silent gather)
+    from gpu_fft_tpu.parallel import fft2_sharded
+
+    x = rng.standard_normal((64, 64)).astype(np.float32)
+    yr, _ = fft2_sharded(x, mesh8, sp_axis="dp")
+    spec = yr.sharding.spec
+    assert spec[0] == "dp" and (len(spec) < 2 or spec[1] is None), spec
+
+
+def test_fft2_sharded_contracts(mesh8):
+    from gpu_fft_tpu.parallel import fft2_sharded
+
+    with pytest.raises(ValueError, match="power-of-two"):
+        fft2_sharded(np.ones((48, 64), np.float32), mesh8, sp_axis="dp")
+    with pytest.raises(ValueError, match="divide"):
+        fft2_sharded(np.ones((4, 64), np.float32), mesh8, sp_axis="dp")
+    with pytest.raises(ValueError, match="shapes differ"):
+        fft2_sharded(
+            np.ones((64, 64), np.float32),
+            mesh8,
+            sp_axis="dp",
+            imag=np.ones((64, 32), np.float32),
+        )
