@@ -35,7 +35,8 @@ def analysis_soak(rng, iters: int) -> tuple[int, int]:
     failures = 0
     for _ in range(iters):
         op = rng.choice(
-            ["stft", "dct", "dst", "hilbert", "resample", "oaconvolve", "conv2d", "upfirdn"]
+            ["stft", "dct", "dst", "hilbert", "resample", "oaconvolve", "conv2d",
+             "upfirdn", "fht", "compat"]
         )
         try:
             if op == "stft":
@@ -113,6 +114,42 @@ def analysis_soak(rng, iters: int) -> tuple[int, int]:
                 err = float(np.abs(ya - yb).max()) / scale
                 good = err < 5e-3 and ya.shape == yb.shape
                 desc = f"upfirdn n={n} lh={lh} {up}/{down}"
+            elif op == "fht":
+                # FFTLog roundtrip identity: ifht(fht(a)) == a at any length.
+                n = int(rng.integers(4, 8192))
+                dln = float(rng.uniform(0.005, 0.2))
+                mu = float(rng.uniform(-0.9, 3.0))
+                bias = float(rng.choice([0.0, rng.uniform(-0.8, 0.8)]))
+                off = gf.fhtoffset(dln, mu, bias=bias)
+                r = np.exp((np.arange(n) - (n - 1) / 2) * dln)
+                a = (r**1.2 * np.exp(-r * r / 2)).astype(np.float32)
+                back = np.asarray(
+                    gf.ifht_device(
+                        gf.fht_device(a, dln, mu, offset=off, bias=bias),
+                        dln, mu, offset=off, bias=bias,
+                    )
+                )
+                scale = max(1e-3, float(np.abs(a).max()))
+                err = float(np.abs(back - a).max()) / scale
+                good = err < 5e-3
+                desc = f"fht n={n} dln={dln:.3f} mu={mu:.2f} q={bias:.2f}"
+            elif op == "compat":
+                # scipy-namespace roundtrip on device: ifft(fft(x, n)) == fit(x, n)
+                # with random length/axis/norm; errors reduced ON DEVICE (the
+                # axon tunnel cannot transfer complex buffers).
+                from gpu_fft_tpu import compat as cfft
+
+                n = int(rng.integers(2, 20000))
+                b = int(rng.choice([1, 4]))
+                norm = rng.choice([None, "ortho", "forward"])
+                axis = int(rng.choice([0, 1]))
+                shape = (b, n) if axis == 1 else (n, b)
+                x = jnp.asarray(rng.uniform(-1, 1, shape).astype(np.float32))
+                y = cfft.ifft(cfft.fft(x, axis=axis, norm=norm), axis=axis, norm=norm)
+                err = float(jnp.abs(jnp.real(y) - x).max())
+                err = max(err, float(jnp.abs(jnp.imag(y)).max()))
+                good = err < 5e-3
+                desc = f"compat fft/ifft b={b} n={n} axis={axis} norm={norm}"
             else:  # conv2d: separable-kernel identity vs two 1-D passes
                 hgt = int(rng.integers(8, 200))
                 wid = int(rng.integers(8, 200))

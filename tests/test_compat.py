@@ -184,3 +184,48 @@ def test_jit_composable():
     out = np.asarray(pipeline(x))
     ref = sf.irfft(np.abs(sf.rfft(x.astype(np.float64))) ** 2, n=48)
     assert np.abs(out - ref).max() / max(1.0, np.abs(ref).max()) < 3e-5
+
+
+def test_property_fuzz_vs_scipy(rng):
+    """Deterministic fuzz: random transform family x shape x axis x n x norm
+    against the scipy.fft f64 oracle (the hand-picked cases above pin the
+    boundaries; this sweeps the interior)."""
+    norms = [None, "ortho", "forward"]
+    for _ in range(25):
+        family = rng.choice(["fft", "ifft", "rfft", "irfft", "fftn", "rfftn", "dct", "dst"])
+        ndim = int(rng.integers(1, 4))
+        shape = tuple(int(rng.integers(2, 40)) for _ in range(ndim))
+        axis = int(rng.integers(0, ndim))
+        norm = norms[int(rng.integers(0, 3))]
+        n = int(rng.integers(2, 64)) if rng.random() < 0.5 else None
+        xr = rng.standard_normal(shape).astype(np.float32)
+        label = f"{family} shape={shape} axis={axis} n={n} norm={norm}"
+        if family in ("fft", "ifft"):
+            x = (xr + 1j * rng.standard_normal(shape)).astype(np.complex64)
+            got = getattr(cf, family)(x, n=n, axis=axis, norm=norm)
+            ref = getattr(sf, family)(x.astype(np.complex128), n=n, axis=axis, norm=norm)
+        elif family == "rfft":
+            got = cf.rfft(xr, n=n, axis=axis, norm=norm)
+            ref = sf.rfft(xr.astype(np.float64), n=n, axis=axis, norm=norm)
+        elif family == "irfft":
+            x = (xr + 1j * rng.standard_normal(shape)).astype(np.complex64)
+            if x.shape[axis] < 2 and n is None:
+                continue  # scipy rejects n=0 output; covered by validation tests
+            got = cf.irfft(x, n=n, axis=axis, norm=norm)
+            ref = sf.irfft(x.astype(np.complex128), n=n, axis=axis, norm=norm)
+        elif family in ("fftn", "rfftn"):
+            x = xr if family == "rfftn" else (xr + 1j * rng.standard_normal(shape)).astype(np.complex64)
+            naxes = int(rng.integers(1, ndim + 1))
+            axes = tuple(sorted(rng.choice(ndim, size=naxes, replace=False).tolist()))
+            s = tuple(int(rng.integers(2, 48)) for _ in axes) if rng.random() < 0.5 else None
+            label = f"{family} shape={shape} axes={axes} s={s} norm={norm}"
+            got = getattr(cf, family)(x, s=s, axes=axes, norm=norm)
+            xref = x.astype(np.complex128 if family == "fftn" else np.float64)
+            ref = getattr(sf, family)(xref, s=s, axes=axes, norm=norm)
+        else:  # dct / dst
+            type_ = int(rng.integers(1, 5))
+            norm_r = None if norm == "forward" else norm
+            label = f"{family}{type_} shape={shape} axis={axis} n={n} norm={norm_r}"
+            got = getattr(cf, family)(xr, type=type_, n=n, axis=axis, norm=norm_r)
+            ref = getattr(sf, family)(xr.astype(np.float64), type=type_, n=n, axis=axis, norm=norm_r)
+        assert_close(got, ref, tol=5e-5, label=label)
