@@ -23,7 +23,7 @@ from .mesh import (
     welch_sharded,
 )
 from .distributed import distributed_fft, distributed_ifft
-from .pencil import fft2_sharded, ifft2_sharded
+from .pencil import fft2_sharded, fftn_sharded, ifft2_sharded, ifftn_sharded
 
 __all__ = [
     "default_mesh",
@@ -36,4 +36,6 @@ __all__ = [
     "distributed_ifft",
     "fft2_sharded",
     "ifft2_sharded",
+    "fftn_sharded",
+    "ifftn_sharded",
 ]

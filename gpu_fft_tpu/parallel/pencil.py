@@ -29,7 +29,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..kernels.large import transform_any
 
-__all__ = ["fft2_sharded", "ifft2_sharded"]
+__all__ = ["fft2_sharded", "ifft2_sharded", "fftn_sharded", "ifftn_sharded"]
 
 
 def _check_dims(h: int, w: int, d: int) -> None:
@@ -125,4 +125,99 @@ def ifft2_sharded(xr, xi, mesh: Mesh, sp_axis: str = "sp", dp_axis: str | None =
         raise ValueError(f"ifft2_sharded: shapes differ: {xr.shape} vs {xi.shape}")
     yr, yi = _run2d(xr, xi, mesh, +1, sp_axis, dp_axis)
     s = jnp.float32(1.0 / (xr.shape[-1] * xr.shape[-2]))
+    return yr * s, yi * s
+
+
+# ── 3-D volumes: slab decomposition ──────────────────────────────────────────
+
+
+def _slab(xr, xi, d0: int, h: int, w: int, sign: int, mesh: Mesh, sp: str):
+    """Core pipeline over (D, H, W) global arrays sharded on D (xi may be
+    None).  Each device holds complete (H, W) planes, so two of the three
+    passes are entirely local; only the D-axis pass needs the all_to_all."""
+
+    def local(lr, li):
+        dd, _, _ = lr.shape  # (D/d, H, W)
+        # 1. W-axis FFTs: every plane row local.
+        rr, ri = transform_any(
+            lr.reshape(dd * h, w), None if li is None else li.reshape(dd * h, w), w, sign
+        )
+        rr = rr.reshape(dd, h, w)
+        ri = ri.reshape(dd, h, w)
+        # 2. H-axis FFTs: make H minor, fold, transform, restore.
+        cr = jnp.swapaxes(rr, 1, 2).reshape(dd * w, h)
+        ci = jnp.swapaxes(ri, 1, 2).reshape(dd * w, h)
+        cr, ci = transform_any(cr, ci, h, sign)
+        rr = jnp.swapaxes(cr.reshape(dd, w, h), 1, 2)
+        ri = jnp.swapaxes(ci.reshape(dd, w, h), 1, 2)
+        # 3. D-axis FFTs: reshard (D/d, H, W) -> (D, H/d, W), transform the
+        #    now-local D axis, reshard back.
+        rr = lax.all_to_all(rr, sp, split_axis=1, concat_axis=0, tiled=True)
+        ri = lax.all_to_all(ri, sp, split_axis=1, concat_axis=0, tiled=True)
+        hd = rr.shape[1]
+        dr = jnp.moveaxis(rr, 0, 2).reshape(hd * w, d0)
+        di = jnp.moveaxis(ri, 0, 2).reshape(hd * w, d0)
+        dr, di = transform_any(dr, di, d0, sign)
+        rr = jnp.moveaxis(dr.reshape(hd, w, d0), 2, 0)
+        ri = jnp.moveaxis(di.reshape(hd, w, d0), 2, 0)
+        rr = lax.all_to_all(rr, sp, split_axis=0, concat_axis=1, tiled=True)
+        ri = lax.all_to_all(ri, sp, split_axis=0, concat_axis=1, tiled=True)
+        return rr, ri
+
+    spec = P(sp, None, None)
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec, None if xi is None else spec),
+        out_specs=(spec, spec),
+        check_vma=False,
+    )(xr, xi)
+
+
+def fftn_sharded(x, mesh: Mesh, sp_axis: str = "sp", imag=None):
+    """3-D FFT of a volume with its LEADING axis sharded (slab decomposition).
+
+    ``x``: (D, H, W) f32, power-of-two dims, D and H divisible by the mesh
+    axis size.  The in-plane (H, W) passes are entirely local; the D-axis
+    pass reshards with one tiled ``all_to_all`` each way.  Returns
+    split-complex global arrays, D-sharded, natural order —
+    ``numpy.fft.fftn`` semantics over all three axes.
+    """
+    x = jnp.asarray(x, dtype=jnp.float32)
+    xi = None if imag is None else jnp.asarray(imag, dtype=jnp.float32)
+    if x.ndim != 3:
+        raise ValueError(f"fftn_sharded expects a (D, H, W) volume, got {x.shape}")
+    if xi is not None and xi.shape != x.shape:
+        raise ValueError(f"fftn_sharded: real and imag shapes differ: {x.shape} vs {xi.shape}")
+    d0, h, w = x.shape
+    d = mesh.shape[sp_axis]
+    _check_dims(h, w, d)
+    if d0 < 2 or d0 & (d0 - 1):
+        raise ValueError(f"fftn_sharded requires power-of-two D, got {d0}")
+    if d0 % d or h % d:
+        raise ValueError(
+            f"fftn_sharded requires the mesh axis size {d} to divide D={d0} and H={h}"
+        )
+    return _slab(x, xi, d0, h, w, -1, mesh, sp_axis)
+
+
+def ifftn_sharded(xr, xi, mesh: Mesh, sp_axis: str = "sp"):
+    """Inverse 3-D FFT (1/(D*H*W) normalized) of a D-sharded split-complex
+    volume — the inverse of :func:`fftn_sharded`."""
+    xr = jnp.asarray(xr, dtype=jnp.float32)
+    xi = jnp.asarray(xi, dtype=jnp.float32)
+    if xr.shape != xi.shape:
+        raise ValueError(f"ifftn_sharded: shapes differ: {xr.shape} vs {xi.shape}")
+    if xr.ndim != 3:
+        raise ValueError(f"ifftn_sharded expects a (D, H, W) volume, got {xr.shape}")
+    d0, h, w = xr.shape
+    d = mesh.shape[sp_axis]
+    _check_dims(h, w, d)
+    if d0 < 2 or d0 & (d0 - 1) or d0 % d or h % d:
+        raise ValueError(
+            f"ifftn_sharded requires power-of-two dims with {d} | D and {d} | H, "
+            f"got {xr.shape}"
+        )
+    yr, yi = _slab(xr, xi, d0, h, w, +1, mesh, sp_axis)
+    s = jnp.float32(1.0 / (d0 * h * w))
     return yr * s, yi * s

@@ -263,3 +263,42 @@ def test_fft2_sharded_contracts(mesh8):
             sp_axis="dp",
             imag=np.ones((64, 32), np.float32),
         )
+
+
+def test_fftn_sharded_slab_matches_oracle(mesh8, rng):
+    from gpu_fft_tpu.parallel import fftn_sharded, ifftn_sharded
+
+    x = rng.standard_normal((16, 32, 64)).astype(np.float32)
+    yr, yi = fftn_sharded(x, mesh8, sp_axis="dp")
+    ref = np.fft.fftn(x.astype(np.float64))
+    scale = np.abs(ref).max()
+    assert np.abs(np.asarray(yr) - ref.real).max() / scale < 3e-5
+    assert np.abs(np.asarray(yi) - ref.imag).max() / scale < 3e-5
+    br, bi = ifftn_sharded(yr, yi, mesh8, sp_axis="dp")
+    assert np.abs(np.asarray(br) - x).max() < 1e-4
+    assert np.abs(np.asarray(bi)).max() < 1e-4
+    # result keeps the slab sharding (no silent gather)
+    assert yr.sharding.spec[0] == "dp"
+
+
+def test_fftn_sharded_complex_input(mesh8, rng):
+    from gpu_fft_tpu.parallel import fftn_sharded
+
+    x = rng.standard_normal((8, 16, 32)).astype(np.float32)
+    z = rng.standard_normal((8, 16, 32)).astype(np.float32)
+    yr, yi = fftn_sharded(x, mesh8, sp_axis="dp", imag=z)
+    ref = np.fft.fftn((x + 1j * z).astype(np.complex128))
+    scale = np.abs(ref).max()
+    assert np.abs(np.asarray(yr) - ref.real).max() / scale < 3e-5
+    assert np.abs(np.asarray(yi) - ref.imag).max() / scale < 3e-5
+
+
+def test_fftn_sharded_contracts(mesh8):
+    from gpu_fft_tpu.parallel import fftn_sharded
+
+    with pytest.raises(ValueError, match="volume"):
+        fftn_sharded(np.ones((8, 8), np.float32), mesh8, sp_axis="dp")
+    with pytest.raises(ValueError, match="power-of-two D"):
+        fftn_sharded(np.ones((24, 16, 16), np.float32), mesh8, sp_axis="dp")
+    with pytest.raises(ValueError, match="divide"):
+        fftn_sharded(np.ones((16, 4, 16), np.float32), mesh8, sp_axis="dp")
