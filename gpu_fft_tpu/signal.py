@@ -1,0 +1,136 @@
+"""scipy.signal-flavored namespace: complex outputs, scipy names.
+
+The native API returns split-complex ``(re, im)`` pairs and uses a few
+library-local names (``fft_convolve``, ``stft_scipy``).  This module maps
+the same measured implementations onto the ``scipy.signal`` surface —
+scipy's function NAMES and complex-valued returns — so signal-processing
+code moves over with one import change::
+
+    import gpu_fft_tpu.signal as signal     # instead of scipy.signal
+    f, Pxy = signal.csd(x, y, fs=1e3)       # complex Pxy, like scipy
+    analytic = signal.hilbert(x)            # complex analytic signal
+
+Host convenience layer: numpy in, numpy out (complex64 where scipy returns
+complex).  For device-resident split-complex pipelines use the native ops
+(``gpu_fft_tpu.welch_device`` etc.).  Semantics are the native functions',
+which are tested element-wise against scipy.signal; the complex packing
+here is covered by ``tests/test_signal_compat.py``.
+
+No counterpart in the reference (pure extension); the complex-facade idea
+mirrors ``gpu_fft_tpu.compat`` for scipy.fft.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .ops.czt import czt as _czt_split, zoom_fft as _zoom_split
+from .ops.dsp import fft_convolve as fftconvolve, fft_correlate, hilbert as _hilbert_split, resample
+from .ops.filter import (
+    FIRStream,
+    filtfilt_fir,
+    firwin,
+    firwin2,
+    kaiser_atten,
+    kaiser_beta,
+    kaiserord,
+    minimum_phase,
+    oaconvolve,
+)
+from .ops.multirate import decimate, resample_poly, upfirdn
+from .ops.spectral import (
+    coherence,
+    csd as _csd_split,
+    periodogram,
+    spectrogram_scipy as spectrogram,
+    welch,
+)
+from .ops.stft import istft_scipy as _istft_split, stft_scipy as _stft_split, window_table
+
+__all__ = [
+    "fftconvolve", "oaconvolve", "correlate", "convolve",
+    "hilbert", "resample", "resample_poly", "upfirdn", "decimate",
+    "welch", "csd", "coherence", "periodogram", "spectrogram",
+    "stft", "istft", "czt", "zoom_fft",
+    "firwin", "firwin2", "kaiserord", "kaiser_beta", "kaiser_atten",
+    "minimum_phase", "filtfilt_fir", "FIRStream", "get_window",
+]
+
+
+def _pack(re, im):
+    return np.asarray(re) + 1j * np.asarray(im)
+
+
+def convolve(in1, in2, mode: str = "full", method: str = "auto"):
+    """``scipy.signal.convolve`` with the FFT method (the only one here —
+    this is an FFT library); ``method`` must be 'auto' or 'fft'."""
+    if method not in ("auto", "fft"):
+        raise ValueError(f"convolve supports method='auto'|'fft', got {method!r}")
+    return fftconvolve(in1, in2, mode=mode)
+
+
+def correlate(in1, in2, mode: str = "full", method: str = "auto"):
+    """``scipy.signal.correlate`` (FFT method) for real inputs."""
+    if method not in ("auto", "fft"):
+        raise ValueError(f"correlate supports method='auto'|'fft', got {method!r}")
+    return fft_correlate(in1, in2, mode=mode)
+
+
+def hilbert(x, N: int | None = None):
+    """Complex analytic signal — ``scipy.signal.hilbert`` (N pads/crops)."""
+    x = np.asarray(x, dtype=np.float32)
+    if N is not None:
+        if N < 1:
+            raise ValueError("N must be positive")
+        if N <= x.shape[-1]:
+            x = x[..., :N]
+        else:
+            pad = [(0, 0)] * (x.ndim - 1) + [(0, N - x.shape[-1])]
+            x = np.pad(x, pad)
+    return _pack(*_hilbert_split(x))
+
+
+def csd(x, y, **kwargs):
+    """Cross spectral density — ``scipy.signal.csd``, complex Pxy."""
+    f, (cr, ci) = _csd_split(x, y, **kwargs)
+    return f, _pack(cr, ci)
+
+
+def stft(x, fs: float = 1.0, window="hann", nperseg: int = 256, noverlap=None,
+         nfft=None, boundary: str | None = "zeros", padded: bool = True):
+    """Short-time Fourier transform — ``scipy.signal.stft``, complex Zxx
+    oriented (bins, frames)."""
+    f, t, (zr, zi) = _stft_split(
+        x, fs=fs, window=window, nperseg=nperseg, noverlap=noverlap,
+        nfft=nfft, boundary=boundary, padded=padded,
+    )
+    return f, t, _pack(zr, zi)
+
+
+def istft(Zxx, fs: float = 1.0, window="hann", nperseg=None, noverlap=None,
+          boundary: bool = True):
+    """Inverse STFT — ``scipy.signal.istft``: complex Zxx in, ``(t, x)`` out."""
+    Zxx = np.asarray(Zxx)
+    return _istft_split(
+        np.ascontiguousarray(Zxx.real), np.ascontiguousarray(Zxx.imag),
+        fs=fs, window=window, nperseg=nperseg, noverlap=noverlap,
+        boundary=boundary,
+    )
+
+
+def czt(x, m: int | None = None, w: complex | None = None, a: complex = 1 + 0j):
+    """Chirp-z transform — ``scipy.signal.czt``, complex output."""
+    return _pack(*_czt_split(x, m, w, a))
+
+
+def zoom_fft(x, fn, m: int | None = None, fs: float = 2.0):
+    """Band-zoomed spectrum — ``scipy.signal.zoom_fft``, complex output."""
+    return _pack(*_zoom_split(x, fn, m, fs))
+
+
+def get_window(window, Nx: int, fftbins: bool = True):
+    """``scipy.signal.get_window`` for the window families the estimators
+    accept (periodic/DFT-even form only, scipy's default ``fftbins=True``)."""
+    if not fftbins:
+        raise NotImplementedError("get_window supports the periodic form (fftbins=True) only")
+    return window_table(window, Nx)
