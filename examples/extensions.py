@@ -6,7 +6,12 @@ different frequencies.  ``fft_exact`` computes the true spectrum at any
 length; ``fft2`` transforms images/frames.  Run: python examples/extensions.py
 """
 
+import pathlib
+import sys
+
 import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import gpu_fft_tpu as gf
 
@@ -39,7 +44,33 @@ def main() -> None:
     ky, kx = np.unravel_index(int(np.argmax(power)), power.shape)
     print(f"fft2: dominant 2-D bin (ky, kx) = ({ky}, {kx})  [expected (3, 17)]")
 
+    # ── scipy.fft drop-in: same code, complex arrays, TPU path ──────────────
+    import jax.numpy as jnp
+
+    import gpu_fft_tpu.compat as cfft
+
+    X = cfft.rfft(x[:4096])  # complex64, device-resident
+    kc = int(jnp.argmax(jnp.abs(X)))
+    print(f"compat.rfft: dominant bin {kc} = {kc * sr / 4096:.2f} Hz (complex API)")
+
+    # ── scipy.signal drop-in: complex analytic signal ────────────────────────
+    import gpu_fft_tpu.signal as gsig
+
+    env = np.abs(gsig.hilbert(np.sin(2 * np.pi * 5 * t[:2048]) * np.hanning(2048)))
+    print(f"signal.hilbert: envelope peak {env.max():.3f} at sample {int(np.argmax(env))}")
+
+    # ── FFTLog: Hankel transform of exp(-r²/2)·r^1.5 on a log grid ──────────
+    nlog, dln, mu = 256, 0.02, 0.5
+    r = np.exp((np.arange(nlog) - (nlog - 1) / 2) * dln)
+    a = (r**1.5 * np.exp(-r * r / 2)).astype(np.float32)
+    off = gf.fhtoffset(dln, mu)
+    A = gf.fht(a, dln, mu, offset=off)
+    back = gf.ifht(A, dln, mu, offset=off)
+    fht_err = float(np.abs(back - a).max())
+    print(f"fht/ifht roundtrip (FFTLog, mu={mu}): max err {fht_err:.2e}")
+
     ok = ky in (3, h - 3) and kx in (17, w - 17)
+    ok = ok and kc == round(f0 * 4096 / sr) and fht_err < 1e-4
     print("OK" if ok and abs(k * sr / n - f0) < 0.5 else "FAIL")
 
 
