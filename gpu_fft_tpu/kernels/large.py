@@ -26,6 +26,9 @@ docs/ABLATION.md) — not a global flag:
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 
 from .. import config
@@ -54,6 +57,49 @@ from .fused_jnp import (
 )
 
 __all__ = ["transform_any", "inverse_real"]
+
+
+# ── Autodiff over the Pallas stage-A kernel ───────────────────────────────────
+#
+# Every other op in the transform paths is a jnp graph XLA can differentiate
+# and transpose by itself; the one opaque piece is the stage-A pallas_call.
+# The transform is LINEAR, so its JVP is itself — computed here as the jnp
+# einsum engine (stage_a_jnp), which reverse mode can transpose.  Primal
+# execution keeps the measured kernel; only tangent/cotangent passes pay the
+# einsum form's ~1.3x (docs/ABLATION.md §12), which is the right trade for a
+# gradient path that exists at every size.
+
+_STAGE_A_TABLE_KEYS = (
+    "f1r", "f1i", "f1s", "f1d", "two_r", "two_i", "twi_r", "twi_i", "twr", "twi"
+)
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _stage_a_core(x3r, x3i, tabs, n1, n2, ct, rows, col_tiles):
+    t = dict(tabs)
+    t["ct"] = ct
+    return stage_a(x3r, x3i, n1, n2, t, ct, col_tiles=col_tiles, rows=rows)
+
+
+@_stage_a_core.defjvp
+def _stage_a_core_jvp(n1, n2, ct, rows, col_tiles, primals, tangents):
+    x3r, x3i, tabs = primals
+    tx3r, tx3i, _ = tangents
+    y = _stage_a_core(x3r, x3i, tabs, n1, n2, ct, rows, col_tiles)
+    from .fused_jnp import stage_a_jnp
+
+    tyr, tyi = stage_a_jnp(tx3r, None if x3i is None else tx3i, tabs)
+    if rows is not None:
+        tyr, tyi = tyr[:, :rows, :], tyi[:, :rows, :]
+    if col_tiles is not None:
+        tyr, tyi = tyr[:, :, : col_tiles * ct], tyi[:, :, : col_tiles * ct]
+    return y, (tyr, tyi)
+
+
+def _stage_a_ad(x3r, x3i, plan, rows=None, col_tiles=None):
+    """Differentiable wrapper around the stage-A kernel (see block comment)."""
+    tabs = {k: plan[k] for k in _STAGE_A_TABLE_KEYS if k in plan}
+    return _stage_a_core(x3r, x3i, tabs, plan["n1"], plan["n2"], plan["ct"], rows, col_tiles)
 
 
 def inverse_real(xr, xi, n: int, scale: float | None = None):
@@ -102,7 +148,7 @@ def inverse_real(xr, xi, n: int, scale: float | None = None):
                 yr = yr[:, :, : tiles * ct]
                 yi = yi[:, :, : tiles * ct]
             else:
-                yr, yi = stage_a(x3r, x3i, n1, n2, plan, ct, col_tiles=tiles)
+                yr, yi = _stage_a_ad(x3r, x3i, plan, col_tiles=tiles)
             g_r, g_i = irfft_fold_columns(yr, yi, bt)
             # Per-row Hermitian fold stage B: half the stage-1 contraction,
             # real-only stage 2, digit reversal folded into the output order.
@@ -189,7 +235,7 @@ def transform_any(xr, xi, n: int, sign: int, scale: float | None = None):
         # measured equal to deferring the twiddle into stage B's fusion, and
         # 1.5x faster than composing XLA's own 2-D dots into the graph — see
         # docs/ABLATION.md §12 for the full variant matrix.
-        yr, yi = stage_a(x3r, x3i, n1, n2, plan, plan["ct"], rows=half_rows)
+        yr, yi = _stage_a_ad(x3r, x3i, plan, rows=half_rows)
 
     if plan["stage_b"] is not None:
         if xi is None and half_spectrum_applies(n):
