@@ -100,3 +100,14 @@ def test_api_doc_covers_all_public_symbols():
     missing = [n for n in gf.__all__
                if n not in ("utils", "__version__") and f"`{n}" not in text]
     assert not missing, f"regenerate docs/API.md (python scripts/gen_api_doc.py): {missing}"
+
+
+def test_training_example():
+    import training
+
+    out = _run_capturing(training.main)
+    assert "OK" in out.splitlines()[-1]
+    # the learned 64-tap filter must beat the identity start by >= 5x
+    line = [l for l in out.splitlines() if "spectral MSE" in l][0]
+    before, after = float(line.split()[2]), float(line.split()[4])
+    assert after < before / 5
