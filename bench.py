@@ -146,6 +146,31 @@ def main() -> None:
         kind="roundtrip",
     )
 
+    # ── Gradient path: jitted reverse-mode through the transform (the
+    # custom-JVP seam over the stage-A kernel; tests/test_autodiff.py).
+    # The step IS a spectral-loss training step's derivative: grad of
+    # sum|FFT(x)|^2, rescaled by Parseval's 1/(2n) so the chain is the
+    # identity map and stays bounded.
+    def grad_step(n):
+        from gpu_fft_tpu.ops.transform import fft_device
+
+        def power(v):
+            yr, yi = fft_device(v)
+            return jnp.sum(yr**2 + yi**2)
+
+        g = jax.grad(power)
+        s = np.float32(1.0 / (2.0 * n))
+
+        def step(x):
+            return g(x) * s
+
+        return step
+
+    measure("grad_fft_n65536", grad_step(65536), dev((1, 65536)), b=1, n=65536, kind="grad_fft")
+    measure(
+        "grad_fft_n1048576", grad_step(1 << 20), dev((1, 1 << 20)), b=1, n=1 << 20, kind="grad_fft"
+    )
+
     # ── Batched groups (fft_bench.rs BATCH_SIZES x BATCH_N + ifft/roundtrip) ─
     measure(
         "fft_batch_b16_n65536", fft_forward_step(65536), dev((16, 65536)), b=16, n=65536, kind="fft_batch"
@@ -278,10 +303,22 @@ def main() -> None:
     # measured n=4096 balanced split (64x64) is less lane-efficient than
     # n=16384's perfect 128x128, so 4096 runs ~13% slower by design.
     sweep = [f"fft_n{n}" for n in (1024, 4096, 16384, 65536, 1 << 20)]
+
+    def _nonmonotonic(a, bname):
+        ta, tb = t(a), t(bname)
+        if not (ta and tb) or ta <= tb * 1.25:
+            return False
+        # Dispatch-floor noise waiver: when the excess beyond the threshold
+        # is inside the pair's combined IQR, the "inversion" is within the
+        # measurement's own dispersion (2-3 us rows through the tunnel
+        # wobble by ~0.4 us), not a physically impossible row.
+        iqr = (c[a].get("iqr_s") or 0.0) + (c[bname].get("iqr_s") or 0.0)
+        return ta - tb * 1.25 > iqr
+
     for a, bname in zip(sweep, sweep[1:]):
-        if t(a) and t(bname) and t(a) > t(bname) * 1.25:
+        if _nonmonotonic(a, bname):
             remeasure(a)
-            if t(a) and t(bname) and t(a) > t(bname) * 1.25:
+            if _nonmonotonic(a, bname):
                 violations.append(f"{a} > {bname}")
                 c[a]["suspect"] = True
     # The roofline is a lower bound by construction: a measurement beating

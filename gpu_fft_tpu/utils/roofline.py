@@ -305,6 +305,11 @@ def transform_cost(b: int, n: int, kind: str = "fft") -> dict:
         "dct_roundtrip",
         "hilbert",
         "resample",
+        # grad_fft: reverse-mode spectrum-power gradient = the forward
+        # transform + its transpose (the opposite-direction transform, run
+        # as the jnp tangent engine) + an O(bn) epilogue — a roundtrip's
+        # compute, so the roundtrip model is its speed-of-light.
+        "grad_fft",
     ):
         stages, elem = parts((b, n, True), (b, n, False))
         elem += 2.0 * b * n
