@@ -31,6 +31,7 @@ __all__ = [
     "fused_fft_jnp_folded",
     "fused_fft_jnp_half",
     "fused_irfft_jnp",
+    "irfft_direct_half_jnp",
     "stage_a_jnp",
     "stage_b_irfft_jnp",
     "stage_b_jnp",
@@ -357,6 +358,16 @@ def fused_irfft_jnp(xr, xi, plan: dict):
     # Nyquist (k1 = n1/2) column: stage-2 factor is scale * (-1)^m1 (real).
     out = out + plan["alt"][None, :, None] * zr[:, half, :][:, None, :]
     return out.reshape(b, n)
+
+
+def irfft_direct_half_jnp(xr, xi, plan: dict):
+    """Direct real-output inverse from the ONE-SIDED spectrum: two real
+    matmuls against the Hermitian-folded (h, n) tables
+    (``plan.get_irfft_direct_plan`` — c_k fold weights and scale live in
+    the tables; the k = 0 / n/2 sin rows are exactly zero, so DC/Nyquist
+    imaginary parts are ignored for free).  ``xr, xi``: (B, h) with
+    h = n//2 + 1.  Returns the (B, n) real signal."""
+    return _dot(xr, plan["cr"]) + _dot(xi, plan["ci"])
 
 
 def stage_b_irfft_jnp(yr, yi, n1: int, t: dict):

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import config
-from ..config import FUSED_MAX
+from ..config import DIRECT_MAX, FUSED_MAX
 from ..plan import (
     get_fused_plan,
     get_irfft_plan,
@@ -56,7 +56,7 @@ from .fused_jnp import (
     stage_b_jnp,
 )
 
-__all__ = ["transform_any", "inverse_real"]
+__all__ = ["transform_any", "inverse_real", "inverse_real_half"]
 
 
 # ── Autodiff over the Pallas stage-A kernel ───────────────────────────────────
@@ -155,6 +155,38 @@ def inverse_real(xr, xi, n: int, scale: float | None = None):
             return stage_b_irfft_from_half(g_r, g_i, bt)
     yr, _ = transform_any(xr, xi, n, +1, scale=scale)
     return yr
+
+
+def inverse_real_half(xr, xi, n: int, scale: float | None = None):
+    """Real-output inverse from the ONE-SIDED (B, h = n//2 + 1) spectrum.
+
+    The entry point for consumers that hold rfft-style half spectra
+    (irfft_device, istft).  At direct sizes (n <= DIRECT_MAX) the Hermitian
+    symmetry folds into the DFT tables themselves: two real matmuls with
+    contraction h — half the MXU passes of the mirror + full-inverse form
+    and zero mirror relayout (1.4-2.75x measured at every (B, n <= 512),
+    docs/ABLATION.md §16).  Larger n: cheap rev+concat Hermitian
+    reconstruction + :func:`inverse_real`, whose fold dispatch reads back
+    only the k1 <= n1/2 grid columns at fold sizes (so XLA dead-code-
+    eliminates most of the mirror).  DC/Nyquist imaginary parts are
+    ignored (numpy ``irfft`` semantics) on every path.
+    """
+    import jax.numpy as jnp
+
+    h = n // 2 + 1
+    if xr.shape[-1] != h:
+        raise ValueError(f"inverse_real_half expects {h} bins for n={n}, got {xr.shape[-1]}")
+    if n <= DIRECT_MAX:
+        from ..plan import get_irfft_direct_plan
+
+        from .fused_jnp import irfft_direct_half_jnp
+
+        return irfft_direct_half_jnp(xr, xi, get_irfft_direct_plan(n, scale))
+    # Hermitian reconstruction: X[n-k] = conj(X[k]); DC/Nyquist forced real.
+    xi = xi.at[..., 0].set(0.0).at[..., h - 1].set(0.0)
+    full_r = jnp.concatenate([xr, jnp.flip(xr[..., 1:-1], axis=-1)], axis=-1)
+    full_i = jnp.concatenate([xi, -jnp.flip(xi[..., 1:-1], axis=-1)], axis=-1)
+    return inverse_real(full_r, full_i, n, scale=scale)
 
 
 def transform_any(xr, xi, n: int, sign: int, scale: float | None = None):

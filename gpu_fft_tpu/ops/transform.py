@@ -322,23 +322,25 @@ def irfft_device(xr, xi, backend=None):
         raise ValueError(
             f"irfft_device: expected n//2 + 1 bins of a power-of-two n, got {h} bins"
         )
+    resolved = resolve_backend(backend)
+    if resolved is Backend.PALLAS:
+        # Default device path: real-output inverse straight from the
+        # one-sided bins (kernels/large.py:inverse_real_half) — at direct
+        # sizes the Hermitian symmetry folds into the DFT tables (two real
+        # dots contracting h, zero mirror); at fold sizes the dispatch
+        # reads only the k1 <= n1/2 grid columns so XLA dead-code-
+        # eliminates most of the internal Hermitian reconstruction.
+        from ..kernels.large import inverse_real_half
+
+        squeeze = xr.ndim == 1
+        rr = xr[None] if squeeze else xr
+        ri = xi[None] if squeeze else xi
+        yr = inverse_real_half(rr, ri, n, scale=1.0 / n)
+        return yr[0] if squeeze else yr
     # Hermitian reconstruction: X[n-k] = conj(X[k]); DC/Nyquist forced real.
     xi = xi.at[..., 0].set(0.0).at[..., h - 1].set(0.0)
     full_r = jnp.concatenate([xr, jnp.flip(xr[..., 1:-1], axis=-1)], axis=-1)
     full_i = jnp.concatenate([xi, -jnp.flip(xi[..., 1:-1], axis=-1)], axis=-1)
-    resolved = resolve_backend(backend)
-    if resolved is Backend.PALLAS and n >= 16:
-        # Default device path: real-output inverse with the Hermitian-fold
-        # dispatch (kernels/large.py:inverse_real) — the fold reads only
-        # the k1 <= n1/2 grid columns, so XLA dead-code-eliminates the
-        # mirrored half of the reconstruction above at the winning sizes.
-        from ..kernels.large import inverse_real
-
-        squeeze = full_r.ndim == 1
-        rr = full_r[None] if squeeze else full_r
-        ri = full_i[None] if squeeze else full_i
-        yr = inverse_real(rr, ri, n, scale=1.0 / n)
-        return yr[0] if squeeze else yr
     yr, _ = ifft_device(full_r, full_i, backend=backend)
     return yr
 

@@ -271,6 +271,45 @@ def get_irfft_plan(
     }
 
 
+@functools.lru_cache(maxsize=None)
+def get_irfft_direct_plan(n: int, scale: float | None = None) -> dict:
+    """Tables for the DIRECT half-input real-output inverse (n <= DIRECT_MAX).
+
+    For a Hermitian spectrum given by its one-sided h = n//2 + 1 bins,
+    x[m] = Re(sum_k X[k] w_n^{+km}) folds into c_k weights
+    (c_0 = c_{n/2} = 1, else 2), so the whole inverse is TWO real matmuls
+    against (h, n) tables:
+
+        x = xr @ cr + xi @ ci,   cr[k, m] = s*c_k*cos(2*pi*k*m/n),
+                                 ci[k, m] = -s*c_k*sin(2*pi*k*m/n)
+
+    — contraction h instead of n (half the MXU passes of the DCE'd full
+    inverse) and NO Hermitian-mirror relayout at all.  Measured v5e:
+    1.4-2.75x over mirror + full inverse at every (B, n <= 512)
+    (docs/ABLATION.md §16).  The sin rows at k = 0 and k = n/2 are exactly
+    zero (angles reduced mod n in int64 first), so stray imaginary parts in
+    the DC/Nyquist bins are ignored — numpy ``irfft`` semantics — with no
+    masking pass.  ``scale`` (e.g. 1/n) folds into the tables: zero extra
+    HBM passes.
+    """
+    if n & (n - 1) or n < 2:
+        raise ValueError(f"direct irfft plans require power-of-two n >= 2, got {n}")
+    if n > DIRECT_MAX:
+        raise ValueError(f"n={n} exceeds DIRECT_MAX={DIRECT_MAX}; use the fold path")
+    h = n // 2 + 1
+    s = 1.0 if scale is None else float(scale)
+    red = np.mod(
+        np.outer(np.arange(h, dtype=np.int64), np.arange(n, dtype=np.int64)), n
+    ).astype(np.float64)
+    ang = (2.0 * np.pi / n) * red
+    c = np.full((h, 1), 2.0 * s)
+    c[0] = s
+    c[-1] = s
+    cr = (np.cos(ang) * c).astype(np.float32)
+    ci = (-np.sin(ang) * c).astype(np.float32)
+    return {"n": n, "h": h, "cr": cr, "ci": ci}
+
+
 # Stage-A digit: n1 = 128 at every measured N (the full n1 x engine sweep is
 # scripts/ablate_large.py, archived in docs/ABLATION.md).  128 is the MXU
 # width — the column DFT becomes lane-perfect 128x128 matmuls — and keeps the

@@ -299,9 +299,8 @@ def transform_cost(b: int, n: int, kind: str = "fft") -> dict:
         "roundtrip_batch",
         "roundtrip_sequential",
         # Analysis ops that are a forward + inverse pair over their (b, n):
-        # stft roundtrip over (frames, frame_size), orthonormal dct+idct,
-        # hilbert (fft -> gain mask -> ifft), resample (fft@n + ifft@~n).
-        "stft_roundtrip",
+        # orthonormal dct+idct, hilbert (fft -> gain mask -> ifft),
+        # resample (fft@n + ifft@~n).
         "dct_roundtrip",
         "hilbert",
         "resample",
@@ -314,6 +313,23 @@ def transform_cost(b: int, n: int, kind: str = "fft") -> dict:
         stages, elem = parts((b, n, True), (b, n, False))
         elem += 2.0 * b * n
         bytes_ = b * n * f32 * (1 + 2)  # x in, (re,im) of the roundtrip out
+    elif kind == "stft_roundtrip":
+        # STFT analysis + synthesis over (frames, frame_size): forward real
+        # frames, then the one-sided inverse (istft -> irfft_device ->
+        # inverse_real_half).  At direct frame sizes the inverse is two real
+        # dots contracting h = n//2 + 1 bins (the Hermitian fold lives in
+        # the tables); larger frames mirror + run the fold dispatch, the
+        # same charge as a full roundtrip.
+        if n <= DIRECT_MAX:
+            stages, elem = parts((b, n, True))
+            h = n // 2 + 1
+            stages.append((2 * 2.0 * b * n * h, h))
+            # window multiply + overlap-add accumulation + WOLA division.
+            elem += 4.0 * b * n
+        else:
+            stages, elem = parts((b, n, True), (b, n, False))
+            elem += 2.0 * b * n
+        bytes_ = b * n * f32 * (1 + 2)
     elif kind in ("oaconvolve", "fftfilt"):
         # Overlap-add FIR: (b, n) = (blocks, block transform length m).
         # Forward real blocks + spectrum product + inverse complex + 1/m.

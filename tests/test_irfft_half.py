@@ -104,3 +104,80 @@ def test_irfft_device_roundtrip_past_gate(n):
     back = np.asarray(irfft_device(yr, yi))
     err = np.abs(back - x).max() / np.abs(x).max()
     assert err < 2 * _bound(n)
+
+
+# ── Direct half-input path (n <= DIRECT_MAX): Hermitian fold in the tables ───
+
+
+@pytest.mark.parametrize("n", [2, 4, 16, 64, 256, 512])
+@pytest.mark.parametrize("b", [1, 5])
+def test_direct_half_matches_numpy(n, b):
+    """inverse_real_half at direct sizes: two real dots, contraction h,
+    no mirror (plan.get_irfft_direct_plan; measured 1.4-2.75x on v5e)."""
+    from gpu_fft_tpu.kernels.large import inverse_real_half
+
+    rng = np.random.default_rng(n + b)
+    x, xr, xi = _hermitian_spectrum(rng, b, n)
+    h = n // 2 + 1
+    out = np.asarray(
+        inverse_real_half(
+            jnp.asarray(xr[:, :h]), jnp.asarray(xi[:, :h]), n, scale=1.0 / n
+        )
+    )
+    err = np.abs(out - x).max() / max(np.abs(x).max(), 1e-30)
+    assert err < max(_bound(n), 2e-6), f"n={n} b={b}: relative error {err:.2e}"
+
+
+def test_direct_half_ignores_dc_nyquist_imag():
+    """The sin rows at k = 0 and k = n/2 are exactly zero, so stray
+    imaginary parts in the DC/Nyquist bins cannot leak into the output
+    (numpy irfft semantics, with no masking pass)."""
+    from gpu_fft_tpu.kernels.large import inverse_real_half
+
+    n, h = 256, 129
+    rng = np.random.default_rng(0)
+    fr = rng.standard_normal((2, h)).astype(np.float32)
+    fi = rng.standard_normal((2, h)).astype(np.float32)
+    got = np.asarray(inverse_real_half(jnp.asarray(fr), jnp.asarray(fi), n, scale=1.0 / n))
+    ref = np.fft.irfft(fr + 1j * fi, n=n, axis=-1)  # numpy also ignores them
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("n", [4, 256, 512, 1024, 1 << 15])
+def test_irfft_device_one_sided_roundtrip(n):
+    """rfft_device -> irfft_device recovers the signal at direct sizes
+    (table-fold path), mid fused sizes (mirror + full inverse), and fold
+    sizes (mirror + grid fold, mirror DCE'd)."""
+    from gpu_fft_tpu.ops.transform import irfft_device, rfft_device
+
+    rng = np.random.default_rng(n)
+    x = rng.standard_normal((3, n)).astype(np.float32)
+    fr, fi = rfft_device(jnp.asarray(x))
+    assert fr.shape == (3, n // 2 + 1)
+    y = np.asarray(irfft_device(fr, fi))
+    err = np.abs(y - x).max() / np.abs(x).max()
+    assert err < _bound(n), f"n={n}: relative error {err:.2e}"
+
+
+def test_direct_half_plan_rejects_bad_n():
+    from gpu_fft_tpu.plan import get_irfft_direct_plan
+
+    with pytest.raises(ValueError):
+        get_irfft_direct_plan(3)
+    with pytest.raises(ValueError):
+        get_irfft_direct_plan(1024)  # beyond DIRECT_MAX: the fold path owns it
+
+
+def test_direct_half_grad_flows():
+    """The direct path is two dots — reverse mode must flow through
+    irfft_device for training losses on reconstructed signals."""
+    import jax
+
+    from gpu_fft_tpu.ops.transform import irfft_device
+
+    n, h = 64, 33
+    rng = np.random.default_rng(1)
+    fr = jnp.asarray(rng.standard_normal((1, h)).astype(np.float32))
+    fi = jnp.asarray(rng.standard_normal((1, h)).astype(np.float32))
+    g = jax.grad(lambda a, b: jnp.sum(irfft_device(a, b) ** 2), argnums=(0, 1))(fr, fi)
+    assert np.isfinite(np.asarray(g[0])).all() and np.isfinite(np.asarray(g[1])).all()
