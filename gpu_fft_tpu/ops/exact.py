@@ -1,17 +1,29 @@
-"""Exact arbitrary-length FFT via Bluestein's chirp-z algorithm.
+"""Exact arbitrary-length FFT: mixed-radix four-step or Bluestein chirp-z.
 
 The reference (and this library's ``fft``) zero-pads non-power-of-two
 signals to the next power of two — which computes a DIFFERENT spectrum
 (padded-length bins).  ``fft_exact`` computes the true length-n DFT for ANY
-n >= 1 by re-expressing it as a circular convolution of power-of-two size,
-which then runs through this library's measured pow2 path:
+n >= 1, choosing between two exact strategies by modeled FLOPs:
 
-    X[k] = w*[k] . sum_j (x[j] w*[j]) . w[(k-j)]   with w[j] = e^{i pi j^2 / n}
+* **Mixed-radix four-step** (``_mixed_fft``): whenever n has a balanced
+  divisor pairing n = n1 * n2 with both digits <= MIXED_DIGIT_MAX, the
+  transform is the SAME two-matmul + twiddle factorization the pow2 fused
+  path uses (kernels/fused_jnp.py — its math never required powers of two),
+  with (n1, n1) and (n2, n2) direct DFT tables.  A digit is a direct
+  matmul, so it need NOT be smooth or prime-free: n = 1009^2 splits as
+  1009 x 1009 even though 1009 is prime.  For audio-style lengths this
+  crushes the chirp path's 2.7x padding — n = 48,000 runs as 240 x 200
+  instead of two 131,072-point transforms.
+* **Bluestein chirp-z** (``_bluestein``): lengths with only lopsided
+  divisor pairings (primes, 2 * large-prime, ...) re-express the DFT as a
+  circular convolution of power-of-two size m = next_pow2(2n - 1):
 
-realized as:  a = x * conj(w);  X = conj(w) * IFFT_m(FFT_m(a) * B)
-where m = next_pow2(2n - 1) and B = FFT_m of the circularly-wrapped chirp.
+      X[k] = w*[k] . sum_j (x[j] w*[j]) . w[(k-j)],  w[j] = e^{i pi j^2 / n}
 
-Accuracy: the chirp exponents j^2 are reduced mod 2n in exact int64 before
+  realized as  a = x * conj(w);  X = conj(w) * IFFT_m(FFT_m(a) * B)
+  with B = FFT_m of the circularly-wrapped chirp.
+
+Accuracy: every table angle is reduced mod the period in exact int64 before
 the f64 exponential (j^2 overflows f64's integer range long before n's
 limit), so table error stays at 1/2 ulp; end-to-end error is a few f32 ulps
 times log(m), comfortably inside the 5*log2(m)*eps-style gates.
@@ -23,6 +35,7 @@ non-pow2 path at all.
 from __future__ import annotations
 
 import functools
+import math
 
 import numpy as np
 
@@ -94,6 +107,77 @@ def _bluestein(xr, xi, n: int, sign: int):
     return gr * wr - gi * wi, gr * wi + gi * wr
 
 
+# Largest direct-DFT digit of the mixed-radix path.  A digit d costs four
+# (d, d) f32 tables (16*d^2 bytes) and makes the stage contraction d; 1024
+# keeps the table set <= 16 MB and the contraction within the calibrated
+# class range while covering every balanced-divisor n <= ~1M.
+MIXED_DIGIT_MAX = 1024
+
+
+@functools.lru_cache(maxsize=None)
+def mixed_split(n: int):
+    """Most-balanced (n1, n2) with n1 * n2 = n and both <= MIXED_DIGIT_MAX,
+    chosen by modeled FLOPs against the Bluestein alternative; None if the
+    chirp path wins (or no valid pairing exists).
+
+    The most balanced pairing is (d, n/d) for the largest divisor
+    d <= isqrt(n); any smaller divisor has a larger cofactor, so if that
+    cofactor exceeds MIXED_DIGIT_MAX no pairing qualifies.  The FLOPs gate
+    compares the four-step's 6*n*(n1 + n2) complex-MAC matmuls against the
+    measured-dispatch model of Bluestein's two m-point transforms
+    (utils/roofline.py:transform_stages) so near-prime pairings like
+    (2, 509) only take the matmul form when it actually costs less.
+    """
+    if n < 4 or n & (n - 1) == 0:
+        return None
+    d = 0
+    for c in range(int(math.isqrt(n)), 1, -1):
+        if n % c == 0:
+            d = c
+            break
+    if d < 2 or n // d > MIXED_DIGIT_MAX:
+        return None
+    n1, n2 = d, n // d
+    mixed_flops = 3 * 2.0 * n * (n1 + n2) + 6.0 * n
+    m = 1
+    while m < 2 * n - 1:
+        m *= 2
+    from ..utils.roofline import transform_stages
+
+    stages, elem = transform_stages(1, m, real_input=False)
+    bluestein_flops = 2.0 * (sum(f for f, _ in stages) + elem) + 4 * 6.0 * n
+    return (n1, n2) if mixed_flops < bluestein_flops else None
+
+
+@functools.lru_cache(maxsize=None)
+def _mixed_plan(n: int, sign: int):
+    """FusedPlan with mixed (non-pow2) digits: the pow2 fused kernels'
+    four-step math (kernels/fused_jnp.py) is digit-size agnostic, so the
+    plan is the same table set — (n1, n1) and (n2, n2) direct DFT matrices
+    plus the (n2, n1) twiddle — built by the generic f64 generators."""
+    from ..kernels.tables import dft_matrix_ext, twiddle_table
+    from ..plan import FusedPlan
+
+    n1, n2 = mixed_split(n)
+    f1r, f1i, f1s, f1d = dft_matrix_ext(n1, sign)
+    f2r, f2i, f2s, f2d = dft_matrix_ext(n2, sign)
+    twr, twi = twiddle_table(n2, n1, n, sign)
+    tables = {
+        "f1r": f1r, "f1i": f1i, "f1s": f1s, "f1d": f1d,
+        "f2r": f2r, "f2i": f2i, "f2s": f2s, "f2d": f2d,
+        "twr": twr, "twi": twi,
+    }
+    return FusedPlan(n=n, sign=sign, kind="fourstep", n1=n1, n2=n2, tables=tables)
+
+
+def _mixed_fft(xr, xi, n: int, sign: int):
+    """Exact length-n transform via the mixed-digit four-step (folded form:
+    digit reversal as the final einsum's output permutation)."""
+    from ..kernels.fused_jnp import fused_fft_jnp_folded
+
+    return fused_fft_jnp_folded(xr, xi, _mixed_plan(n, sign))
+
+
 def _check_exact_n(n: int) -> None:
     """Validate n for the exact API.  Power-of-two lengths dispatch straight
     to the direct path and only need n <= MAX_N; the Bluestein bound
@@ -142,6 +226,8 @@ def fft_exact_device(x, imag=None):
     elif n == 1:
         yr = x
         yi = jnp.zeros_like(x) if xi is None else xi
+    elif mixed_split(n) is not None:
+        yr, yi = _mixed_fft(x, xi, n, -1)
     else:
         yr, yi = _bluestein(x, xi, n, -1)
     return (yr[0], yi[0]) if squeeze else (yr, yi)
@@ -166,6 +252,8 @@ def ifft_exact_device(xr, xi):
         yr, yi = transform_any(xr, xi, n, +1)
     elif n == 1:
         yr, yi = xr, xi
+    elif mixed_split(n) is not None:
+        yr, yi = _mixed_fft(xr, xi, n, +1)
     else:
         yr, yi = _bluestein(xr, xi, n, +1)
     s = jnp.float32(1.0 / n)

@@ -353,13 +353,28 @@ def transform_cost(b: int, n: int, kind: str = "fft") -> dict:
         stages, elem = parts((b, n, True), (n, b, False))
         bytes_ = b * n * f32 * (1 + 2)
     elif kind == "fft_exact":
-        # Bluestein: two complex pow2 transforms of length m plus chirp
-        # multiplies; b carries the batch, n the (arbitrary) length.
-        m = 1
-        while m < 2 * n - 1:
-            m *= 2
-        stages, elem = parts((b, m, False), (b, m, False))
-        elem += 3 * 6.0 * b * n
+        # Exact non-pow2 dispatch (ops/exact.py): mixed-radix four-step
+        # (two direct-digit matmuls + twiddle; real input skips the first
+        # stage's third dot) when a balanced divisor pairing wins on
+        # modeled FLOPs, else Bluestein's two complex pow2 transforms of
+        # length m plus chirp multiplies.  b carries the batch, n the
+        # (arbitrary) length.
+        from ..ops.exact import mixed_split
+
+        sp = mixed_split(n)
+        if sp is not None:
+            n1, n2 = sp
+            stages = [
+                (2 * 2.0 * b * n * n1, n1),  # real input: two stage-1 dots
+                (3 * 2.0 * b * n * n2, n2),
+            ]
+            elem = 6.0 * b * n  # twiddle
+        else:
+            m = 1
+            while m < 2 * n - 1:
+                m *= 2
+            stages, elem = parts((b, m, False), (b, m, False))
+            elem += 3 * 6.0 * b * n
         bytes_ = b * n * f32 * (1 + 2)
     else:
         raise ValueError(f"unknown config kind {kind!r}")

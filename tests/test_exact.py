@@ -80,3 +80,56 @@ def test_fft_exact_pow2_max_n_not_rejected():
         _check_exact_n(MAX_N + 1)  # non-pow2 beyond the Bluestein bound
     with pytest.raises(ValueError):
         _check_exact_n(2 * MAX_N)  # pow2 beyond MAX_N
+
+
+# ── Mixed-radix four-step path (balanced divisor pairings) ───────────────────
+
+
+def test_mixed_split_selection():
+    """Balanced pairings ride the matmul four-step; primes and lopsided
+    composites stay on Bluestein; pow2 never enters (the direct path owns
+    it).  The gate is modeled FLOPs, so a huge near-balanced semiprime
+    (1009 * 997) correctly prefers the chirp path's staged transforms."""
+    from gpu_fft_tpu.ops.exact import MIXED_DIGIT_MAX, mixed_split
+
+    assert mixed_split(48000) == (200, 240)
+    assert mixed_split(44100) == (210, 210)
+    assert mixed_split(6) == (2, 3)
+    assert mixed_split(97) is None  # prime
+    assert mixed_split(2 * 1009) is None  # lopsided
+    assert mixed_split(1 << 12) is None  # pow2: not this path's job
+    assert mixed_split(1009 * 997) is None  # FLOPs gate prefers Bluestein
+    sp = mixed_split(3 * (1 << 16))
+    assert sp is not None and max(sp) <= MIXED_DIGIT_MAX
+
+
+@pytest.mark.parametrize("n", [6, 360, 1000, 44100, 48000])
+def test_mixed_fft_matches_numpy(rng, n):
+    """The mixed four-step is exact at audio-style lengths (real, complex,
+    batch), measured 2.2-4.9x over Bluestein on v5e (docs/ABLATION.md §17)."""
+    from gpu_fft_tpu.ops.exact import mixed_split
+
+    assert mixed_split(n) is not None  # pin: these must ride the mixed path
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    xi = rng.standard_normal((2, n)).astype(np.float32)
+    yr, yi = gf.fft_exact_device(x, xi)
+    ref = np.fft.fft((x + 1j * xi).astype(np.complex128), axis=-1)
+    scale = np.abs(ref).max()
+    assert np.abs(np.asarray(yr) - ref.real).max() / scale < 5e-6
+    assert np.abs(np.asarray(yi) - ref.imag).max() / scale < 5e-6
+    br, bi = gf.ifft_exact_device(yr, yi)
+    assert np.abs(np.asarray(br) - x).max() < 5e-4
+    assert np.abs(np.asarray(bi) - xi).max() < 5e-4
+
+
+def test_mixed_roofline_kind_mirrors_dispatch():
+    """The fft_exact roofline charge follows the live selection: matmul
+    stages for a mixed length, two pow2 transforms for a Bluestein one."""
+    from gpu_fft_tpu.utils.roofline import transform_cost
+
+    mixed = transform_cost(1, 48000, "fft_exact")
+    assert len(mixed["stages"]) == 2
+    assert {k for _, k in mixed["stages"]} == {200, 240}
+    blue = transform_cost(1, 65537, "fft_exact")  # prime: chirp path
+    assert len(blue["stages"]) > 2  # two pow2 transforms' stage lists
+    assert blue["flops"] > mixed["flops"] * 3
