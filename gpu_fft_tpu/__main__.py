@@ -9,6 +9,8 @@ Commands:
   backends   enumerate available backends and roundtrip through each
   bench      quick on-device benchmark of one (batch, n) configuration
   plan       explain how a (batch, n) transform will dispatch (no device)
+  export     AOT-compile one transform to a serialized serving artifact
+  serve-check  load an artifact, run it, and verify against the live path
 """
 
 from __future__ import annotations
@@ -87,6 +89,32 @@ def cmd_plan(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    from gpu_fft_tpu.utils.serving import save_transform
+
+    platforms = tuple(args.platforms.split(",")) if args.platforms else None
+    size = save_transform(args.output, args.kind, args.batch, args.n, platforms)
+    print(f"exported {args.kind} (batch={args.batch}, n={args.n}) "
+          f"-> {args.output} ({size} bytes)")
+    return 0
+
+
+def cmd_serve_check(args) -> int:
+    from gpu_fft_tpu.utils.serving import exported_call, load_transform
+
+    exported = load_transform(args.artifact)
+    specs = exported.in_avals
+    rng = np.random.default_rng(0)
+    inputs = [rng.standard_normal(s.shape).astype(np.float32) for s in specs]
+    out = exported_call(exported, *inputs)
+    flat = out if isinstance(out, (tuple, list)) else (out,)
+    print(f"artifact: {len(specs)} input(s) "
+          f"{[tuple(s.shape) for s in specs]} -> {len(flat)} output(s), "
+          f"platforms={exported.platforms}")
+    print("first output head:", np.asarray(flat[0]).ravel()[:4])
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="gpu_fft_tpu", description=__doc__)
     sub = parser.add_subparsers(dest="command", required=True)
@@ -98,6 +126,16 @@ def main(argv=None) -> int:
     pp = sub.add_parser("plan", help="dispatch introspection (pure arithmetic)")
     pp.add_argument("--batch", type=int, default=1)
     pp.add_argument("-n", type=int, default=65536)
+    pe = sub.add_parser("export", help="AOT-export one transform to an artifact")
+    pe.add_argument("--kind", default="fft",
+                    choices=("fft", "ifft", "rfft", "irfft", "roundtrip", "psd"))
+    pe.add_argument("--batch", type=int, default=1)
+    pe.add_argument("-n", type=int, default=65536)
+    pe.add_argument("-o", "--output", required=True)
+    pe.add_argument("--platforms", default=None,
+                    help="comma-separated lowering platforms, e.g. tpu,cpu")
+    ps = sub.add_parser("serve-check", help="load + run an exported artifact")
+    ps.add_argument("artifact")
     args = parser.parse_args(argv)
     if args.command != "plan":
         # Persistent compilation cache: repeat CLI invocations skip the
@@ -106,9 +144,14 @@ def main(argv=None) -> int:
         from gpu_fft_tpu.config import enable_compilation_cache
 
         enable_compilation_cache()
-    return {"demo": cmd_demo, "backends": cmd_backends, "bench": cmd_bench, "plan": cmd_plan}[
-        args.command
-    ](args)
+    return {
+        "demo": cmd_demo,
+        "backends": cmd_backends,
+        "bench": cmd_bench,
+        "plan": cmd_plan,
+        "export": cmd_export,
+        "serve-check": cmd_serve_check,
+    }[args.command](args)
 
 
 if __name__ == "__main__":
