@@ -45,13 +45,14 @@ from .ops.spectral import (
     spectrogram_scipy as spectrogram,
     welch,
 )
+from .ops.short_time_fft import ShortTimeFFT
 from .ops.stft import istft_scipy as _istft_split, stft_scipy as _stft_split, window_table
 
 __all__ = [
     "fftconvolve", "oaconvolve", "correlate", "convolve",
     "hilbert", "resample", "resample_poly", "upfirdn", "decimate",
     "welch", "csd", "coherence", "periodogram", "spectrogram",
-    "stft", "istft", "czt", "zoom_fft",
+    "stft", "istft", "czt", "zoom_fft", "ShortTimeFFT",
     "firwin", "firwin2", "kaiserord", "kaiser_beta", "kaiser_atten",
     "minimum_phase", "filtfilt_fir", "FIRStream", "get_window",
 ]

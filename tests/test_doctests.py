@@ -56,3 +56,9 @@ def test_stft_doctests():
 
 def test_plan_doctests():
     _run(gpu_fft_tpu.plan, 4)
+
+
+def test_short_time_fft_doctests():
+    import gpu_fft_tpu.ops.short_time_fft
+
+    _run(gpu_fft_tpu.ops.short_time_fft, 4)
