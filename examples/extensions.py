@@ -69,8 +69,38 @@ def main() -> None:
     fht_err = float(np.abs(back - a).max())
     print(f"fht/ifht roundtrip (FFTLog, mu={mu}): max err {fht_err:.2e}")
 
+    # ── ShortTimeFFT: scipy's modern sliding-window class ────────────────────
+    sft = gf.ShortTimeFFT.from_window("hann", fs=sr, nperseg=256, noverlap=192)
+    chirp = np.sin(2 * np.pi * (5 + 20 * t) * t).astype(np.float32)
+    S = sft.stft(chirp)
+    back_st = sft.istft(S, k1=len(chirp))
+    st_err = float(np.abs(back_st - chirp).max())
+    print(f"ShortTimeFFT: {S.shape[0]} bins x {S.shape[1]} slices, "
+          f"istft max err {st_err:.2e}")
+
+    # ── Mixed-radix exact length: true 48,000-bin spectrum, no padding ──────
+    n48 = 48000
+    t48 = np.arange(n48) / 48000.0
+    a48 = np.sin(2 * np.pi * 440.0 * t48).astype(np.float32)
+    r48, i48 = gf.fft_exact(a48)
+    k440 = int(np.argmax(r48[: n48 // 2] ** 2 + i48[: n48 // 2] ** 2))
+    print(f"fft_exact(48000): peak at bin {k440} = {k440 * 48000 / n48:.1f} Hz "
+          f"(mixed-radix 200x240 four-step)")
+
+    # ── AOT serving artifact: compile once, run from bytes ──────────────────
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".bin") as f:
+        nbytes = gf.save_transform(f.name, "rfft", batch=1, n=4096)
+        art = gf.load_transform(f.name)
+        ar, ai = gf.exported_call(art, x[None, :4096])
+        ka = int(np.argmax(ar[0] ** 2 + ai[0] ** 2))
+        print(f"serving artifact: {nbytes} bytes, peak bin {ka} "
+              f"= {ka * sr / 4096:.2f} Hz (zero retracing)")
+
     ok = ky in (3, h - 3) and kx in (17, w - 17)
     ok = ok and kc == round(f0 * 4096 / sr) and fht_err < 1e-4
+    ok = ok and st_err < 1e-4 and k440 == 440 and ka == kc
     print("OK" if ok and abs(k * sr / n - f0) < 0.5 else "FAIL")
 
 
