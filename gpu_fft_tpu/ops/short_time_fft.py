@@ -488,30 +488,37 @@ class ShortTimeFFT:
         p0, p1 = self.p_range(n, p0, p1)
         w = self._win.astype(np.float32)
 
-        def one(row):
-            fr = self._frames(row.real.astype(np.float32), p0, p1, k_offset, padding)
-            fi = (self._frames(row.imag.astype(np.float32), p0, p1, k_offset, padding)
-                  if complex_input else None)
-            if detr is not None:
-                if callable(detr):
-                    fr = jnp.asarray(np.asarray(detr(np.asarray(fr)), dtype=np.float32))
-                    if fi is not None:
-                        fi = jnp.asarray(np.asarray(detr(np.asarray(fi)), dtype=np.float32))
-                else:
-                    fr = _detrend_rows(fr, detr)
-                    fi = None if fi is None else _detrend_rows(fi, detr)
-            fr = fr * w[None]
-            fi = None if fi is None else fi * w[None]
-            if self._mfft > self.m_num:
-                pad = ((0, 0), (0, self._mfft - self.m_num))
-                fr = jnp.pad(fr, pad)
-                fi = None if fi is None else jnp.pad(fi, pad)
-            yr, yi = self._forward(fr, fi)
-            return np.asarray(yr), np.asarray(yi)
+        rows = x.reshape((-1, n))
+        c, num = rows.shape[0], p1 - p0
 
-        outs = [one(row) for row in x.reshape((-1, n))]
-        zr = np.stack([o[0] for o in outs]).reshape(lead + outs[0][0].shape)
-        zi = np.stack([o[1] for o in outs]).reshape(lead + outs[0][1].shape)
+        def frames_of(part):
+            # Framing is per-row (static slices), but ALL rows' frames ride
+            # ONE batched (c*num, mfft) transform — the launch-amortization
+            # pattern every analysis op here uses.
+            fs_ = [self._frames(r.astype(np.float32), p0, p1, k_offset, padding)
+                   for r in part]
+            f = fs_[0][None] if c == 1 else jnp.stack(fs_)
+            return f.reshape(c * num, self.m_num)
+
+        fr = frames_of(rows.real)
+        fi = frames_of(rows.imag) if complex_input else None
+        if detr is not None:
+            if callable(detr):
+                fr = jnp.asarray(np.asarray(detr(np.asarray(fr)), dtype=np.float32))
+                if fi is not None:
+                    fi = jnp.asarray(np.asarray(detr(np.asarray(fi)), dtype=np.float32))
+            else:
+                fr = _detrend_rows(fr, detr)
+                fi = None if fi is None else _detrend_rows(fi, detr)
+        fr = fr * w[None]
+        fi = None if fi is None else fi * w[None]
+        if self._mfft > self.m_num:
+            pad = ((0, 0), (0, self._mfft - self.m_num))
+            fr = jnp.pad(fr, pad)
+            fi = None if fi is None else jnp.pad(fi, pad)
+        yr, yi = self._forward(fr, fi)
+        zr = np.asarray(yr).reshape(lead + (num, self._mfft))
+        zi = np.asarray(yi).reshape(lead + (num, self._mfft))
         S = (zr + 1j * zi).astype(np.complex64)
         if self.onesided_fft:
             S = S[..., : self.f_pts]
