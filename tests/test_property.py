@@ -89,3 +89,27 @@ def test_random_fft2_shapes(rng):
         scale = max(1.0, float(np.abs(ref).max()))
         assert np.abs(re - ref.real).max() / scale < 1e-5, f"{h}x{w}"
         assert np.abs(im - ref.imag).max() / scale < 1e-5, f"{h}x{w}"
+
+
+def test_random_mixed_radix_lengths(rng):
+    # Composite lengths that ride the mixed-radix four-step (balanced
+    # divisor pairings) vs the f64 oracle, including inverse roundtrips.
+    from gpu_fft_tpu.ops.exact import mixed_split
+
+    hits = 0
+    for _ in range(40):
+        n = int(rng.integers(6, 5000))
+        if mixed_split(n) is None:
+            continue
+        hits += 1
+        x = rng.uniform(-1.0, 1.0, n).astype(np.float32)
+        re, im = gf.fft_exact(x)
+        ref = np.fft.fft(x.astype(np.float64))
+        scale = max(1.0, float(np.abs(ref).max()))
+        assert np.abs(re - ref.real).max() / scale < 3e-5, f"n={n}"
+        assert np.abs(im - ref.imag).max() / scale < 3e-5, f"n={n}"
+        br, bi = gf.ifft_exact(re, im)
+        assert np.abs(br - x).max() < 1e-3, f"n={n} roundtrip"
+        if hits >= 12:
+            break
+    assert hits >= 5  # the sweep must actually exercise the mixed path
