@@ -343,9 +343,16 @@ def transform_cost(b: int, n: int, kind: str = "fft") -> dict:
         # full complex rows (Hermitian reconstruction); kernel spectrum
         # amortized.
         hw = n // 2 + 1
-        stages, elem = parts(
-            (b, n, True), (hw, b, False), (hw, b, False), (b, n, False)
-        )
+        stages, elem = parts((b, n, True), (hw, b, False), (hw, b, False))
+        if n <= DIRECT_MAX:
+            # Row inverse from the one-sided bins: irfft_device ->
+            # inverse_real_half = two real dots contracting hw (the
+            # Hermitian fold lives in the tables).
+            stages.append((2 * 2.0 * b * n * hw, hw))
+        else:
+            s2, e2 = parts((b, n, False))
+            stages += s2
+            elem += e2
         elem += 8.0 * b * hw
         bytes_ = b * n * f32 * (1 + 1)
     elif kind == "fft2":
