@@ -255,31 +255,60 @@ def resample_device(x, num: int):
     n = x.shape[-1]
     yr, yi = fft_exact_device(x)
     b = yr.shape[0]
-    zr = jnp.zeros((b, num), jnp.float32)
-    zi = jnp.zeros((b, num), jnp.float32)
     nyq = min(n, num) // 2 + 1  # non-negative frequencies that survive
-    zr = zr.at[:, :nyq].set(yr[:, :nyq])
-    zi = zi.at[:, :nyq].set(yi[:, :nyq])
-    if min(n, num) > 2 * (nyq - 1):  # odd min length: no shared Nyquist bin
-        neg = min(n, num) - nyq
-    else:
-        neg = min(n, num) // 2 - 1
-    if neg > 0:
-        zr = zr.at[:, num - neg :].set(yr[:, n - neg :])
-        zi = zi.at[:, num - neg :].set(yi[:, n - neg :])
-    if min(n, num) % 2 == 0:
-        sh = min(n, num) // 2
+
+    # The new spectrum is assembled as ONE concatenation of slices — head
+    # (non-negative bins), zero gap (upsample), tail (negative bins, which
+    # are CONTIGUOUS slice copies X_new[num-j] = X_old[n-j], never
+    # reversals) — instead of zeros-buffer scatter updates: each .at[].set
+    # pass costs a full (B, num) VPU round-trip at B=1 dispatch-floor
+    # prices, the concat is free inside the inverse's fusion.
+    m = min(n, num)
+    neg = m - nyq  # negative bins that survive
+    head_r, head_i = yr[:, :nyq], yi[:, :nyq]
+    if m % 2 == 0:
+        sh = m // 2  # the shared Nyquist bin = the last head column
         if num < n:
             # Downsample: the old +num/2 and -num/2 bins alias onto the new
             # Nyquist bin; they sum (conjugates for real input -> 2*Re).
-            zr = zr.at[:, sh].add(yr[:, n - sh])
-            zi = zi.at[:, sh].add(yi[:, n - sh])
+            head_r = jnp.concatenate(
+                [head_r[:, :sh], (head_r[:, sh] + yr[:, n - sh])[:, None]], axis=1
+            )
+            head_i = jnp.concatenate(
+                [head_i[:, :sh], (head_i[:, sh] + yi[:, n - sh])[:, None]], axis=1
+            )
         elif num > n:
-            # Upsample: split the old Nyquist across the two half-bins.
-            zr = zr.at[:, sh].mul(0.5)
-            zi = zi.at[:, sh].mul(0.5)
-            zr = zr.at[:, num - sh].set(zr[:, sh])
-            zi = zi.at[:, num - sh].set(zi[:, sh])
+            # Upsample: split the old Nyquist across the two half-bins (the
+            # mirror half-bin lands at the END of the zero gap below).
+            head_r = jnp.concatenate([head_r[:, :sh], head_r[:, sh:] * 0.5], axis=1)
+            head_i = jnp.concatenate([head_i[:, :sh], head_i[:, sh:] * 0.5], axis=1)
+    parts_r, parts_i = [head_r], [head_i]
+    gap = num - nyq - neg
+    if gap > 0:
+        split = num > n and m % 2 == 0  # mirror half-bin occupies the last slot
+        zeros = jnp.zeros((b, gap - (1 if split else 0)), jnp.float32)
+        parts_r.append(zeros)
+        parts_i.append(zeros)
+        if split:
+            sh = m // 2
+            parts_r.append((yr[:, sh] * 0.5)[:, None])
+            parts_i.append((yi[:, sh] * 0.5)[:, None])
+    if neg > 0:
+        parts_r.append(yr[:, n - neg :])
+        parts_i.append(yi[:, n - neg :])
+    zr = jnp.concatenate(parts_r, axis=1)
+    zi = jnp.concatenate(parts_i, axis=1)
+    if num >= 2 and num & (num - 1) == 0:
+        # Real output + pow2 target: the real-output fold dispatch
+        # (kernels/large.py:inverse_real) reads only the k1 <= n1/2 grid
+        # columns at fold sizes, so the negative-bin copies feeding unread
+        # columns are dead-code-eliminated — half the inverse's matmuls
+        # with the SAME contiguous spectrum construction (the negative bins
+        # are contiguous slice copies, never reversals).
+        from ..kernels.large import inverse_real
+
+        out = inverse_real(zr, zi, num, scale=1.0 / n)
+        return out[0] if squeeze else out
     rr, _ = ifft_exact_device(zr, zi)
     out = rr * jnp.float32(num / n)
     return out[0] if squeeze else out

@@ -299,11 +299,9 @@ def transform_cost(b: int, n: int, kind: str = "fft") -> dict:
         "roundtrip_batch",
         "roundtrip_sequential",
         # Analysis ops that are a forward + inverse pair over their (b, n):
-        # orthonormal dct+idct, hilbert (fft -> gain mask -> ifft),
-        # resample (fft@n + ifft@~n).
+        # orthonormal dct+idct, hilbert (fft -> gain mask -> ifft).
         "dct_roundtrip",
         "hilbert",
-        "resample",
         # grad_fft: reverse-mode spectrum-power gradient = the forward
         # transform + its transpose (the opposite-direction transform, run
         # as the jnp tangent engine) + an O(bn) epilogue — a roundtrip's
@@ -313,6 +311,19 @@ def transform_cost(b: int, n: int, kind: str = "fft") -> dict:
         stages, elem = parts((b, n, True), (b, n, False))
         elem += 2.0 * b * n
         bytes_ = b * n * f32 * (1 + 2)  # x in, (re,im) of the roundtrip out
+    elif kind == "resample":
+        # The benched step is resample(resample(x, n/2), n) — down then back
+        # up: real forward @ n, one-sided inverse @ n/2, real forward @ n/2,
+        # one-sided inverse @ n (ops/dsp.py:resample_device rides
+        # inverse_real_half for pow2 targets).  Spectrum surgery is O(bn) VPU.
+        mid = n // 2
+        stages, elem = parts((b, n, True), (b, mid, True))
+        for target in (mid, n):
+            s2, e2, _ = irfft_stages(b, target)
+            stages += s2
+            elem += e2
+        elem += 4.0 * b * n
+        bytes_ = b * n * f32 * (1 + 1)
     elif kind == "stft_roundtrip":
         # STFT analysis + synthesis over (frames, frame_size): forward real
         # frames, then the one-sided inverse (istft -> irfft_device ->

@@ -120,5 +120,7 @@ def test_filter_kinds():
     assert oa["bytes"] == 64 * 4096 * 4 * 2
     c2 = roofline.transform_cost(512, 512, "conv2d")
     f2 = roofline.transform_cost(512, 512, "fft2")
-    # One-sided path: fwd rfft2 + inverse ~ 1.5x one full 2-D pass.
-    assert f2["flops"] * 1.3 < c2["flops"] < f2["flops"] * 2.0
+    # One-sided path: fwd rfft2 + inverse ~ 1.2x one full 2-D pass (the
+    # row inverse is the direct half-input fold at n <= DIRECT_MAX —
+    # two real dots contracting n/2 + 1).
+    assert f2["flops"] * 1.1 < c2["flops"] < f2["flops"] * 2.0
