@@ -48,25 +48,73 @@ def _rotation(n: int) -> tuple[np.ndarray, np.ndarray]:
     return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
 
 
+def _flat_rev_pow2(a):
+    """Flat last-axis reversal of a (B, m) array with pow2 m >= 128, as a
+    cheap (rows, 128) two-axis ``lax.rev`` instead of the pathological flat
+    lane reversal (52-475 us vs ~1 us at these shapes, docs/ABLATION.md §11)."""
+    from jax import lax
+
+    b, m = a.shape
+    rows = max(m // 128, 1)
+    return lax.rev(a.reshape(b, rows, -1), (1, 2)).reshape(b, m)
+
+
 def _makhoul_permute(x):
     """v = [x[0::2] ‖ reversed(x[1::2])] along the last axis.
 
-    Strided slices + concat, NOT an index gather: arbitrary-index gathers
-    run on the TPU scalar core (~2 orders of magnitude slower than vector
-    slices at these shapes — see ops/stft.py:frame_signal).
+    Pow2 n >= 256 runs the stride-2 deinterleave as a 0/1 PERMUTATION
+    MATMUL on (.., 256) blocks + aligned slices (block-local evens/odds
+    land lane-contiguous) and the odd-half reversal as a 2-D tile rev —
+    every lane-shuffle form of this permutation costs ~2 orders of
+    magnitude more (measured, docs/ABLATION.md §11; the permute+unpermute
+    pair was 16.8 us of a 25.8 us DCT roundtrip at (16, 4096) as slices).
+    Other lengths keep the strided-slice + flip form (still never a
+    gather).
     """
     import jax.numpy as jnp
 
+    b, n = x.shape
+    if n >= 256 and n & (n - 1) == 0:
+        from jax import lax
+
+        from ..plan import deinterleave_matrix
+
+        xp = jnp.dot(
+            x.reshape(b * (n // 256), 256),
+            deinterleave_matrix(),
+            precision=lax.Precision.HIGHEST,  # exact: P is 0/1
+            preferred_element_type=jnp.float32,
+        ).reshape(b, n // 256, 256)
+        ev = xp[:, :, :128].reshape(b, n // 2)
+        od = xp[:, :, 128:].reshape(b, n // 2)
+        return jnp.concatenate([ev, _flat_rev_pow2(od)], axis=-1)
     return jnp.concatenate([x[:, 0::2], jnp.flip(x[:, 1::2], axis=-1)], axis=-1)
 
 
 def _makhoul_unpermute(v):
     """Inverse of :func:`_makhoul_permute`: x[0::2] = v[:h], x[1::2] =
-    reversed(v[h:]) — realized as an interleaving stack, no gather."""
+    reversed(v[h:]) — the transpose of the permutation matmul at pow2
+    n >= 256 (P is orthogonal, so P^T is its inverse), an interleaving
+    stack otherwise.  No gathers on either path."""
     import jax.numpy as jnp
 
     b, n = v.shape
     h = (n + 1) // 2  # even-index count
+    if n >= 256 and n & (n - 1) == 0:
+        from jax import lax
+
+        from ..plan import deinterleave_matrix
+
+        ev = v[:, :h].reshape(b, n // 256, 128)
+        od = _flat_rev_pow2(v[:, h:]).reshape(b, n // 256, 128)
+        blocks = jnp.concatenate([ev, od], axis=-1).reshape(b * (n // 256), 256)
+        out = jnp.dot(
+            blocks,
+            deinterleave_matrix().T,
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        return out.reshape(b, n)
     a = v[:, :h]
     rev = jnp.flip(v[:, h:], axis=-1)  # odd positions, ascending (n // 2 of them)
     if n % 2 == 0:
@@ -96,15 +144,31 @@ def _dct3_core(y):
     """
     import jax.numpy as jnp
 
-    from .exact import ifft_exact_device
-
     n = y.shape[-1]
-    # t_k = y_{n-k} with t_0 = 0.
-    t = jnp.concatenate([jnp.zeros_like(y[:, :1]), jnp.flip(y[:, 1:], axis=-1)], axis=-1)
+    # t_k = y_{n-k} with t_0 = 0: the flat reversal runs as the 2-D tile
+    # rev at pow2 n (flip(y[:, 1:]) == flat_rev(y)[:, :n-1]).
+    if n >= 128 and n & (n - 1) == 0:
+        t = jnp.concatenate(
+            [jnp.zeros_like(y[:, :1]), _flat_rev_pow2(y)[:, : n - 1]], axis=-1
+        )
+    else:
+        t = jnp.concatenate(
+            [jnp.zeros_like(y[:, :1]), jnp.flip(y[:, 1:], axis=-1)], axis=-1
+        )
     c, s = _rotation(n)
     vr = 0.5 * (y * c + t * s)
     vi = 0.5 * (y * s - t * c)
-    xr, _ = ifft_exact_device(vr, vi)
+    if n >= 2 and n & (n - 1) == 0:
+        # V is Hermitian (real DCT-III output): the real-output inverse
+        # dispatch folds the conjugate half at fold sizes and lets XLA DCE
+        # the imaginary output elsewhere (kernels/large.py:inverse_real).
+        from ..kernels.large import inverse_real
+
+        xr = inverse_real(vr, vi, n, scale=1.0 / n)
+    else:
+        from .exact import ifft_exact_device
+
+        xr, _ = ifft_exact_device(vr, vi)
     return (2.0 * n) * _makhoul_unpermute(xr)
 
 
