@@ -82,13 +82,17 @@ CHIPS = {
 # four-step (71.5 us best over rounds for 2.68 GFLOP of K=256 dots)
 # implies ~5.2 effective passes where every bare chain measures 6.0-6.35;
 # the K=256 entry carries a further safety margin for run dispersion.
+# K=128 ratcheted the same way in round 3: a real (16, 16384) four-step
+# sweep row (two K=128 stages, 335.5 MFLOP) measured 9.31 us median — the
+# bare-chain 6.11 passes would bound it at 10.41 us (112% SoL), so the
+# composed schedule achieves <= 5.46 passes/dot; 5.3 carries the margin.
 # Shared-operand pairs and Karatsuba triples calibrate within 4% of the
 # singles (patterns row of scripts/calibrate_matmul.py), so one value per
 # class suffices.  The K-dependence is 128x128 systolic-array geometry,
 # identical across v4/v5e/v5p/v6e, so the v5e row transfers;
 # re-calibrate to promote.
 EFF_PASSES = {
-    "v5e": {32: 26.8, 64: 14.6, 128: 6.11, 256: 5.0, 512: 5.92},
+    "v5e": {32: 26.8, 64: 14.6, 128: 5.3, 256: 5.0, 512: 5.92},
 }
 _EFF_DEFAULT = EFF_PASSES["v5e"]
 
@@ -299,8 +303,8 @@ def transform_cost(b: int, n: int, kind: str = "fft") -> dict:
         "roundtrip_batch",
         "roundtrip_sequential",
         # Analysis ops that are a forward + inverse pair over their (b, n):
-        # orthonormal dct+idct, hilbert (fft -> gain mask -> ifft).
-        "dct_roundtrip",
+        # hilbert (fft -> gain mask -> ifft; the analytic output is genuinely
+        # complex, so the inverse leg is the full complex transform).
         "hilbert",
         # grad_fft: reverse-mode spectrum-power gradient = the forward
         # transform + its transpose (the opposite-direction transform, run
@@ -311,6 +315,19 @@ def transform_cost(b: int, n: int, kind: str = "fft") -> dict:
         stages, elem = parts((b, n, True), (b, n, False))
         elem += 2.0 * b * n
         bytes_ = b * n * f32 * (1 + 2)  # x in, (re,im) of the roundtrip out
+    elif kind == "dct_roundtrip":
+        # Orthonormal dct+idct (ops/dct.py): Makhoul forward = real FFT @ n
+        # + rotation; DCT-III inverse rides the real-OUTPUT inverse dispatch
+        # (kernels/large.py:inverse_real — full complex below irfft_half_min,
+        # Hermitian fold above), so the inverse leg is the irfft charge.
+        # The permutation matmuls are pure data movement (a zero-FLOP
+        # permutation in principle), so they are not charged — the SoL stays
+        # a true lower bound.
+        stages, elem = parts((b, n, True))
+        s2, e2, _ = irfft_stages(b, n)
+        stages += s2
+        elem += e2 + 4.0 * b * n  # pre/post rotations
+        bytes_ = b * n * f32 * (1 + 2)
     elif kind == "resample":
         # The benched step is resample(resample(x, n/2), n) — down then back
         # up: real forward @ n, one-sided inverse @ n/2, real forward @ n/2,

@@ -54,11 +54,11 @@ def test_transform_cost_mirrors_packing_gate(monkeypatch):
 
 def test_eff_passes_classes():
     # Calibrated shape classes: K >= 128 near-nominal, small K penalized.
-    assert roofline.eff_passes("v5e", 128) == pytest.approx(6.11)
+    assert roofline.eff_passes("v5e", 128) == pytest.approx(5.3)
     assert roofline.eff_passes("v5e", 64) == pytest.approx(14.6)
     assert roofline.eff_passes("v5e", 200) == pytest.approx(5.0)  # nearest 256
     # Unknown chips transfer the v5e table (same MXU geometry).
-    assert roofline.eff_passes("v5p", 128) == pytest.approx(6.11)
+    assert roofline.eff_passes("v5p", 128) == pytest.approx(5.3)
 
 
 def test_large_n_recursion_counts_both_stages():
