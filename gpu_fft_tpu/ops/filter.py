@@ -41,6 +41,9 @@ __all__ = [
     "kaiser_atten",
     "FIRStream",
     "minimum_phase",
+    "savgol_coeffs",
+    "savgol_filter",
+    "freqz",
 ]
 
 
@@ -551,6 +554,152 @@ def filtfilt_fir(x, h, padlen: int | None = None):
     y = np.asarray(fftfilt_device(ext, hv))[::-1]
     y = np.asarray(fftfilt_device(y.copy(), hv))[::-1]
     return y[pad : pad + xv.shape[0]].copy() if pad > 0 else y.copy()
+
+
+def savgol_coeffs(
+    window_length: int,
+    polyorder: int,
+    deriv: int = 0,
+    delta: float = 1.0,
+    pos: float | None = None,
+    use: str = "conv",
+) -> np.ndarray:
+    """Savitzky-Golay FIR coefficients (``scipy.signal.savgol_coeffs``).
+
+    The least-squares polynomial-smoothing taps: fitting a degree-
+    ``polyorder`` polynomial to each ``window_length`` window and reading
+    the ``deriv``-th derivative at ``pos`` is a LINEAR map of the window,
+    so it is one FIR filter — computed here from the Vandermonde
+    pseudo-inverse in f64.
+    """
+    if polyorder >= window_length:
+        raise ValueError("polyorder must be less than window_length")
+    if use not in ("conv", "dot"):
+        raise ValueError(f"use must be 'conv' or 'dot', got {use!r}")
+    halflen, rem = divmod(window_length, 2)
+    if pos is None:
+        pos = halflen if rem else halflen - 0.5
+    if not 0 <= pos < window_length:
+        raise ValueError("pos must be nonnegative and less than window_length")
+    if deriv > polyorder:
+        return np.zeros(window_length, dtype=np.float64)
+    x = np.arange(-pos, window_length - pos, dtype=np.float64)
+    if use == "conv":
+        x = x[::-1]
+    order = np.arange(polyorder + 1).reshape(-1, 1)
+    a = x**order
+    y = np.zeros(polyorder + 1, dtype=np.float64)
+    import math
+
+    y[deriv] = float(math.factorial(deriv)) / (delta**deriv)
+    coeffs, *_ = np.linalg.lstsq(a, y, rcond=None)
+    return coeffs
+
+
+def _savgol_fit_edge(x, start, stop, window_start, window_stop, polyorder, deriv, delta, y):
+    """Polynomial edge fit of scipy's 'interp' mode: fit the first/last
+    window in f64 and overwrite the affected output samples."""
+    t = np.arange(stop - start, dtype=np.float64)
+    rows = x[..., start:stop].reshape(-1, stop - start).T
+    poly = np.polyfit(t, rows, polyorder)
+    i = np.arange(window_start - start, window_stop - start, dtype=np.float64)
+    vals = np.stack(
+        [np.polyval(np.polyder(np.poly1d(poly[:, c]), deriv), i) for c in range(rows.shape[1])]
+    )
+    y[..., window_start:window_stop] = (vals / delta**deriv).reshape(
+        x.shape[:-1] + (window_stop - window_start,)
+    )
+
+
+def savgol_filter(
+    x,
+    window_length: int,
+    polyorder: int,
+    deriv: int = 0,
+    delta: float = 1.0,
+    axis: int = -1,
+    mode: str = "interp",
+    cval: float = 0.0,
+) -> np.ndarray:
+    """Savitzky-Golay smoothing/differentiation (``scipy.signal.savgol_filter``).
+
+    The interior is one batched FIR convolution through the device
+    transform path (:func:`oaconvolve_device` — every row rides one
+    batched FFT); ``mode='interp'`` refits the two edge windows with the
+    exact polynomial like scipy, the pad modes map to ``np.pad``.
+    ``window_length`` must be odd (the classic centered form).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    if window_length % 2 != 1 or window_length < 1:
+        raise ValueError("window_length must be a positive odd integer")
+    if mode not in ("interp", "mirror", "nearest", "constant", "wrap"):
+        raise ValueError(f"mode must be interp|mirror|nearest|constant|wrap, got {mode!r}")
+    coeffs = savgol_coeffs(window_length, polyorder, deriv=deriv, delta=delta)
+    x = np.moveaxis(x, axis, -1)
+    n = x.shape[-1]
+    half = window_length // 2
+    if mode == "interp":
+        if window_length > n:
+            raise ValueError("If mode is 'interp', window_length must be <= x.shape[axis]")
+        padded = np.concatenate(
+            [np.zeros(x.shape[:-1] + (half,)), x, np.zeros(x.shape[:-1] + (half,))], axis=-1
+        )
+    else:
+        np_mode = {"mirror": "reflect", "nearest": "edge", "wrap": "wrap", "constant": "constant"}[
+            mode
+        ]
+        pad = [(0, 0)] * (x.ndim - 1) + [(half, half)]
+        kw = {"constant_values": cval} if mode == "constant" else {}
+        padded = np.pad(x, pad, mode=np_mode, **kw)
+    rows = padded.reshape(-1, padded.shape[-1]).astype(np.float32)
+    # convolve1d flips the taps; savgol_coeffs(use='conv') is built
+    # pre-flipped, so a plain convolution applies the smoothing map.
+    full = np.asarray(oaconvolve_device(rows, coeffs.astype(np.float32)))
+    y = full[:, 2 * half : 2 * half + n].reshape(x.shape).astype(np.float64)
+    if mode == "interp" and n > window_length:
+        _savgol_fit_edge(x, 0, window_length, 0, half, polyorder, deriv, delta, y)
+        _savgol_fit_edge(x, n - window_length, n, n - half, n, polyorder, deriv, delta, y)
+    elif mode == "interp":
+        _savgol_fit_edge(x, 0, n, 0, n, polyorder, deriv, delta, y)
+    return np.moveaxis(y, -1, axis)
+
+
+def freqz(b, a=1.0, worN: int = 512, whole: bool = False, fs: float = 2.0 * np.pi):
+    """Frequency response of a rational (IIR) filter, ``scipy.signal.freqz``
+    semantics for integer ``worN``: H(e^{jw}) = B(e^{jw}) / A(e^{jw}) on
+    ``worN`` points of the upper half circle (``whole=False``) or the full
+    circle.  Both polynomial evaluations ride the device transform (the
+    grid is exactly the length-``worN``-or-``2*worN`` DFT bins, any count
+    via the exact engine).  Returns ``(w, Hr, Hi)`` NumPy arrays; the
+    complex-packing facade is ``gpu_fft_tpu.signal.freqz``.
+    """
+    from .exact import fft_exact_device
+
+    if int(worN) != worN or worN < 1:
+        raise ValueError(f"worN must be a positive integer, got {worN!r}")
+    n = int(worN)
+    m = n if whole else 2 * n
+
+    def _dtft_bins(taps):
+        tv = np.asarray(taps, dtype=np.float64).ravel()
+        if tv.size == 0:
+            raise ValueError("freqz expects non-empty coefficient arrays")
+        if tv.shape[0] > m:
+            pad_to = -(-tv.shape[0] // m) * m
+            tv = np.pad(tv, (0, pad_to - tv.shape[0])).reshape(-1, m).sum(axis=0)
+        padded = np.zeros(m, dtype=np.float32)
+        padded[: tv.shape[0]] = tv.astype(np.float32)
+        yr, yi = fft_exact_device(padded[None])
+        return np.asarray(yr[0, :n], dtype=np.float64), np.asarray(yi[0, :n], dtype=np.float64)
+
+    br, bi = _dtft_bins(b)
+    av = np.atleast_1d(np.asarray(a, dtype=np.float64))
+    w = np.arange(n) * (fs / m)
+    if av.size == 1:
+        return w, br / av[0], bi / av[0]
+    ar, ai = _dtft_bins(av)
+    den = ar * ar + ai * ai
+    return w, (br * ar + bi * ai) / den, (bi * ar - br * ai) / den
 
 
 def minimum_phase(h, n_fft: int | None = None, *, half: bool = True) -> np.ndarray:

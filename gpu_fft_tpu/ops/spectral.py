@@ -30,6 +30,7 @@ __all__ = [
     "coherence_device",
     "periodogram",
     "periodogram_device",
+    "lombscargle",
 ]
 
 
@@ -533,3 +534,54 @@ def periodogram(
     """Host-convenience periodogram; see :func:`periodogram_device`."""
     freqs, p = periodogram_device(np.asarray(x, dtype=np.float32), fs, window, detrend, scaling)
     return freqs, np.asarray(p)
+
+
+def lombscargle(x, y, freqs, precenter: bool = False, normalize: bool = False):
+    """Lomb-Scargle periodogram of UNEVENLY sampled data
+    (``scipy.signal.lombscargle`` semantics, the classic bool interface).
+
+    ``x``: sample times, ``y``: values, ``freqs``: angular frequencies.
+    Uses the Townsend tau-rotated form (the one scipy implements), f64,
+    chunked over frequencies to bound the (M, N) working set.
+
+    Host-side by design, like the utils layer: the trig arguments are the
+    raw products ``w*t`` (magnitude up to w_max * t_max), and reducing
+    them mod 2*pi in f32 costs ~|w*t| * 2^-24 radians of phase — at
+    typical ranges that is 1e-2+ rad, far past the parity tolerance, so
+    the honest implementations are f64 host or a compensated-arithmetic
+    kernel; the measured device pipeline here serves the EVENLY sampled
+    case (periodogram/welch).
+    """
+    x = np.asarray(x, dtype=np.float64).ravel()
+    y = np.asarray(y, dtype=np.float64).ravel()
+    freqs = np.asarray(freqs, dtype=np.float64).ravel()
+    if x.shape != y.shape:
+        raise ValueError(f"x and y must have the same length, got {x.shape} vs {y.shape}")
+    if x.size == 0 or freqs.size == 0:
+        raise ValueError("lombscargle expects non-empty x and freqs")
+    if np.any(freqs == 0.0):
+        raise ZeroDivisionError("freqs must be nonzero")
+    if precenter:
+        y = y - y.mean()
+    p = np.empty(freqs.shape[0], dtype=np.float64)
+    # ~32 MB working set per chunk at f64.
+    chunk = max(1, int(4e6 // max(x.size, 1)))
+    for s in range(0, freqs.shape[0], chunk):
+        w = freqs[s : s + chunk][:, None]
+        wt = w * x[None, :]
+        c, sn = np.cos(wt), np.sin(wt)
+        xc = c @ y
+        xs = sn @ y
+        cc = np.einsum("ij,ij->i", c, c)
+        ss = x.size - cc
+        cs = np.einsum("ij,ij->i", c, sn)
+        tau = 0.5 * np.arctan2(2.0 * cs, cc - ss)
+        ct, st = np.cos(tau), np.sin(tau)
+        ycos = xc * ct + xs * st
+        ysin = xs * ct - xc * st
+        cc_t = cc * ct * ct + 2.0 * cs * st * ct + ss * st * st
+        ss_t = ss * ct * ct - 2.0 * cs * st * ct + cc * st * st
+        p[s : s + chunk] = 0.5 * (ycos * ycos / cc_t + ysin * ysin / ss_t)
+    if normalize:
+        p *= 2.0 / np.dot(y, y)
+    return p

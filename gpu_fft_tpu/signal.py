@@ -36,15 +36,20 @@ from .ops.filter import (
     kaiserord,
     minimum_phase,
     oaconvolve,
+    savgol_coeffs,
+    savgol_filter,
 )
 from .ops.multirate import decimate, resample_poly, upfirdn
+from .ops.peaks import find_peaks, peak_prominences, peak_widths
 from .ops.spectral import (
     coherence,
     csd as _csd_split,
+    lombscargle,
     periodogram,
     spectrogram_scipy as spectrogram,
     welch,
 )
+from .utils.signal import chirp
 from .ops.short_time_fft import ShortTimeFFT
 from .ops.stft import istft_scipy as _istft_split, stft_scipy as _stft_split, window_table
 
@@ -55,6 +60,8 @@ __all__ = [
     "stft", "istft", "czt", "zoom_fft", "ShortTimeFFT",
     "firwin", "firwin2", "kaiserord", "kaiser_beta", "kaiser_atten",
     "minimum_phase", "filtfilt_fir", "FIRStream", "get_window",
+    "find_peaks", "peak_prominences", "peak_widths", "chirp",
+    "savgol_coeffs", "savgol_filter", "freqz", "lombscargle",
 ]
 
 
@@ -127,6 +134,14 @@ def czt(x, m: int | None = None, w: complex | None = None, a: complex = 1 + 0j):
 def zoom_fft(x, fn, m: int | None = None, fs: float = 2.0):
     """Band-zoomed spectrum — ``scipy.signal.zoom_fft``, complex output."""
     return _pack(*_zoom_split(x, fn, m, fs))
+
+
+def freqz(b, a=1.0, worN: int = 512, whole: bool = False, fs: float = 2.0 * np.pi):
+    """Rational frequency response — ``scipy.signal.freqz``, complex ``h``."""
+    from .ops.filter import freqz as _freqz_split
+
+    w, hr, hi = _freqz_split(b, a, worN=worN, whole=whole, fs=fs)
+    return w, _pack(hr, hi)
 
 
 def get_window(window, Nx: int, fftbins: bool = True):

@@ -3,6 +3,7 @@
 from .signal import (
     calculate_frequencies,
     calculate_one_sided_frequencies,
+    chirp,
     fftfreq,
     find_dominant_frequencies,
     generate_sine_wave,
@@ -16,4 +17,5 @@ __all__ = [
     "find_dominant_frequencies",
     "fftfreq",
     "rfftfreq",
+    "chirp",
 ]

@@ -15,6 +15,7 @@ __all__ = [
     "find_dominant_frequencies",
     "fftfreq",
     "rfftfreq",
+    "chirp",
 ]
 
 
@@ -75,6 +76,60 @@ def rfftfreq(n: int, d: float = 1.0) -> np.ndarray:
     [0.0, 12.5, 25.0, 37.5, 50.0]
     """
     return np.fft.rfftfreq(n, d=d).astype(np.float32)
+
+
+def chirp(
+    t,
+    f0: float,
+    t1: float,
+    f1: float,
+    method: str = "linear",
+    phi: float = 0.0,
+    vertex_zero: bool = True,
+) -> np.ndarray:
+    """Frequency-swept cosine, ``scipy.signal.chirp`` semantics: the
+    instantaneous frequency sweeps from ``f0`` at t=0 to ``f1`` at ``t1``
+    along a linear / quadratic / logarithmic / hyperbolic law; ``phi`` is
+    the initial phase in degrees.  Generators sit host-side beside
+    :func:`generate_sine_wave` (extension — the reference only has the
+    single-tone generator, ``src/utils.rs:26-31``).
+
+    >>> t = np.linspace(0.0, 1.0, 5)
+    >>> bool(np.allclose(chirp(t, 2.0, 1.0, 2.0), np.cos(4 * np.pi * t), atol=1e-6))
+    True
+    """
+    t = np.asarray(t, dtype=np.float64)
+    f0, t1, f1 = float(f0), float(t1), float(f1)
+    if method in ("linear", "lin", "li"):
+        beta = (f1 - f0) / t1
+        phase = 2.0 * np.pi * (f0 * t + 0.5 * beta * t * t)
+    elif method in ("quadratic", "quad", "q"):
+        beta = (f1 - f0) / (t1 * t1)
+        if vertex_zero:
+            phase = 2.0 * np.pi * (f0 * t + beta * t**3 / 3.0)
+        else:
+            phase = 2.0 * np.pi * (f1 * t + beta * ((t1 - t) ** 3 - t1**3) / 3.0)
+    elif method in ("logarithmic", "log", "lo"):
+        if f0 * f1 <= 0.0:
+            raise ValueError("logarithmic chirp requires f0 and f1 to be nonzero and same-sign")
+        if f0 == f1:
+            phase = 2.0 * np.pi * f0 * t
+        else:
+            beta = t1 / np.log(f1 / f0)
+            phase = 2.0 * np.pi * beta * f0 * (np.power(f1 / f0, t / t1) - 1.0)
+    elif method in ("hyperbolic", "hyp"):
+        if f0 == 0.0 or f1 == 0.0:
+            raise ValueError("hyperbolic chirp requires nonzero f0 and f1")
+        if f0 == f1:
+            phase = 2.0 * np.pi * f0 * t
+        else:
+            sing = -f1 * t1 / (f0 - f1)
+            phase = 2.0 * np.pi * (-sing * f0) * np.log(np.abs(1.0 - t / sing))
+    else:
+        raise ValueError(
+            f"method must be linear, quadratic, logarithmic or hyperbolic, got {method!r}"
+        )
+    return np.cos(phase + np.deg2rad(phi)).astype(np.float32)
 
 
 def find_dominant_frequencies(psd, frequencies, threshold: float) -> list[tuple[float, float]]:
