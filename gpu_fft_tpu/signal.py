@@ -39,6 +39,7 @@ from .ops.filter import (
     savgol_coeffs,
     savgol_filter,
 )
+from .ops.iir import filtfilt, lfilter, lfilter_zi, sosfilt
 from .ops.multirate import decimate, resample_poly, upfirdn
 from .ops.peaks import find_peaks, peak_prominences, peak_widths
 from .ops.spectral import (
@@ -62,6 +63,7 @@ __all__ = [
     "minimum_phase", "filtfilt_fir", "FIRStream", "get_window",
     "find_peaks", "peak_prominences", "peak_widths", "chirp",
     "savgol_coeffs", "savgol_filter", "freqz", "lombscargle",
+    "lfilter", "lfilter_zi", "filtfilt", "sosfilt",
 ]
 
 
