@@ -512,3 +512,88 @@ class _Backend:
 
 
 backend = _Backend
+
+
+# ── scipy.fft worker/backend-control API parity ─────────────────────────────
+#
+# scipy.fft's remaining module surface is process-level control knobs.  The
+# workers pool (scipy's pocketfft thread count) has no meaning here — XLA
+# owns scheduling — so the workers API is kept as a faithful context-managed
+# no-op (values round-trip; compute is unaffected, exactly like passing
+# ``workers=`` to the transforms).  The backend registration trio delegates
+# to scipy's own uarray machinery with THIS module's backend as the default
+# argument, so ``gpu_fft_tpu.compat.set_global_backend()`` makes plain
+# ``scipy.fft.fft`` calls run on the TPU path.
+
+import contextlib as _contextlib
+import threading as _threading
+
+_workers_state = _threading.local()
+
+
+def get_workers() -> int:
+    """``scipy.fft.get_workers``: the current workers-context value (the
+    default 1 unless inside :func:`set_workers`).  Informational only —
+    XLA owns device scheduling."""
+    return getattr(_workers_state, "value", 1)
+
+
+@_contextlib.contextmanager
+def set_workers(workers: int):
+    """``scipy.fft.set_workers`` context manager (value round-trips through
+    :func:`get_workers`; compute is unaffected — jit owns scheduling)."""
+    if int(workers) == 0:
+        raise ValueError("workers must not be zero")
+    prev = get_workers()
+    _workers_state.value = int(workers)
+    try:
+        yield
+    finally:
+        _workers_state.value = prev
+
+
+def set_global_backend(backend_=None, coerce: bool = False, only: bool = False, try_last: bool = False):
+    """Install a backend for plain ``scipy.fft`` calls process-wide
+    (default: THIS module's TPU backend).  Delegates to scipy's uarray
+    registry — after this, ``scipy.fft.fft(x)`` runs on the library paths."""
+    import scipy.fft as _sfft
+
+    _sfft.set_global_backend(backend if backend_ is None else backend_, coerce=coerce, only=only, try_last=try_last)
+
+
+def set_backend(backend_=None, coerce: bool = False, only: bool = False):
+    """Context manager routing ``scipy.fft`` calls through a backend
+    (default: this module's TPU backend); see ``scipy.fft.set_backend``::
+
+        with gpu_fft_tpu.compat.set_backend():
+            X = scipy.fft.fft(x)          # runs on the library paths
+    """
+    import scipy.fft as _sfft
+
+    return _sfft.set_backend(backend if backend_ is None else backend_, coerce=coerce, only=only)
+
+
+def register_backend(backend_=None):
+    """Register a backend (default: this module's) for scipy.fft fallback
+    dispatch; see ``scipy.fft.register_backend``."""
+    import scipy.fft as _sfft
+
+    _sfft.register_backend(backend if backend_ is None else backend_)
+
+
+def skip_backend(backend_=None):
+    """Context manager skipping a backend (default: this module's) inside
+    ``scipy.fft`` dispatch; see ``scipy.fft.skip_backend``."""
+    import scipy.fft as _sfft
+
+    return _sfft.skip_backend(backend if backend_ is None else backend_)
+
+
+__all__ += [
+    "get_workers",
+    "set_workers",
+    "set_backend",
+    "set_global_backend",
+    "register_backend",
+    "skip_backend",
+]

@@ -229,3 +229,37 @@ def test_property_fuzz_vs_scipy(rng):
             got = getattr(cf, family)(xr, type=type_, n=n, axis=axis, norm=norm_r)
             ref = getattr(sf, family)(xr.astype(np.float64), type=type_, n=n, axis=axis, norm=norm_r)
         assert_close(got, ref, tol=5e-5, label=label)
+
+
+def test_workers_api_roundtrip():
+    # scipy.fft worker-pool parity: context-managed value, no-op compute.
+    import gpu_fft_tpu.compat as cf
+
+    assert cf.get_workers() == 1
+    with cf.set_workers(4):
+        assert cf.get_workers() == 4
+        with cf.set_workers(2):
+            assert cf.get_workers() == 2
+        assert cf.get_workers() == 4
+    assert cf.get_workers() == 1
+    with pytest.raises(ValueError):
+        with cf.set_workers(0):
+            pass
+
+
+def test_backend_control_functions():
+    # set_backend / skip_backend / register_backend delegate to scipy's
+    # uarray registry with this module's backend as the default.
+    import scipy.fft as sf
+
+    import gpu_fft_tpu.compat as cf
+
+    x = np.random.default_rng(0).standard_normal(256)
+    with cf.set_backend():
+        got = sf.fft(x)
+    ref = np.fft.fft(x.astype(np.float64))
+    assert np.abs(got - ref).max() < 1e-4
+    with cf.set_backend():
+        with cf.skip_backend():
+            assert np.abs(sf.fft(x) - ref).max() < 1e-10  # scipy's own f64 path
+    cf.register_backend()
