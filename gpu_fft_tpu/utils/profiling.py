@@ -545,6 +545,23 @@ def resample_step(n: int, mid: int):
     return step
 
 
+def lfilter_step(b, a):
+    """(B, n) -> lfilter(b, a, x): the block-state IIR engine.
+
+    A stable lowpass contracts magnitude, so the chained iterate decays
+    toward zero but stays finite — fine for paired chained timing.
+    """
+    from ..ops.iir import lfilter_device
+
+    bb = tuple(float(v) for v in b)
+    aa = tuple(float(v) for v in a)
+
+    def step(x):
+        return lfilter_device(bb, aa, x)
+
+    return step
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """Capture a JAX profiler (xprof/TensorBoard) trace of the enclosed block.

@@ -62,6 +62,7 @@ def main() -> None:
         hilbert_step,
         ifft_sequential_step,
         oaconvolve_step,
+        lfilter_step,
         resample_step,
         roundtrip_sequential_step,
         stft_roundtrip_step,
@@ -261,6 +262,15 @@ def main() -> None:
         # Roofline (b, n) = (batch, padded transform length) per step.
         run("firstream/pallas/c4096_t129_b4", "oaconvolve", "pallas",
             4, 8192, firstream_step(4096, 129, batch=4), shape=(4, 4096 + 128))
+        # IIR block-state engine (round-3): order-4 Butterworth over 65,536
+        # samples.  SoL charge = the zero-state convolutions (64 blocks of
+        # 1024 conv'd at 2048), the dominant term; state matmuls are O(n*k)
+        # and uncharged so the bound stays a bound (ops/iir.py).
+        import scipy.signal as _ss
+
+        _iirb, _iira = _ss.butter(4, 0.15)
+        run("lfilter/pallas/n65536_o4", "oaconvolve", "pallas",
+            64, 2048, lfilter_step(_iirb, _iira), shape=(1, 65536))
 
     out = args.out or f"bench-results/raw_{time.strftime('%Y%m%d_%H%M%S')}.json"
     pathlib.Path(out).parent.mkdir(parents=True, exist_ok=True)
