@@ -242,15 +242,19 @@ def _segment_spectra(
     scaling: str,
     name: str,
     nfft: int | None = None,
+    ordered: bool = True,
 ):
     """Shared Welch-family front end: validate, segment, detrend, window,
     and run ONE batched one-sided transform.  Returns split-complex
     (num_seg, bins) device arrays.  ``detrend``: False/None (off),
     True/'constant' (subtract the per-segment mean), or 'linear'
-    (subtract the per-segment least-squares line, scipy semantics)."""
+    (subtract the per-segment least-squares line, scipy semantics).
+    ``ordered=False`` lets reduction-only consumers (welch/csd/coherence)
+    take the cheap residue-grouped framing (frame_signal_unordered) —
+    spectrogram/stft need time order and keep the default."""
     import jax.numpy as jnp
 
-    from .stft import frame_signal, window_table
+    from .stft import frame_signal, frame_signal_unordered, window_table
     from .transform import rfft_device
 
     if scaling not in ("density", "spectrum"):
@@ -273,14 +277,15 @@ def _segment_spectra(
     num_seg = (n - nperseg) // hop + 1
     if num_seg < 1:
         raise ValueError(f"signal of {n} samples is shorter than one {nperseg} segment")
+    framer = frame_signal if ordered else frame_signal_unordered
     if x.ndim == 2:  # multi-channel: all channels ride one batched transform
         import jax
 
         c = x.shape[0]
-        segs = jax.vmap(lambda row: frame_signal(row, nperseg, hop, num_seg))(x)
+        segs = jax.vmap(lambda row: framer(row, nperseg, hop, num_seg))(x)
         segs = segs.reshape(c * num_seg, nperseg)
     else:
-        segs = frame_signal(x, nperseg, hop, num_seg)
+        segs = framer(x, nperseg, hop, num_seg)
     segs = _detrend_rows(segs, detrend)
     segs = segs * window_table(window, nperseg)[None]
     if nfft > nperseg:  # finer bin grid: zero-pad the windowed segments
@@ -334,7 +339,7 @@ def welch_device(
     if average not in ("mean", "median"):
         raise ValueError(f"average must be 'mean' or 'median', got {average!r}")
     yr, yi = _segment_spectra(
-        x, nperseg, noverlap, window, detrend, fs, scaling, "welch", nfft
+        x, nperseg, noverlap, window, detrend, fs, scaling, "welch", nfft, ordered=False
     )
     nbins = nperseg if nfft is None else nfft
     seg_power = yr * yr + yi * yi  # (..., num_seg, bins)
@@ -394,8 +399,12 @@ def csd_device(
     y = jnp.asarray(y, dtype=jnp.float32)
     if x.shape != y.shape:
         raise ValueError(f"csd: signals must share one shape, got {x.shape} vs {y.shape}")
-    xr, xi = _segment_spectra(x, nperseg, noverlap, window, detrend, fs, scaling, "csd", nfft)
-    yr, yi = _segment_spectra(y, nperseg, noverlap, window, detrend, fs, scaling, "csd", nfft)
+    xr, xi = _segment_spectra(
+        x, nperseg, noverlap, window, detrend, fs, scaling, "csd", nfft, ordered=False
+    )
+    yr, yi = _segment_spectra(
+        y, nperseg, noverlap, window, detrend, fs, scaling, "csd", nfft, ordered=False
+    )
     nbins = nperseg if nfft is None else nfft
     # conj(X) * Y
     pr = jnp.mean(xr * yr + xi * yi, axis=-2)
@@ -452,8 +461,12 @@ def coherence_device(
     y = jnp.asarray(y, dtype=jnp.float32)
     if x.shape != y.shape:
         raise ValueError(f"coherence: signals must share one shape, got {x.shape} vs {y.shape}")
-    xr, xi = _segment_spectra(x, nperseg, noverlap, window, True, fs, "density", "coherence")
-    yr, yi = _segment_spectra(y, nperseg, noverlap, window, True, fs, "density", "coherence")
+    xr, xi = _segment_spectra(
+        x, nperseg, noverlap, window, True, fs, "density", "coherence", ordered=False
+    )
+    yr, yi = _segment_spectra(
+        y, nperseg, noverlap, window, True, fs, "density", "coherence", ordered=False
+    )
     pxx = jnp.mean(xr * xr + xi * xi, axis=-2)
     pyy = jnp.mean(yr * yr + yi * yi, axis=-2)
     pr = jnp.mean(xr * yr + xi * yi, axis=-2)

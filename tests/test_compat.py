@@ -262,4 +262,29 @@ def test_backend_control_functions():
     with cf.set_backend():
         with cf.skip_backend():
             assert np.abs(sf.fft(x) - ref).max() < 1e-10  # scipy's own f64 path
-    cf.register_backend()
+
+
+def test_register_and_global_backend_subprocess():
+    # register_backend / set_global_backend mutate scipy's PROCESS-WIDE
+    # uarray registry (scipy offers no undo), which would degrade every
+    # later test's scipy oracle to our f32 paths — so they run isolated.
+    import subprocess
+    import sys
+
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import numpy as np, scipy.fft as sf\n"
+        "import gpu_fft_tpu.compat as cf\n"
+        "cf.register_backend()\n"
+        "cf.set_global_backend()\n"
+        "x = np.random.default_rng(0).standard_normal(256)\n"
+        "got = sf.fft(x)\n"
+        "assert got.dtype == np.complex64, got.dtype\n"  # proof it ran our path
+        "assert np.abs(got - np.fft.fft(x)).max() < 1e-4\n"
+        "print('ok')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=300
+    )
+    assert out.returncode == 0, out.stderr
+    assert "ok" in out.stdout
