@@ -19,6 +19,7 @@ from .mesh import (
     fft2_batch_sharded,
     fft_batch_sharded,
     ifft_batch_sharded,
+    lfilter_sharded,
     oaconvolve_sharded,
     welch_sharded,
 )
@@ -30,6 +31,7 @@ __all__ = [
     "fft_batch_sharded",
     "fft2_batch_sharded",
     "ifft_batch_sharded",
+    "lfilter_sharded",
     "oaconvolve_sharded",
     "welch_sharded",
     "distributed_fft",

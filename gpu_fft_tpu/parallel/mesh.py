@@ -23,6 +23,7 @@ __all__ = [
     "fft2_batch_sharded",
     "welch_sharded",
     "oaconvolve_sharded",
+    "lfilter_sharded",
 ]
 
 
@@ -228,3 +229,74 @@ def ifft_batch_sharded(xr, xi, mesh: Mesh, axis_name: str = "dp"):
 
     spec = P(axis_name, None)
     return _shard_map(local, mesh, (spec, spec), (spec, spec))(xr, xi)
+
+
+def lfilter_sharded(b, a, x, mesh: Mesh, axis_name: str = "sp"):
+    """Sequence-parallel IIR filtering: the signal sharded over the mesh.
+
+    The block-state decomposition (``ops/iir.py``) distributes across
+    chips exactly as it does across blocks: each device runs the
+    zero-entry-state filter on its contiguous shard (one call into the
+    measured ``lfilter_device``, whose ``zf`` IS the shard's
+    input-to-state contribution), one tiny ``all_gather`` of the (d, k)
+    state vectors crosses ICI, every device composes the affine carry
+    prefix with host-precomputed propagator powers F^(m*p) (k x k, f64-
+    generated), and a shard-local observability matmul adds the
+    zero-input response.  Per-call ICI traffic is d*k floats — INDEPENDENT
+    of signal length — the sequential-dependency analog of
+    :func:`oaconvolve_sharded`'s tail exchange.
+
+    ``x``: (n,) real f32 with d | n; returns the (n,) filtered signal.
+    """
+    import numpy as np
+
+    from ..ops.iir import _block_tables, _df2t_matrices, _normalize_ba, lfilter_device
+
+    x = jnp.asarray(x, dtype=jnp.float32)
+    if x.ndim != 1:
+        raise ValueError(f"lfilter_sharded expects a 1-D signal, got shape {x.shape}")
+    b64, a64 = _normalize_ba(b, a)
+    k = b64.shape[0] - 1
+    d = mesh.shape[axis_name]
+    n = x.shape[0]
+    if n % d:
+        raise ValueError(f"signal length {n} must divide over {d} devices")
+    m = n // d
+    if k == 0:
+        spec = P(axis_name)
+        return _shard_map(lambda xl: jnp.float32(b64[0]) * xl, mesh, (spec,), spec)(x)
+    # Host f64 precomputes: the shard observability obs[t] = c^T F^t
+    # (t < m) and the masked propagator tensor M[i, j] = F^(m*(i-1-j)) for
+    # j < i (zero otherwise), so z_entry = einsum('ijkl,jl->ik', M, zetas).
+    f, g, c, dd = _df2t_matrices(b64, a64)
+    obs = np.empty((m, k), dtype=np.float64)
+    row = c.copy()
+    for t in range(m):
+        obs[t] = row
+        row = f.T @ row
+    fm = np.linalg.matrix_power(f, m)
+    powers = [np.eye(k)]
+    for _ in range(d - 1):
+        powers.append(fm @ powers[-1])
+    mask = np.zeros((d, d, k, k), dtype=np.float64)
+    for i in range(d):
+        for j in range(i):
+            mask[i, j] = powers[i - 1 - j]
+    obs32 = jnp.asarray(obs.astype(np.float32))
+    mask32 = jnp.asarray(mask.astype(np.float32))
+    bb = tuple(float(v) for v in b64)
+    aa = tuple(float(v) for v in a64)
+
+    def local(xl):
+        y_zs, zeta = lfilter_device(bb, aa, xl, zi=jnp.zeros((1, k), jnp.float32))
+        zetas = jax.lax.all_gather(zeta[0], axis_name)  # (d, k) over ICI
+        entries = jnp.einsum(
+            "ijkl,jl->ik", mask32, zetas, precision=jax.lax.Precision.HIGHEST
+        )
+        mine = jax.lax.dynamic_slice_in_dim(entries, jax.lax.axis_index(axis_name), 1, 0)
+        return y_zs + jnp.dot(
+            obs32, mine[0], precision=jax.lax.Precision.HIGHEST
+        )[None]
+
+    spec = P(None, axis_name)
+    return _shard_map(local, mesh, (spec,), spec)(x.reshape(1, d * m))[0]

@@ -302,3 +302,28 @@ def test_fftn_sharded_contracts(mesh8):
         fftn_sharded(np.ones((24, 16, 16), np.float32), mesh8, sp_axis="dp")
     with pytest.raises(ValueError, match="divide"):
         fftn_sharded(np.ones((16, 4, 16), np.float32), mesh8, sp_axis="dp")
+
+
+def test_lfilter_sharded_matches_scipy(mesh8, rng):
+    import scipy.signal as ss
+
+    from gpu_fft_tpu.parallel import lfilter_sharded
+
+    b, a = ss.butter(4, 0.15)
+    x = rng.standard_normal(65536).astype(np.float32)
+    got = np.asarray(lfilter_sharded(b, a, x, mesh8, "dp"))
+    ref = ss.lfilter(b, a, x.astype(np.float64))
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() < 5e-5  # the sharded carry is exact math
+
+
+def test_lfilter_sharded_fir_and_contracts(mesh8, rng):
+    from gpu_fft_tpu.parallel import lfilter_sharded
+
+    x = rng.standard_normal(4096).astype(np.float32)
+    got = np.asarray(lfilter_sharded([2.0], [1.0], x, mesh8, "dp"))  # k=0 path
+    assert np.abs(got - 2.0 * x).max() < 1e-6
+    with pytest.raises(ValueError):  # length not divisible over devices
+        lfilter_sharded([1.0, 0.5], [1.0], np.ones(1001, np.float32), mesh8, "dp")
+    with pytest.raises(ValueError):  # 2-D input
+        lfilter_sharded([1.0, 0.5], [1.0], np.ones((2, 8), np.float32), mesh8, "dp")
