@@ -73,6 +73,41 @@ def main() -> int:
     ok &= blurred.shape == (4, 136, 136)
     ok &= float(blurred.std()) < float(img.std())  # smoothing reduces variance
 
+    # 7. IIR: order-4 Butterworth through the block-state engine — the
+    #    zero-phase filtfilt kills the 300 Hz tone like the FIR did, with
+    #    9 coefficients instead of numtaps.
+    import scipy.signal as ss
+
+    bb, aa = ss.butter(4, 150.0, fs=fs)
+    y_iir = gf.filtfilt(bb, aa, x)
+    resid_iir = float(np.abs(y_iir[core] - lo[core]).max())
+    print(f"IIR filtfilt residual vs clean 50 Hz tone: {resid_iir:.4f}")
+    ok &= resid_iir < 0.02
+
+    # 8. Streaming IIR: split-and-resume with zi/zf equals one shot.
+    zi = gf.lfilter_zi(bb, aa) * x[0]
+    y1, zf = gf.lfilter(bb, aa, x[:2000], zi=zi)
+    y2, _ = gf.lfilter(bb, aa, x[2000:], zi=zf)
+    whole, _ = gf.lfilter(bb, aa, x, zi=zi)
+    split_err = float(np.abs(np.concatenate([y1, y2]) - whole).max())
+    print(f"streaming lfilter split-and-resume err: {split_err:.2e}")
+    ok &= split_err < 1e-4
+
+    # 9. Peak picking on the filtered PSD: only the 50 Hz tone survives.
+    f_w, p_w = gf.welch(y_iir, fs=fs, nperseg=1024)
+    p_db = 10 * np.log10(np.maximum(p_w, 1e-20))
+    # Suppressed tones still poke 20 dB above the (very quiet) stopband
+    # floor, so gate on absolute height too: within 30 dB of the carrier.
+    pk, props = gf.find_peaks(p_db, prominence=20.0, height=p_db.max() - 30.0)
+    peak_hz = [round(float(f_w[i])) for i in pk]
+    print(f"peaks within 30 dB of carrier after IIR lowpass: {peak_hz} Hz")
+    ok &= peak_hz == [50]
+
+    # 10. Savitzky-Golay: smooth the noisy tone without moving the phase.
+    sm = gf.savgol_filter(x, 31, 3)
+    print(f"savgol(31, 3) noise reduction: std {x.std():.3f} -> {sm.std():.3f}")
+    ok &= float(sm.std()) < float(x.std())
+
     print("[OK]" if ok else "FAIL")
     return 0 if ok else 1
 
