@@ -76,9 +76,7 @@ def main() -> int:
     # 7. IIR: order-4 Butterworth through the block-state engine — the
     #    zero-phase filtfilt kills the 300 Hz tone like the FIR did, with
     #    9 coefficients instead of numtaps.
-    import scipy.signal as ss
-
-    bb, aa = ss.butter(4, 150.0, fs=fs)
+    bb, aa = gf.butter(4, 150.0, fs=fs)
     y_iir = gf.filtfilt(bb, aa, x)
     resid_iir = float(np.abs(y_iir[core] - lo[core]).max())
     print(f"IIR filtfilt residual vs clean 50 Hz tone: {resid_iir:.4f}")

@@ -1,0 +1,519 @@
+"""Classic IIR filter design: Butterworth / Chebyshev I / Chebyshev II.
+
+Extension beyond the reference surface, completing the IIR story: design
+here, run through the block-state engine (``ops/iir.py``).  Pure host-side
+f64 polynomial math, like scipy's — design is a one-time setup cost, the
+device work is the filtering.  The pipeline is scipy's exactly: analog
+lowpass prototype (zpk) -> frequency transform (lp2lp/hp/bp/bs) ->
+bilinear transform with frequency pre-warping -> tf or sos coefficients;
+verified against scipy coefficient-wise (ba) and response-wise (sos) in
+``tests/test_design.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "butter",
+    "cheby1",
+    "cheby2",
+    "iirfilter",
+    "buttord",
+    "cheb1ord",
+    "cheb2ord",
+    "iirnotch",
+    "iirpeak",
+    "bilinear",
+    "zpk2tf",
+    "zpk2sos",
+]
+
+
+# ── analog lowpass prototypes (zpk, cutoff 1 rad/s) ─────────────────────────
+
+
+def _buttap(n: int):
+    """Butterworth prototype: n poles equispaced on the left unit circle."""
+    m = np.arange(-n + 1, n, 2)
+    p = -np.exp(1j * np.pi * m / (2 * n))
+    return np.array([], dtype=complex), p, 1.0
+
+
+def _cheb1ap(n: int, rp: float):
+    """Chebyshev-I prototype: rp dB equiripple passband."""
+    eps = np.sqrt(10.0 ** (0.1 * rp) - 1.0)
+    mu = np.arcsinh(1.0 / eps) / n
+    m = np.arange(-n + 1, n, 2)
+    theta = np.pi * m / (2.0 * n)
+    p = -np.sinh(mu + 1j * theta)
+    k = np.prod(-p).real
+    if n % 2 == 0:
+        k /= np.sqrt(1.0 + eps * eps)
+    return np.array([], dtype=complex), p, float(k)
+
+
+def _cheb2ap(n: int, rs: float):
+    """Chebyshev-II prototype: rs dB equiripple stopband (inverse Cheb)."""
+    de = 1.0 / np.sqrt(10.0 ** (0.1 * rs) - 1.0)
+    mu = np.arcsinh(1.0 / de) / n
+    if n % 2:
+        m = np.concatenate((np.arange(-n + 1, 0, 2), np.arange(2, n, 2)))
+    else:
+        m = np.arange(-n + 1, n, 2)
+    z = -np.conjugate(1j / np.sin(m * np.pi / (2.0 * n)))
+    p = -np.exp(1j * np.pi * np.arange(-n + 1, n, 2) / (2.0 * n))
+    p = np.sinh(mu) * p.real + 1j * np.cosh(mu) * p.imag
+    p = 1.0 / p
+    k = (np.prod(-p) / np.prod(-z)).real
+    return z, p, float(k)
+
+
+# ── zpk frequency transforms (scipy's lp2*_zpk) ─────────────────────────────
+
+
+def _lp2lp(z, p, k, wo):
+    return z * wo, p * wo, k * wo ** (len(p) - len(z))
+
+
+def _lp2hp(z, p, k, wo):
+    deg = len(p) - len(z)
+    zh = wo / z if len(z) else np.array([], dtype=complex)
+    ph = wo / p
+    zh = np.append(zh, np.zeros(deg))
+    k = k * np.real(np.prod(-z) / np.prod(-p)) if len(z) else k * np.real(1.0 / np.prod(-p))
+    return zh, ph, k
+
+
+def _lp2bp(z, p, k, wo, bw):
+    deg = len(p) - len(z)
+    zl, pl = z * bw / 2.0, p * bw / 2.0
+    zb = np.concatenate((zl + np.sqrt(zl**2 - wo**2 + 0j), zl - np.sqrt(zl**2 - wo**2 + 0j)))
+    pb = np.concatenate((pl + np.sqrt(pl**2 - wo**2 + 0j), pl - np.sqrt(pl**2 - wo**2 + 0j)))
+    zb = np.append(zb, np.zeros(deg))
+    return zb, pb, k * bw**deg
+
+
+def _lp2bs(z, p, k, wo, bw):
+    deg = len(p) - len(z)
+    zh = (bw / 2.0) / z if len(z) else np.array([], dtype=complex)
+    ph = (bw / 2.0) / p
+    zb = np.concatenate((zh + np.sqrt(zh**2 - wo**2 + 0j), zh - np.sqrt(zh**2 - wo**2 + 0j)))
+    pb = np.concatenate((ph + np.sqrt(ph**2 - wo**2 + 0j), ph - np.sqrt(ph**2 - wo**2 + 0j)))
+    zb = np.append(zb, np.full(deg, 1j * wo))
+    zb = np.append(zb, np.full(deg, -1j * wo))
+    num = np.prod(-z) if len(z) else 1.0
+    return zb, pb, k * np.real(num / np.prod(-p))
+
+
+def _bilinear_zpk(z, p, k, fs):
+    """Tustin map s -> 2fs(z-1)/(z+1) on a zpk triple (scipy bilinear_zpk)."""
+    fs2 = 2.0 * fs
+    deg = len(p) - len(z)
+    zd = (fs2 + z) / (fs2 - z) if len(z) else np.array([], dtype=complex)
+    pd = (fs2 + p) / (fs2 - p)
+    zd = np.append(zd, -np.ones(deg))
+    num = np.prod(fs2 - z) if len(z) else 1.0
+    kd = k * np.real(num / np.prod(fs2 - p))
+    return zd, pd, kd
+
+
+# ── coefficient forms ────────────────────────────────────────────────────────
+
+
+def zpk2tf(z, p, k):
+    """(zeros, poles, gain) -> transfer-function (b, a) coefficients."""
+    b = k * np.atleast_1d(np.poly(z))
+    a = np.atleast_1d(np.poly(p))
+    if np.isrealobj(k) and np.allclose(b.imag, 0.0, atol=1e-12 * max(1.0, np.abs(b).max())):
+        b = b.real
+    if np.allclose(a.imag, 0.0, atol=1e-12 * max(1.0, np.abs(a).max())):
+        a = a.real
+    return np.atleast_1d(b), np.atleast_1d(a)
+
+
+def _conj_pairs(roots):
+    """Group a conjugate-symmetric root multiset into 2-root sections:
+    conjugate pairs first (by descending |r| — sections nearest the unit
+    circle come LAST in the cascade, scipy's ordering heuristic), then
+    reals paired together, with one leftover real allowed."""
+    roots = np.asarray(roots, dtype=complex)
+    cplx = sorted(
+        (r for r in roots if abs(r.imag) > 1e-12 * max(1.0, abs(r))),
+        key=lambda r: (r.real, abs(r.imag), r.imag),
+    )
+    reals = sorted((r.real for r in roots if abs(r.imag) <= 1e-12 * max(1.0, abs(r))), key=abs)
+    pairs, i = [], 0
+    while i < len(cplx):
+        r = cplx[i]
+        j = min(
+            range(i + 1, len(cplx)),
+            key=lambda q: abs(cplx[q] - np.conj(r)),
+        )
+        pairs.append((r, cplx[j]))
+        cplx.pop(j)
+        i += 1
+    while len(reals) >= 2:
+        pairs.append((reals.pop(), reals.pop()))
+    single = reals[0] if reals else None
+    return pairs, single
+
+
+def zpk2sos(z, p, k):
+    """(z, p, k) -> (n_sections, 6) second-order sections.
+
+    Correct-by-construction pairing for real-coefficient designs
+    (conjugate-symmetric z/p sets, len(z) <= len(p)): conjugate pole pairs
+    each take the nearest remaining zero pair; leftover real roots share a
+    section; sections ordered so poles nearest the unit circle come last
+    (the standard fixed-point-friendly cascade order, as scipy does).  The
+    CASCADE response is exact for any valid pairing — verified against the
+    tf form response-wise in the tests.
+    """
+    z = np.asarray(z, dtype=complex)
+    p = np.asarray(p, dtype=complex)
+    if len(z) > len(p):
+        raise ValueError("zpk2sos requires len(z) <= len(p)")
+    if len(p) == 0:
+        return np.array([[k, 0.0, 0.0, 1.0, 0.0, 0.0]])
+    ppairs, psingle = _conj_pairs(p)
+    zpairs, zsingle = _conj_pairs(z)
+    # Order pole sections by |p| ascending -> nearest unit circle LAST.
+    ppairs.sort(key=lambda pr: max(abs(pr[0]), abs(pr[1])))
+    used = [False] * len(zpairs)
+    sections = []
+    for pa, pb in ppairs:
+        zz: tuple = ()
+        best, bestd = None, np.inf
+        for i, (za, zb) in enumerate(zpairs):
+            if used[i]:
+                continue
+            dist = abs(za - pa) + abs(zb - pb)
+            if dist < bestd:
+                best, bestd = i, dist
+        if best is not None:
+            used[best] = True
+            zz = zpairs[best]
+        sections.append((zz, (pa, pb)))
+    if psingle is not None:
+        zz = (zsingle,) if zsingle is not None else ()
+        zsingle = None
+        sections.append((zz, (psingle,)))
+    assert all(used) and zsingle is None, "unpaired zeros"
+    sos = np.zeros((len(sections), 6))
+    for i, (zz, pp) in enumerate(sections):
+        b = np.poly(np.asarray(zz, dtype=complex)) if len(zz) else np.array([1.0])
+        a = np.poly(np.asarray(pp, dtype=complex))
+        sos[i, : len(b)] = np.real(b)
+        sos[i, 3 : 3 + len(a)] = np.real(a)
+    sos[-1, :3] *= k  # fold the gain into the last (dominant) section
+    # scipy convention: sections ordered with the near-unit-circle poles
+    # last; the gain-carrying section is conventionally first there, but
+    # the cascade response is identical — tests compare responses.
+    return sos
+
+
+def bilinear(b, a, fs: float = 1.0):
+    """Tustin transform of analog (b, a) to digital (``scipy.signal.bilinear``)."""
+    b = np.atleast_1d(np.asarray(b, dtype=np.float64))
+    a = np.atleast_1d(np.asarray(a, dtype=np.float64))
+    # tf -> zpk -> bilinear_zpk -> tf (f64 roots; fine at design orders).
+    zz = np.roots(b) if b.size > 1 else np.array([], dtype=complex)
+    pp = np.roots(a) if a.size > 1 else np.array([], dtype=complex)
+    kk = b[0] / a[0]
+    zd, pd, kd = _bilinear_zpk(zz, pp, kk, fs)
+    return zpk2tf(zd, pd, kd)
+
+
+# ── the designers ────────────────────────────────────────────────────────────
+
+_BTYPES = {
+    "lowpass": "lowpass", "low": "lowpass", "lp": "lowpass",
+    "highpass": "highpass", "high": "highpass", "hp": "highpass",
+    "bandpass": "bandpass", "band": "bandpass", "bp": "bandpass",
+    "bandstop": "bandstop", "stop": "bandstop", "bs": "bandstop",
+}
+
+
+def iirfilter(
+    N: int,
+    Wn,
+    rp: float | None = None,
+    rs: float | None = None,
+    btype: str = "band",
+    analog: bool = False,
+    ftype: str = "butter",
+    output: str = "ba",
+    fs: float | None = None,
+):
+    """IIR design front end (``scipy.signal.iirfilter`` for the ftypes
+    implemented here: 'butter', 'cheby1', 'cheby2')."""
+    if btype == "band":
+        btype = "bandpass"
+    btype = _BTYPES.get(btype)
+    if btype is None:
+        raise ValueError(f"btype must be one of {sorted(set(_BTYPES))}")
+    if output not in ("ba", "zpk", "sos"):
+        raise ValueError(f"output must be ba|zpk|sos, got {output!r}")
+    if N < 1:
+        raise ValueError(f"filter order must be >= 1, got {N}")
+    wn = np.atleast_1d(np.asarray(Wn, dtype=np.float64))
+    if fs is not None:
+        if analog:
+            raise ValueError("fs and analog=True are mutually exclusive")
+        wn = 2.0 * wn / fs
+    if ftype == "butter":
+        z, p, k = _buttap(N)
+    elif ftype == "cheby1":
+        if rp is None:
+            raise ValueError("cheby1 needs the passband ripple rp (dB)")
+        z, p, k = _cheb1ap(N, rp)
+    elif ftype == "cheby2":
+        if rs is None:
+            raise ValueError("cheby2 needs the stopband attenuation rs (dB)")
+        z, p, k = _cheb2ap(N, rs)
+    else:
+        raise ValueError(f"ftype must be butter|cheby1|cheby2, got {ftype!r}")
+    if not analog:
+        if np.any(wn <= 0) or np.any(wn >= 1):
+            raise ValueError("digital Wn must lie in (0, 1) (fraction of Nyquist)")
+        fs2 = 2.0
+        warped = 2.0 * fs2 * np.tan(np.pi * wn / fs2)
+    else:
+        warped = wn
+    if btype in ("lowpass", "highpass"):
+        if wn.size != 1:
+            raise ValueError(f"{btype} needs a scalar Wn, got {wn.size} values")
+        z, p, k = (_lp2lp if btype == "lowpass" else _lp2hp)(z, p, k, warped[0])
+    else:
+        if wn.size != 2 or wn[0] >= wn[1]:
+            raise ValueError(f"{btype} needs Wn = [low, high] with low < high")
+        bw = warped[1] - warped[0]
+        wo = np.sqrt(warped[0] * warped[1])
+        z, p, k = (_lp2bp if btype == "bandpass" else _lp2bs)(z, p, k, wo, bw)
+    if not analog:
+        z, p, k = _bilinear_zpk(z, p, k, fs2)
+    if output == "zpk":
+        return z, p, k
+    if output == "sos":
+        return zpk2sos(z, p, k)
+    return zpk2tf(z, p, k)
+
+
+def butter(N: int, Wn, btype: str = "low", analog: bool = False, output: str = "ba", fs=None):
+    """Butterworth design (``scipy.signal.butter``): maximally flat."""
+    return iirfilter(N, Wn, btype=btype, analog=analog, ftype="butter", output=output, fs=fs)
+
+
+def cheby1(N, rp, Wn, btype="low", analog=False, output="ba", fs=None):
+    """Chebyshev-I design (``scipy.signal.cheby1``): rp dB passband ripple."""
+    return iirfilter(N, Wn, rp=rp, btype=btype, analog=analog, ftype="cheby1", output=output, fs=fs)
+
+
+def cheby2(N, rs, Wn, btype="low", analog=False, output="ba", fs=None):
+    """Chebyshev-II design (``scipy.signal.cheby2``): rs dB stopband floor."""
+    return iirfilter(N, Wn, rs=rs, btype=btype, analog=analog, ftype="cheby2", output=output, fs=fs)
+
+
+# ── order selection (scipy's *ord algorithm, all four band types) ───────────
+
+
+def _validate_gpass_gstop(gpass, gstop):
+    if gpass <= 0 or gstop <= 0 or gpass >= gstop:
+        raise ValueError("need 0 < gpass < gstop (dB)")
+
+
+def _golden_min(f, lo: float, hi: float, tol: float = 1e-8) -> float:
+    """Golden-section minimizer on [lo, hi] (the fminbound stand-in for the
+    bandstop edge optimization; the objective is unimodal there)."""
+    invphi = (np.sqrt(5.0) - 1.0) / 2.0
+    a, b = lo, hi
+    c, d = b - invphi * (b - a), a + invphi * (b - a)
+    fc, fd = f(c), f(d)
+    while (b - a) > tol * max(1.0, abs(a) + abs(b)):
+        if fc < fd:
+            b, d, fd = d, c, fc
+            c = b - invphi * (b - a)
+            fc = f(c)
+        else:
+            a, c, fc = c, d, fd
+            d = a + invphi * (b - a)
+            fd = f(d)
+    return 0.5 * (a + b)
+
+
+def _ord_setup(wp, ws, gpass, gstop, analog, fs, kind):
+    """Shared *ord front end, mirroring scipy's: validate, classify the
+    band type, pre-warp, and (bandstop only) optimize the passband edges
+    inward to the point of minimum required order."""
+    _validate_gpass_gstop(gpass, gstop)
+    wp = np.atleast_1d(np.asarray(wp, dtype=np.float64))
+    ws = np.atleast_1d(np.asarray(ws, dtype=np.float64))
+    if fs is not None:
+        if analog:
+            raise ValueError("fs cannot be specified for an analog filter")
+        wp, ws = 2.0 * wp / fs, 2.0 * ws / fs
+    ftype = 2 * (wp.shape[0] - 1) + 1
+    if wp[0] >= ws[0]:
+        ftype += 1  # 1 low, 2 high, 3 bandstop, 4 bandpass
+    if analog:
+        passb, stopb = wp.copy(), ws.copy()
+    else:
+        passb, stopb = np.tan(np.pi * wp / 2.0), np.tan(np.pi * ws / 2.0)
+
+    def nat_of(pb):
+        if ftype == 1:
+            return float(np.abs(stopb[0] / pb[0]))
+        if ftype == 2:
+            return float(np.abs(pb[0] / stopb[0]))
+        if ftype == 3:
+            v = stopb * (pb[0] - pb[1]) / (stopb**2 - pb[0] * pb[1])
+            return float(np.min(np.abs(v)))
+        v = (stopb**2 - pb[0] * pb[1]) / (stopb * (pb[0] - pb[1]))
+        return float(np.min(np.abs(v)))
+
+    gp = 10.0 ** (0.1 * abs(gpass))
+    gs = 10.0 ** (0.1 * abs(gstop))
+    if ftype == 3:
+        # Move each passband edge inward to minimize the required order
+        # (scipy's band_stop_obj + fminbound step).
+        if kind == "butter":
+            def order_at(nat):
+                return np.log10((gs - 1.0) / (gp - 1.0)) / (2.0 * np.log10(nat))
+        else:
+            def order_at(nat):
+                return np.arccosh(np.sqrt((gs - 1.0) / (gp - 1.0))) / np.arccosh(nat)
+
+        def obj(w, ind):
+            pb = passb.copy()
+            pb[ind] = w
+            return order_at(nat_of(pb))
+
+        wp0 = _golden_min(lambda w: obj(w, 0), passb[0], stopb[0] - 1e-12)
+        wp1 = _golden_min(lambda w: obj(w, 1), stopb[1] + 1e-12, passb[1])
+        passb = np.array([wp0, wp1])
+    return ftype, passb, stopb, gp, gs
+
+
+def _wn_back(wn, analog, fs):
+    wn = wn if analog else np.arctan(np.asarray(wn)) * 2.0 / np.pi
+    wn = np.atleast_1d(wn)
+    out = float(wn[0]) if wn.shape[0] == 1 else wn
+    if fs is not None:
+        out = out * fs / 2.0
+    return out
+
+
+def buttord(wp, ws, gpass: float, gstop: float, analog: bool = False, fs=None):
+    """Minimum Butterworth order for the spec (``scipy.signal.buttord``):
+    returns (N, Wn) with Wn the -gpass-dB natural frequency, all four band
+    types (the bandstop edge optimization included)."""
+    ftype, passb, stopb, gp, gs = _ord_setup(wp, ws, gpass, gstop, analog, fs, "butter")
+    nat = {1: lambda: stopb[0] / passb[0], 2: lambda: passb[0] / stopb[0]}.get(ftype)
+    if nat is not None:
+        nat = abs(float(nat()))
+    elif ftype == 3:
+        nat = float(np.min(np.abs(stopb * (passb[0] - passb[1]) / (stopb**2 - passb[0] * passb[1]))))
+    else:
+        nat = float(np.min(np.abs((stopb**2 - passb[0] * passb[1]) / (stopb * (passb[0] - passb[1])))))
+    n = int(np.ceil(np.log10((gs - 1.0) / (gp - 1.0)) / (2.0 * np.log10(nat))))
+    n = max(n, 1)
+    w0 = (gp - 1.0) ** (-1.0 / (2.0 * n))
+    if ftype == 1:
+        wn = w0 * passb
+    elif ftype == 2:
+        wn = passb / w0
+    elif ftype == 3:
+        discr = np.sqrt((passb[1] - passb[0]) ** 2 + 4.0 * w0**2 * passb[0] * passb[1])
+        wn = np.sort(np.abs(np.array([
+            ((passb[1] - passb[0]) + discr) / (2.0 * w0),
+            ((passb[1] - passb[0]) - discr) / (2.0 * w0),
+        ])))
+    else:
+        w0v = np.array([-w0, w0])
+        wn = np.sort(np.abs(
+            -w0v * (passb[1] - passb[0]) / 2.0
+            + np.sqrt(w0v**2 / 4.0 * (passb[1] - passb[0]) ** 2 + passb[0] * passb[1])
+        ))
+    return n, _wn_back(wn, analog, fs)
+
+
+def cheb1ord(wp, ws, gpass: float, gstop: float, analog: bool = False, fs=None):
+    """Minimum Chebyshev-I order for the spec; Wn = the passband edge(s)
+    (``scipy.signal.cheb1ord``, all four band types)."""
+    ftype, passb, stopb, gp, gs = _ord_setup(wp, ws, gpass, gstop, analog, fs, "cheby")
+    if ftype == 1:
+        nat = abs(stopb[0] / passb[0])
+    elif ftype == 2:
+        nat = abs(passb[0] / stopb[0])
+    elif ftype == 3:
+        nat = float(np.min(np.abs(stopb * (passb[0] - passb[1]) / (stopb**2 - passb[0] * passb[1]))))
+    else:
+        nat = float(np.min(np.abs((stopb**2 - passb[0] * passb[1]) / (stopb * (passb[0] - passb[1])))))
+    n = max(int(np.ceil(np.arccosh(np.sqrt((gs - 1.0) / (gp - 1.0))) / np.arccosh(nat))), 1)
+    return n, _wn_back(passb, analog, fs)
+
+
+def cheb2ord(wp, ws, gpass: float, gstop: float, analog: bool = False, fs=None):
+    """Minimum Chebyshev-II order for the spec; Wn placed where the analog
+    response crosses -gpass dB (``scipy.signal.cheb2ord``, all band types)."""
+    ftype, passb, stopb, gp, gs = _ord_setup(wp, ws, gpass, gstop, analog, fs, "cheby")
+    if ftype == 1:
+        nat = abs(stopb[0] / passb[0])
+    elif ftype == 2:
+        nat = abs(passb[0] / stopb[0])
+    elif ftype == 3:
+        nat = float(np.min(np.abs(stopb * (passb[0] - passb[1]) / (stopb**2 - passb[0] * passb[1]))))
+    else:
+        nat = float(np.min(np.abs((stopb**2 - passb[0] * passb[1]) / (stopb * (passb[0] - passb[1])))))
+    v = np.arccosh(np.sqrt((gs - 1.0) / (gp - 1.0)))
+    n = max(int(np.ceil(v / np.arccosh(nat))), 1)
+    new_freq = 1.0 / np.cosh(v / n)
+    if ftype == 1:
+        wn = passb / new_freq
+    elif ftype == 2:
+        wn = passb * new_freq
+    elif ftype == 3:
+        nat0 = new_freq / 2.0 * (passb[0] - passb[1]) + np.sqrt(
+            new_freq**2 * (passb[1] - passb[0]) ** 2 / 4.0 + passb[1] * passb[0]
+        )
+        wn = np.array([nat0, passb[1] * passb[0] / nat0])
+    else:
+        nat0 = 1.0 / (2.0 * new_freq) * (passb[0] - passb[1]) + np.sqrt(
+            (passb[1] - passb[0]) ** 2 / (4.0 * new_freq**2) + passb[1] * passb[0]
+        )
+        wn = np.array([nat0, passb[0] * passb[1] / nat0])
+    return n, _wn_back(wn, analog, fs)
+
+
+# ── classic biquads ──────────────────────────────────────────────────────────
+
+
+def _biquad_notch_peak(w0: float, Q: float, fs: float, peak: bool):
+    if fs <= 0 or Q <= 0:
+        raise ValueError("fs and Q must be positive")
+    w = 2.0 * np.pi * w0 / fs
+    if not 0.0 < w < np.pi:
+        raise ValueError("w0 must lie strictly inside (0, fs/2)")
+    bw = w / Q
+    gb = 1.0 / np.sqrt(2.0)
+    if peak:
+        gb = np.sqrt(1.0 - gb * gb)  # complementary: |H| = gb at band edges
+    beta = (np.sqrt(1.0 - gb * gb) / gb) * np.tan(bw / 2.0)
+    gain = 1.0 / (1.0 + beta)
+    if peak:
+        b = np.array([1.0 - gain, 0.0, -(1.0 - gain)])
+    else:
+        b = gain * np.array([1.0, -2.0 * np.cos(w), 1.0])
+    a = np.array([1.0, -2.0 * gain * np.cos(w), 2.0 * gain - 1.0])
+    return b, a
+
+
+def iirnotch(w0: float, Q: float, fs: float = 2.0):
+    """Second-order notch rejecting ``w0`` (``scipy.signal.iirnotch``)."""
+    return _biquad_notch_peak(w0, Q, fs, peak=False)
+
+
+def iirpeak(w0: float, Q: float, fs: float = 2.0):
+    """Second-order resonator passing ``w0`` (``scipy.signal.iirpeak``)."""
+    return _biquad_notch_peak(w0, Q, fs, peak=True)

@@ -39,6 +39,20 @@ from .ops.filter import (
     savgol_coeffs,
     savgol_filter,
 )
+from .ops.design import (
+    bilinear,
+    butter,
+    buttord,
+    cheb1ord,
+    cheb2ord,
+    cheby1,
+    cheby2,
+    iirfilter,
+    iirnotch,
+    iirpeak,
+    zpk2sos,
+    zpk2tf,
+)
 from .ops.iir import filtfilt, lfilter, lfilter_zi, sosfilt
 from .ops.multirate import decimate, resample_poly, upfirdn
 from .ops.peaks import find_peaks, peak_prominences, peak_widths
@@ -64,6 +78,8 @@ __all__ = [
     "find_peaks", "peak_prominences", "peak_widths", "chirp",
     "savgol_coeffs", "savgol_filter", "freqz", "lombscargle",
     "lfilter", "lfilter_zi", "filtfilt", "sosfilt",
+    "butter", "cheby1", "cheby2", "iirfilter", "iirnotch", "iirpeak",
+    "buttord", "cheb1ord", "cheb2ord", "bilinear", "zpk2tf", "zpk2sos",
 ]
 
 
