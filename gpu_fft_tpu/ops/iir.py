@@ -38,6 +38,8 @@ __all__ = [
     "lfilter_zi",
     "filtfilt",
     "sosfilt",
+    "sosfilt_zi",
+    "sosfiltfilt",
 ]
 
 _BLOCK = 1024  # block length L: >= 8x typical orders, one fused-size conv
@@ -286,3 +288,60 @@ def sosfilt(sos, x, axis: int = -1, zi=None):
     if zi is None:
         return y
     return y, np.stack(zfs)
+
+
+def sosfilt_zi(sos) -> np.ndarray:
+    """``scipy.signal.sosfilt_zi``: per-section steady-state states for a
+    unit step, each scaled by the DC gain of the sections before it."""
+    sos = np.atleast_2d(np.asarray(sos, dtype=np.float64))
+    if sos.ndim != 2 or sos.shape[1] != 6:
+        raise ValueError(f"sos must be (n_sections, 6), got {sos.shape}")
+    zi = np.empty((sos.shape[0], 2), dtype=np.float64)
+    scale = 1.0
+    for i in range(sos.shape[0]):
+        b, a = sos[i, :3], sos[i, 3:]
+        zi[i] = scale * lfilter_zi(b, a)
+        scale *= b.sum() / a.sum()
+    return zi
+
+
+def sosfiltfilt(sos, x, axis: int = -1, padtype: str | None = "odd", padlen: int | None = None):
+    """``scipy.signal.sosfiltfilt``: zero-phase second-order-section
+    filtering — the pad method of :func:`filtfilt` with per-section
+    steady-state initial conditions, both passes through the block-state
+    engine."""
+    sos = np.atleast_2d(np.asarray(sos, dtype=np.float64))
+    if sos.ndim != 2 or sos.shape[1] != 6:
+        raise ValueError(f"sos must be (n_sections, 6), got {sos.shape}")
+    x = np.asarray(x, dtype=np.float64)
+    if padtype not in ("odd", "even", "constant", None):
+        raise ValueError(f"padtype must be odd|even|constant|None, got {padtype!r}")
+    # scipy's default padlen: 3 * the effective tap count of the cascade.
+    ntaps = 2 * sos.shape[0] + 1
+    ntaps -= min((sos[:, 2] == 0).sum(), (sos[:, 5] == 0).sum())
+    pad = 0 if padtype is None else (3 * ntaps if padlen is None else int(padlen))
+    n = x.shape[axis]
+    if pad >= n:
+        raise ValueError(f"padlen ({pad}) must be less than x.shape[axis] ({n})")
+    moved = np.moveaxis(x, axis, -1)
+    if pad > 0:
+        head, tail = moved[..., pad:0:-1], moved[..., -2 : -pad - 2 : -1]
+        if padtype == "odd":
+            head = 2.0 * moved[..., :1] - head
+            tail = 2.0 * moved[..., -1:] - tail
+        elif padtype == "constant":
+            head = np.broadcast_to(moved[..., :1], head.shape)
+            tail = np.broadcast_to(moved[..., -1:], tail.shape)
+        ext = np.concatenate([head, moved, tail], axis=-1)
+    else:
+        ext = moved
+    zi = sosfilt_zi(sos)  # (m, 2)
+    # Broadcast to (m, ...lead, 2) scaled by each row's first sample.
+    zi_shaped = zi.reshape((sos.shape[0],) + (1,) * (ext.ndim - 1) + (2,))
+    y, _ = sosfilt(sos, ext, axis=-1, zi=zi_shaped * ext[..., :1])
+    y = y[..., ::-1]
+    y, _ = sosfilt(sos, y, axis=-1, zi=zi_shaped * y[..., :1])
+    y = y[..., ::-1]
+    if pad > 0:
+        y = y[..., pad:-pad]
+    return np.moveaxis(y, -1, axis)

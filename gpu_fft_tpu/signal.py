@@ -53,7 +53,7 @@ from .ops.design import (
     zpk2sos,
     zpk2tf,
 )
-from .ops.iir import filtfilt, lfilter, lfilter_zi, sosfilt
+from .ops.iir import filtfilt, lfilter, lfilter_zi, sosfilt, sosfilt_zi, sosfiltfilt
 from .ops.multirate import decimate, resample_poly, upfirdn
 from .ops.peaks import find_peaks, peak_prominences, peak_widths
 from .ops.spectral import (
@@ -77,7 +77,7 @@ __all__ = [
     "minimum_phase", "filtfilt_fir", "FIRStream", "get_window",
     "find_peaks", "peak_prominences", "peak_widths", "chirp",
     "savgol_coeffs", "savgol_filter", "freqz", "lombscargle",
-    "lfilter", "lfilter_zi", "filtfilt", "sosfilt",
+    "lfilter", "lfilter_zi", "filtfilt", "sosfilt", "sosfilt_zi", "sosfiltfilt",
     "butter", "cheby1", "cheby2", "iirfilter", "iirnotch", "iirpeak",
     "buttord", "cheb1ord", "cheb2ord", "bilinear", "zpk2tf", "zpk2sos",
 ]

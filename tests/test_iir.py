@@ -131,3 +131,38 @@ def test_lfilter_device_jit_composable():
         return lfilter_device(b, a, v)
 
     np.testing.assert_allclose(np.asarray(f(x)), ss.lfilter(b, a, np.asarray(x)), atol=2e-4)
+
+
+def test_sosfilt_zi_matches_scipy():
+    from gpu_fft_tpu.ops.iir import sosfilt_zi
+
+    for order in (2, 4, 6):
+        sos = ss.butter(order, 0.2, output="sos")
+        np.testing.assert_allclose(sosfilt_zi(sos), ss.sosfilt_zi(sos), atol=1e-10)
+
+
+def test_sosfiltfilt_matches_scipy():
+    from gpu_fft_tpu.ops.iir import sosfiltfilt
+
+    sos = ss.butter(6, 0.2, output="sos")
+    x = _sig(1500, seed=20)
+    np.testing.assert_allclose(sosfiltfilt(sos, x), ss.sosfiltfilt(sos, x), atol=5e-5)
+    x2 = np.stack([x, x[::-1]])
+    np.testing.assert_allclose(sosfiltfilt(sos, x2), ss.sosfiltfilt(sos, x2), atol=5e-5)
+    with pytest.raises(ValueError):
+        sosfiltfilt(sos, x[:10])  # padlen >= n
+
+
+def test_decimate_iir_matches_scipy():
+    from gpu_fft_tpu.ops.multirate import decimate
+
+    x = _sig(4000, seed=21).astype(np.float32)
+    for q in (2, 4, 7, 10):
+        got = decimate(x, q)  # scipy's default: ftype='iir', zero_phase
+        ref = ss.decimate(x.astype(np.float64), q)
+        np.testing.assert_allclose(got, ref, atol=2e-5, err_msg=f"q={q}")
+    got = decimate(x, 4, zero_phase=False)
+    ref = ss.decimate(x.astype(np.float64), 4, zero_phase=False)
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+    with pytest.raises(ValueError):
+        decimate(x, 4, ftype="invalid")

@@ -116,7 +116,7 @@ def test_resample_poly_contract_errors(rng):
 @pytest.mark.parametrize("zero_phase", [True, False])
 def test_decimate_matches_scipy(rng, q, zero_phase):
     x = rng.standard_normal(2048).astype(np.float32)
-    got = gf.decimate(x, q, zero_phase=zero_phase)
+    got = gf.decimate(x, q, ftype="fir", zero_phase=zero_phase)
     ref = scipy.signal.decimate(x.astype(np.float64), q, ftype="fir", zero_phase=zero_phase)
     assert got.shape == ref.shape
     scale = max(1.0, np.abs(ref).max())
@@ -125,7 +125,7 @@ def test_decimate_matches_scipy(rng, q, zero_phase):
 
 def test_decimate_custom_order(rng):
     x = rng.standard_normal(1500).astype(np.float32)
-    got = gf.decimate(x, 4, n=60)
+    got = gf.decimate(x, 4, n=60, ftype="fir")
     ref = scipy.signal.decimate(x.astype(np.float64), 4, n=60, ftype="fir")
     scale = max(1.0, np.abs(ref).max())
     assert_slice_approx(got / scale, ref / scale, 2e-3, "decimate n=60")
