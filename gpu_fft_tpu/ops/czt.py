@@ -33,7 +33,7 @@ import numpy as np
 
 from ..config import MAX_N
 
-__all__ = ["czt", "czt_device", "zoom_fft", "zoom_fft_device"]
+__all__ = ["czt", "czt_device", "czt_points", "zoom_fft", "zoom_fft_device"]
 
 
 def _phase_halfturns_exact(e: np.ndarray, num: int, den: int) -> np.ndarray:
@@ -171,6 +171,24 @@ def czt_device(
     outr = gr * p["pr"] - gi * p["pi"]
     outi = gr * p["pi"] + gi * p["pr"]
     return (outr[0], outi[0]) if squeeze else (outr, outi)
+
+
+def czt_points(m: int, w: complex | None = None, a: complex = 1 + 0j) -> np.ndarray:
+    """``scipy.signal.czt_points``: the z-plane points a chirp-z transform
+    with these parameters evaluates at — z_k = a * w^{-k}, k = 0..m-1
+    (default w traces the full unit circle).  Host f64 math: the phase is
+    accumulated as k*arg(w) rather than powered, so |z_k| stays exact for
+    unit-modulus w at any m."""
+    if int(m) != m or m < 1:
+        raise ValueError(f"m must be a positive integer, got {m!r}")
+    m = int(m)
+    k = np.arange(m, dtype=np.float64)
+    if w is None:
+        return a * np.exp(2j * np.pi * k / m)
+    w = complex(w)
+    r = np.abs(w) ** -k
+    th = -k * np.angle(w)
+    return a * r * (np.cos(th) + 1j * np.sin(th))
 
 
 def czt(x, m: int | None = None, w: complex | None = None, a: complex = 1 + 0j):

@@ -27,6 +27,12 @@ __all__ = [
     "bilinear",
     "zpk2tf",
     "zpk2sos",
+    "tf2zpk",
+    "tf2sos",
+    "sos2tf",
+    "sos2zpk",
+    "normalize",
+    "freqz_zpk",
 ]
 
 
@@ -211,6 +217,104 @@ def zpk2sos(z, p, k):
     # last; the gain-carrying section is conventionally first there, but
     # the cascade response is identical — tests compare responses.
     return sos
+
+
+def normalize(b, a):
+    """``scipy.signal.normalize``: make the transfer function canonical —
+    strip leading numerator zeros and divide through by ``a[0]``."""
+    b = np.atleast_1d(np.asarray(b, dtype=np.float64))
+    a = np.atleast_1d(np.asarray(a, dtype=np.float64))
+    if a.ndim != 1 or b.ndim > 2:
+        raise ValueError("normalize expects 1-D a and 1-D or 2-D b")
+    if a[0] == 0.0:
+        raise ValueError("denominator a must have a nonzero leading coefficient")
+    if np.all(b == 0.0):
+        raise ValueError("numerator b must have at least one nonzero coefficient")
+    b2 = np.atleast_2d(b) / a[0]
+    a = a / a[0]
+    # Trim leading (near-)zero numerator columns — scipy's "badly
+    # conditioned" trim, at a tight relative tolerance so genuinely small
+    # leading coefficients survive.
+    tol = 1e-14 * max(1.0, np.abs(b2).max())
+    lead = 0
+    while lead < b2.shape[1] - 1 and np.all(np.abs(b2[:, lead]) <= tol):
+        lead += 1
+    b2 = b2[:, lead:]
+    return (b2[0] if b.ndim == 1 else b2), a
+
+
+def tf2zpk(b, a):
+    """``scipy.signal.tf2zpk``: (b, a) -> (zeros, poles, gain) via f64
+    polynomial roots (fine at design orders, like scipy)."""
+    b, a = normalize(b, a)
+    b = np.atleast_1d(b)
+    if b.ndim != 1:
+        raise ValueError("tf2zpk expects a 1-D numerator")
+    k = float(b[0])  # normalize() guarantees a nonzero leading coefficient
+    z = np.roots(b / k) if b.size > 1 else np.array([], dtype=complex)
+    p = np.roots(a) if a.size > 1 else np.array([], dtype=complex)
+    return z, p, k
+
+
+def tf2sos(b, a):
+    """``scipy.signal.tf2sos``: (b, a) -> second-order sections, through
+    the zpk form (:func:`tf2zpk` then :func:`zpk2sos`)."""
+    z, p, k = tf2zpk(b, a)
+    return zpk2sos(z, p, k)
+
+
+def sos2tf(sos):
+    """``scipy.signal.sos2tf``: cascade sections -> one (b, a) pair by
+    polynomial multiplication across sections (f64)."""
+    sos = np.atleast_2d(np.asarray(sos, dtype=np.float64))
+    if sos.ndim != 2 or sos.shape[1] != 6:
+        raise ValueError(f"sos must be (n_sections, 6), got {sos.shape}")
+    b = np.array([1.0])
+    a = np.array([1.0])
+    for s in sos:
+        b = np.convolve(b, s[:3])
+        a = np.convolve(a, s[3:])
+    return b, a
+
+
+def sos2zpk(sos):
+    """``scipy.signal.sos2zpk``: per-section quadratic roots, concatenated;
+    sections with degenerate (linear/constant) polynomials pad with zeros
+    at the origin like scipy's fixed (2 per section) layout."""
+    sos = np.atleast_2d(np.asarray(sos, dtype=np.float64))
+    if sos.ndim != 2 or sos.shape[1] != 6:
+        raise ValueError(f"sos must be (n_sections, 6), got {sos.shape}")
+    m = sos.shape[0]
+    z = np.zeros(2 * m, dtype=complex)
+    p = np.zeros(2 * m, dtype=complex)
+    k = 1.0
+    for i, s in enumerate(sos):
+        zi, pi, ki = tf2zpk(s[:3], s[3:])
+        z[2 * i : 2 * i + len(zi)] = zi
+        p[2 * i : 2 * i + len(pi)] = pi
+        k *= ki
+    return z, p, k
+
+
+def freqz_zpk(z, p, k, worN: int = 512, whole: bool = False, fs: float = 2.0 * np.pi):
+    """``scipy.signal.freqz_zpk`` (split-complex): evaluate
+    H(e^{jw}) = k * prod(e^{jw} - z_i) / prod(e^{jw} - p_i) directly from
+    the factored form — no polynomial expansion, so high orders stay
+    well-conditioned.  Host f64 design-time math; returns ``(w, Hr, Hi)``.
+    The complex facade is ``gpu_fft_tpu.signal.freqz_zpk``.
+    """
+    if int(worN) != worN or worN < 1:
+        raise ValueError(f"worN must be a positive integer, got {worN!r}")
+    n = int(worN)
+    m = n if whole else 2 * n
+    w = np.arange(n) * (fs / m)
+    zv = np.exp(2j * np.pi * np.arange(n) / m)
+    h = np.full(n, complex(k))
+    for zr in np.atleast_1d(np.asarray(z, dtype=complex)):
+        h *= zv - zr
+    for pr in np.atleast_1d(np.asarray(p, dtype=complex)) if np.asarray(p).size else ():
+        h /= zv - pr
+    return w, h.real.copy(), h.imag.copy()
 
 
 def bilinear(b, a, fs: float = 1.0):

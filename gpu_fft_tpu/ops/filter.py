@@ -44,6 +44,8 @@ __all__ = [
     "savgol_coeffs",
     "savgol_filter",
     "freqz",
+    "group_delay",
+    "sosfreqz",
 ]
 
 
@@ -673,33 +675,88 @@ def freqz(b, a=1.0, worN: int = 512, whole: bool = False, fs: float = 2.0 * np.p
     via the exact engine).  Returns ``(w, Hr, Hi)`` NumPy arrays; the
     complex-packing facade is ``gpu_fft_tpu.signal.freqz``.
     """
-    from .exact import fft_exact_device
-
     if int(worN) != worN or worN < 1:
         raise ValueError(f"worN must be a positive integer, got {worN!r}")
     n = int(worN)
     m = n if whole else 2 * n
-
-    def _dtft_bins(taps):
-        tv = np.asarray(taps, dtype=np.float64).ravel()
-        if tv.size == 0:
-            raise ValueError("freqz expects non-empty coefficient arrays")
-        if tv.shape[0] > m:
-            pad_to = -(-tv.shape[0] // m) * m
-            tv = np.pad(tv, (0, pad_to - tv.shape[0])).reshape(-1, m).sum(axis=0)
-        padded = np.zeros(m, dtype=np.float32)
-        padded[: tv.shape[0]] = tv.astype(np.float32)
-        yr, yi = fft_exact_device(padded[None])
-        return np.asarray(yr[0, :n], dtype=np.float64), np.asarray(yi[0, :n], dtype=np.float64)
-
-    br, bi = _dtft_bins(b)
+    br, bi = _dtft_bins_device(b, n, m)
     av = np.atleast_1d(np.asarray(a, dtype=np.float64))
     w = np.arange(n) * (fs / m)
     if av.size == 1:
         return w, br / av[0], bi / av[0]
-    ar, ai = _dtft_bins(av)
+    ar, ai = _dtft_bins_device(av, n, m)
     den = ar * ar + ai * ai
     return w, (br * ar + bi * ai) / den, (bi * ar - br * ai) / den
+
+
+def _dtft_bins_device(taps, n: int, m: int):
+    """DTFT of a real coefficient sequence at the first ``n`` of the ``m``
+    DFT bins, through the device transform.  Sequences longer than ``m``
+    alias exactly at the bin frequencies (e^{-jw(k+m)} = e^{-jwk} there),
+    so they fold by wrap-sum first."""
+    from .exact import fft_exact_device
+
+    tv = np.asarray(taps, dtype=np.float64).ravel()
+    if tv.size == 0:
+        raise ValueError("expected non-empty coefficient arrays")
+    if tv.shape[0] > m:
+        pad_to = -(-tv.shape[0] // m) * m
+        tv = np.pad(tv, (0, pad_to - tv.shape[0])).reshape(-1, m).sum(axis=0)
+    padded = np.zeros(m, dtype=np.float32)
+    padded[: tv.shape[0]] = tv.astype(np.float32)
+    yr, yi = fft_exact_device(padded[None])
+    return np.asarray(yr[0, :n], dtype=np.float64), np.asarray(yi[0, :n], dtype=np.float64)
+
+
+def group_delay(system, w: int = 512, whole: bool = False, fs: float = 2.0 * np.pi):
+    """``scipy.signal.group_delay`` for integer ``w``: -dφ/dω of the
+    rational response in samples, by the Shpak identity
+    gd = Re[DTFT(k·c_k) / DTFT(c_k)] - (len(a) - 1) with c = b * reverse(a),
+    on the same DFT-bin grid as :func:`freqz`.  Host f64 DTFTs, not the
+    f32 device path: near a response null the quotient's denominator decays
+    like the null's full multiplicity (e.g. (pi-w)^8 for a 4th-order
+    Butterworth at Nyquist), far below f32 — design-time analysis is the
+    one response surface that NEEDS the extra mantissa.  Bins where the
+    response truly vanishes return 0, like scipy (which also warns).
+    """
+    b, a = map(lambda v: np.atleast_1d(np.asarray(v, dtype=np.float64)), system)
+    if int(w) != w or w < 1:
+        raise ValueError(f"w must be a positive integer, got {w!r}")
+    n = int(w)
+    m = n if whole else 2 * n
+    c = np.convolve(b, a[::-1])
+    cr = c * np.arange(c.size)
+
+    def _dtft_f64(tv):
+        if tv.shape[0] > m:  # alias exactly at bin frequencies
+            pad_to = -(-tv.shape[0] // m) * m
+            tv = np.pad(tv, (0, pad_to - tv.shape[0])).reshape(-1, m).sum(axis=0)
+        return np.fft.fft(tv, m)[:n]
+
+    num = _dtft_f64(cr)
+    den = _dtft_f64(c)
+    den2 = den.real * den.real + den.imag * den.imag
+    bad = den2 < np.finfo(np.float64).tiny * 10.0
+    quot = (num.real * den.real + num.imag * den.imag) / np.where(bad, 1.0, den2)
+    gd = np.where(bad, 0.0, quot - (a.size - 1))
+    return np.arange(n) * (fs / m), gd
+
+
+def sosfreqz(sos, worN: int = 512, whole: bool = False, fs: float = 2.0 * np.pi):
+    """``scipy.signal.sosfreqz`` (split-complex): cascade response = the
+    complex product of per-section :func:`freqz` responses on one shared
+    grid.  Returns ``(w, Hr, Hi)``; complex facade in
+    ``gpu_fft_tpu.signal.sosfreqz``."""
+    sos = np.atleast_2d(np.asarray(sos, dtype=np.float64))
+    if sos.ndim != 2 or sos.shape[1] != 6:
+        raise ValueError(f"sos must be (n_sections, 6), got {sos.shape}")
+    h = None
+    w = None
+    for s in sos:
+        w, hr, hi = freqz(s[:3], s[3:], worN=worN, whole=whole, fs=fs)
+        hs = hr + 1j * hi
+        h = hs if h is None else h * hs
+    return w, h.real.copy(), h.imag.copy()
 
 
 def minimum_phase(h, n_fft: int | None = None, *, half: bool = True) -> np.ndarray:

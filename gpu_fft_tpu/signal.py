@@ -50,9 +50,16 @@ from .ops.design import (
     iirfilter,
     iirnotch,
     iirpeak,
+    normalize,
+    sos2tf,
+    sos2zpk,
+    tf2sos,
+    tf2zpk,
     zpk2sos,
     zpk2tf,
 )
+from .ops.czt import czt_points
+from .ops.filter import group_delay
 from .ops.iir import filtfilt, lfilter, lfilter_zi, sosfilt, sosfilt_zi, sosfiltfilt
 from .ops.multirate import decimate, resample_poly, upfirdn
 from .ops.peaks import find_peaks, peak_prominences, peak_widths
@@ -80,6 +87,8 @@ __all__ = [
     "lfilter", "lfilter_zi", "filtfilt", "sosfilt", "sosfilt_zi", "sosfiltfilt",
     "butter", "cheby1", "cheby2", "iirfilter", "iirnotch", "iirpeak",
     "buttord", "cheb1ord", "cheb2ord", "bilinear", "zpk2tf", "zpk2sos",
+    "tf2zpk", "tf2sos", "sos2tf", "sos2zpk", "normalize",
+    "group_delay", "sosfreqz", "freqz_zpk", "czt_points",
 ]
 
 
@@ -159,6 +168,22 @@ def freqz(b, a=1.0, worN: int = 512, whole: bool = False, fs: float = 2.0 * np.p
     from .ops.filter import freqz as _freqz_split
 
     w, hr, hi = _freqz_split(b, a, worN=worN, whole=whole, fs=fs)
+    return w, _pack(hr, hi)
+
+
+def sosfreqz(sos, worN: int = 512, whole: bool = False, fs: float = 2.0 * np.pi):
+    """Cascade frequency response — ``scipy.signal.sosfreqz``, complex ``h``."""
+    from .ops.filter import sosfreqz as _sosfreqz_split
+
+    w, hr, hi = _sosfreqz_split(sos, worN=worN, whole=whole, fs=fs)
+    return w, _pack(hr, hi)
+
+
+def freqz_zpk(z, p, k, worN: int = 512, whole: bool = False, fs: float = 2.0 * np.pi):
+    """Factored-form frequency response — ``scipy.signal.freqz_zpk``, complex ``h``."""
+    from .ops.design import freqz_zpk as _freqz_zpk_split
+
+    w, hr, hi = _freqz_zpk_split(z, p, k, worN=worN, whole=whole, fs=fs)
     return w, _pack(hr, hi)
 
 
