@@ -33,6 +33,28 @@ __all__ = [
     "sos2zpk",
     "normalize",
     "freqz_zpk",
+    "bessel",
+    "iircomb",
+    "ellip",
+    "ellipord",
+    "buttap",
+    "cheb1ap",
+    "cheb2ap",
+    "ellipap",
+    "besselap",
+    "lp2lp",
+    "lp2hp",
+    "lp2bp",
+    "lp2bs",
+    "lp2lp_zpk",
+    "lp2hp_zpk",
+    "lp2bp_zpk",
+    "lp2bs_zpk",
+    "bilinear_zpk",
+    "findfreqs",
+    "freqs",
+    "freqs_zpk",
+    "iirdesign",
 ]
 
 
@@ -73,6 +95,255 @@ def _cheb2ap(n: int, rs: float):
     p = 1.0 / p
     k = (np.prod(-p) / np.prod(-z)).real
     return z, p, float(k)
+
+
+# ── elliptic-function kernel (Landen/AGM, host f64) ─────────────────────────
+# The compact Landen-recursion formulation of Jacobi cd/sn and their
+# inverses (Orfanidis, "Lecture notes on elliptic filter design"), enough
+# to express the elliptic prototype in closed form — no scipy.special.
+
+
+def _ellipk_agm(m: float) -> float:
+    """Complete elliptic integral K(m) (parameter m = k^2) by AGM."""
+    if m < 0.0 or m >= 1.0:
+        if m == 1.0:
+            return np.inf
+        raise ValueError(f"K(m) needs 0 <= m < 1, got {m}")
+    a, b = 1.0, np.sqrt(1.0 - m)
+    # AGM is quadratic: 8 iterations reach f64 limits from any admissible m;
+    # a relative-gap while-loop can live-lock 1 ulp apart, so iterate fixed.
+    for _ in range(12):
+        if abs(a - b) <= 2e-16 * a:
+            break
+        a, b = 0.5 * (a + b), np.sqrt(a * b)
+    return np.pi / (2.0 * a)
+
+
+def _landen(k: float) -> list[float]:
+    """Descending Landen sequence k -> k_1 -> ... until ~0."""
+    v = []
+    while k > 1e-16:
+        kp = np.sqrt(1.0 - k * k)
+        k = (k / (1.0 + kp)) ** 2
+        v.append(k)
+        if len(v) > 40:
+            break
+    return v
+
+
+def _cde(u, k: float):
+    """cd(u*K(k), k) for complex u (u in quarter-period units)."""
+    v = _landen(k)
+    w = np.cos(np.asarray(u, dtype=complex) * np.pi / 2.0)
+    for vn in reversed(v):
+        w = (1.0 + vn) * w / (1.0 + vn * w * w)
+    return w
+
+
+def _sne(u, k: float):
+    """sn(u*K(k), k) for complex u (quarter-period units)."""
+    v = _landen(k)
+    w = np.sin(np.asarray(u, dtype=complex) * np.pi / 2.0)
+    for vn in reversed(v):
+        w = (1.0 + vn) * w / (1.0 + vn * w * w)
+    return w
+
+
+def _asne(w, k: float):
+    """Inverse sn: u with sn(u*K(k), k) = w, complex w (principal branch)."""
+    v = _landen(k)
+    w = np.asarray(w, dtype=complex)
+    kn = k
+    for vn in v:
+        w = 2.0 * w / ((1.0 + vn) * (1.0 + np.sqrt(1.0 - kn * kn * w * w)))
+        kn = vn
+    return 2.0 * np.arcsin(w) / np.pi
+
+
+def _ellipdeg(n: int, k1: float) -> float:
+    """Solve the degree equation for the selectivity k given N and the
+    discrimination k1 = ep/es (exact nome-free solution via sn products)."""
+    l = n // 2
+    ui = (2.0 * np.arange(1, l + 1) - 1.0) / n
+    kc = np.sqrt(1.0 - k1 * k1)  # complement of k1
+    kp = kc**n * np.prod(np.real(_sne(ui, kc))) ** 4
+    return float(np.sqrt(1.0 - kp * kp))
+
+
+def _ellipap(n: int, rp: float, rs: float):
+    """Elliptic analog lowpass prototype (scipy ``ellipap``): equiripple in
+    BOTH bands.  Closed-form zeros/poles on the Landen-recursion Jacobi
+    functions; passband edge at 1 rad/s."""
+    if rp <= 0 or rs <= rp:
+        raise ValueError("need 0 < rp < rs (dB)")
+    if n == 1:
+        p = np.array([-np.sqrt(1.0 / (10.0 ** (0.1 * rp) - 1.0))], dtype=complex)
+        return np.array([], dtype=complex), p, float(-p[0].real)
+    ep = np.sqrt(10.0 ** (0.1 * rp) - 1.0)
+    es = np.sqrt(10.0 ** (0.1 * rs) - 1.0)
+    k1 = ep / es
+    k = _ellipdeg(n, k1)
+    l = n // 2
+    ui = (2.0 * np.arange(1, l + 1) - 1.0) / n
+    zc = 1j / (k * np.real(_cde(ui, k)))  # conjugate-pair zeros, +j half
+    v0 = np.real(-1j * _asne(1j / ep, k1) / n)  # asne(j*y) is imaginary → real
+    pc = 1j * _cde(ui - 1j * v0, k)
+    z = np.concatenate([zc, np.conj(zc)])
+    p = np.concatenate([pc, np.conj(pc)])
+    if n % 2:
+        p0 = 1j * _sne(1j * v0, k)
+        p = np.append(p, complex(p0))
+    gain = np.real(np.prod(-p) / np.prod(-z))
+    if n % 2 == 0:
+        gain /= np.sqrt(1.0 + ep * ep)
+    return z, p, float(gain)
+
+
+def ellip(N, rp, rs, Wn, btype="low", analog=False, output="ba", fs=None):
+    """Elliptic (Cauer) design (``scipy.signal.ellip``): rp dB equiripple
+    passband, rs dB equiripple stopband — the minimum order for a given
+    transition band."""
+    return iirfilter(N, Wn, rp=rp, rs=rs, btype=btype, analog=analog,
+                     ftype="ellip", output=output, fs=fs)
+
+
+def ellipord(wp, ws, gpass: float, gstop: float, analog: bool = False, fs=None):
+    """Minimum elliptic order for the spec (``scipy.signal.ellipord``):
+    N = ceil(K(k)K'(k1) / (K'(k)K(k1))) on the selectivity k and
+    discrimination k1; Wn = the passband edge(s)."""
+    ftype, passb, stopb, gp, gs = _ord_setup(wp, ws, gpass, gstop, analog, fs, "ellip")
+    if ftype == 1:
+        nat = abs(stopb[0] / passb[0])
+    elif ftype == 2:
+        nat = abs(passb[0] / stopb[0])
+    elif ftype == 3:
+        nat = float(np.min(np.abs(stopb * (passb[0] - passb[1]) / (stopb**2 - passb[0] * passb[1]))))
+    else:
+        nat = float(np.min(np.abs((stopb**2 - passb[0] * passb[1]) / (stopb * (passb[0] - passb[1])))))
+    n = max(int(np.ceil(_ellip_order(nat, gp, gs))), 1)
+    return n, _wn_back(passb, analog, fs)
+
+
+def _ellip_order(nat: float, gp: float, gs: float) -> float:
+    """The (real-valued) elliptic order meeting selectivity ``nat`` (>=1)."""
+    k = 1.0 / nat  # selectivity
+    k1sq = (gp - 1.0) / (gs - 1.0)  # discrimination^2
+    return (_ellipk_agm(k * k) * _ellipk_agm(1.0 - k1sq)) / (
+        _ellipk_agm(1.0 - k * k) * _ellipk_agm(k1sq)
+    )
+
+
+def _bessel_poly(n: int) -> np.ndarray:
+    """Reversed Bessel polynomial theta_n coefficients, ascending powers,
+    exact integers as f64: a_k = (2n-k)! / (2^(n-k) k! (n-k)!).  Exact in
+    f64 through n=25 (largest value (2n)!/(2^n n!) ~ 6e32 << 2^53-exact
+    range fails earlier, but the VALUES here stay integers representable
+    exactly only to n~13; beyond that they carry ~1 ulp relative error,
+    which the Newton polish below absorbs)."""
+    from math import factorial
+
+    a = np.empty(n + 1, dtype=np.float64)
+    for k in range(n + 1):
+        a[k] = factorial(2 * n - k) / (2.0 ** (n - k) * factorial(k) * factorial(n - k))
+    return a
+
+
+def _besselap(n: int, norm: str = "phase"):
+    """Bessel analog prototype (scipy ``besselap``): all-pole, poles = roots
+    of the reversed Bessel polynomial.  Roots come from np.roots on the
+    PHASE-NORMALIZED polynomial (O(1) coefficients condition the companion
+    eigenproblem far better than the raw (2n)!-range ones), then two Newton
+    polish steps against the exact-coefficient Horner form."""
+    if n == 0:
+        return np.array([], dtype=complex), np.array([], dtype=complex), 1.0
+    a = _bessel_poly(n)  # ascending
+    a0 = a[0]
+    c = a0 ** (1.0 / n)  # phase-normalizing radius scale
+    scaled = a * c ** np.arange(n + 1) / a0  # theta_n(c*t)/a0, O(1) coeffs
+    p = np.roots(scaled[::-1])
+    # Newton polish on the scaled polynomial (exact-coeff Horner + deriv).
+    d = scaled[1:] * np.arange(1, n + 1)
+    for _ in range(3):
+        f = np.polyval(scaled[::-1], p)
+        fp = np.polyval(d[::-1], p)
+        step = f / np.where(fp == 0, 1.0, fp)
+        p = p - np.where(np.abs(step) < 1.0, step, 0.0)
+    if norm == "phase":
+        k = 1.0  # prod(-p) = scaled constant term = 1
+    elif norm == "delay":
+        p = p * c
+        k = a0
+    elif norm == "mag":
+        pd = p * c  # delay-normalized poles
+        # -3 dB frequency: |theta_n(jw)|^2 = 2*a0^2, monotone in w.
+        def mag2(w):
+            v = np.polyval(a[::-1], 1j * w)
+            return v.real * v.real + v.imag * v.imag
+
+        lo, hi = 0.0, 2.0
+        target = 2.0 * a0 * a0
+        while mag2(hi) < target:
+            hi *= 2.0
+        for _ in range(200):
+            mid = 0.5 * (lo + hi)
+            if mag2(mid) < target:
+                lo = mid
+            else:
+                hi = mid
+        w3 = 0.5 * (lo + hi)
+        p = pd / w3
+        k = a0 / w3**n
+    else:
+        raise ValueError(f"norm must be phase|delay|mag, got {norm!r}")
+    return np.array([], dtype=complex), p, float(k)
+
+
+def bessel(N: int, Wn, btype: str = "low", analog: bool = False, output: str = "ba",
+           norm: str = "phase", fs=None):
+    """Bessel/Thomson design (``scipy.signal.bessel``): maximally flat
+    group delay.  ``norm``: 'phase' (default, half-phase point at Wn),
+    'delay' (pure delay-normalized prototype: group delay 1/Wn), 'mag'
+    (-3 dB magnitude at Wn)."""
+    return iirfilter(N, Wn, btype=btype, analog=analog, ftype="bessel",
+                     output=output, fs=fs, _norm=norm)
+
+
+def iircomb(w0: float, Q: float, ftype: str = "notch", fs: float = 2.0,
+            *, pass_zero: bool = False):
+    """``scipy.signal.iircomb``: order-N comb notching (or peaking) every
+    multiple of ``w0``; N = fs/w0 teeth must be an integer.  ``pass_zero``
+    shifts the teeth to odd half-multiples (notch) / keeps DC in the
+    passband, scipy 1.9 semantics."""
+    if Q <= 0 or fs <= 0:
+        raise ValueError("Q and fs must be positive")
+    if w0 <= 0 or w0 >= fs / 2:
+        raise ValueError("w0 must lie strictly inside (0, fs/2)")
+    if ftype not in ("notch", "peak"):
+        raise ValueError(f"ftype must be 'notch' or 'peak', got {ftype!r}")
+    order = fs / w0
+    n = int(round(order))
+    if abs(order - n) > 1e-9 * max(1.0, order):
+        raise ValueError("w0 must divide fs into an integer number of teeth")
+    w_delta = 2.0 * np.pi * (w0 / Q) / fs  # -3 dB bandwidth, rad/sample
+    # Half-power edge condition for the comb (scipy's derivation): the
+    # feedback coefficient from the bandwidth via tan.
+    beta = np.tan(n * w_delta / 4.0)
+    # Teeth at multiples of w0 (pass_zero=False) or between them.
+    sign = -1.0 if ((ftype == "notch") != bool(pass_zero)) else 1.0
+    ax = (1.0 - beta) / (1.0 + beta)
+    b = np.zeros(n + 1)
+    a = np.zeros(n + 1)
+    a[0] = 1.0
+    a[-1] = sign * ax
+    if ftype == "notch":
+        g = (1.0 + ax) / 2.0
+        b[0] = g
+        b[-1] = sign * g
+    else:
+        g = (1.0 - ax) / 2.0
+        b[0] = g
+        b[-1] = -sign * g
+    return b, a
 
 
 # ── zpk frequency transforms (scipy's lp2*_zpk) ─────────────────────────────
@@ -349,9 +620,10 @@ def iirfilter(
     ftype: str = "butter",
     output: str = "ba",
     fs: float | None = None,
+    _norm: str = "phase",
 ):
     """IIR design front end (``scipy.signal.iirfilter`` for the ftypes
-    implemented here: 'butter', 'cheby1', 'cheby2')."""
+    implemented here: 'butter', 'cheby1', 'cheby2', 'ellip', 'bessel')."""
     if btype == "band":
         btype = "bandpass"
     btype = _BTYPES.get(btype)
@@ -376,8 +648,14 @@ def iirfilter(
         if rs is None:
             raise ValueError("cheby2 needs the stopband attenuation rs (dB)")
         z, p, k = _cheb2ap(N, rs)
+    elif ftype in ("ellip", "elliptic"):
+        if rp is None or rs is None:
+            raise ValueError("ellip needs both rp (passband ripple) and rs (stopband) in dB")
+        z, p, k = _ellipap(N, rp, rs)
+    elif ftype == "bessel":
+        z, p, k = _besselap(N, norm=_norm)
     else:
-        raise ValueError(f"ftype must be butter|cheby1|cheby2, got {ftype!r}")
+        raise ValueError(f"ftype must be butter|cheby1|cheby2|ellip|bessel, got {ftype!r}")
     if not analog:
         if np.any(wn <= 0) or np.any(wn >= 1):
             raise ValueError("digital Wn must lie in (0, 1) (fraction of Nyquist)")
@@ -484,6 +762,9 @@ def _ord_setup(wp, ws, gpass, gstop, analog, fs, kind):
         if kind == "butter":
             def order_at(nat):
                 return np.log10((gs - 1.0) / (gp - 1.0)) / (2.0 * np.log10(nat))
+        elif kind == "ellip":
+            def order_at(nat):
+                return _ellip_order(nat, gp, gs)
         else:
             def order_at(nat):
                 return np.arccosh(np.sqrt((gs - 1.0) / (gp - 1.0))) / np.arccosh(nat)
@@ -621,3 +902,182 @@ def iirnotch(w0: float, Q: float, fs: float = 2.0):
 def iirpeak(w0: float, Q: float, fs: float = 2.0):
     """Second-order resonator passing ``w0`` (``scipy.signal.iirpeak``)."""
     return _biquad_notch_peak(w0, Q, fs, peak=True)
+
+
+# ── public prototype / transform aliases (scipy parity surface) ──────────────
+# scipy exposes its analog prototypes and lowpass transforms as public
+# functions; the math lives in the privates above, these are the stable
+# scipy-named fronts.
+
+
+def buttap(N: int):
+    """Butterworth analog lowpass prototype (``scipy.signal.buttap``)."""
+    return _buttap(int(N))
+
+
+def cheb1ap(N: int, rp: float):
+    """Chebyshev-I analog prototype (``scipy.signal.cheb1ap``)."""
+    return _cheb1ap(int(N), rp)
+
+
+def cheb2ap(N: int, rs: float):
+    """Chebyshev-II analog prototype (``scipy.signal.cheb2ap``)."""
+    return _cheb2ap(int(N), rs)
+
+
+def ellipap(N: int, rp: float, rs: float):
+    """Elliptic analog prototype (``scipy.signal.ellipap``)."""
+    return _ellipap(int(N), rp, rs)
+
+
+def besselap(N: int, norm: str = "phase"):
+    """Bessel analog prototype (``scipy.signal.besselap``)."""
+    return _besselap(int(N), norm=norm)
+
+
+def lp2lp_zpk(z, p, k, wo: float = 1.0):
+    """Lowpass→lowpass zpk transform (``scipy.signal.lp2lp_zpk``)."""
+    return _lp2lp(np.atleast_1d(np.asarray(z, complex)),
+                  np.atleast_1d(np.asarray(p, complex)), float(k), float(wo))
+
+
+def lp2hp_zpk(z, p, k, wo: float = 1.0):
+    """Lowpass→highpass zpk transform (``scipy.signal.lp2hp_zpk``)."""
+    return _lp2hp(np.atleast_1d(np.asarray(z, complex)),
+                  np.atleast_1d(np.asarray(p, complex)), float(k), float(wo))
+
+
+def lp2bp_zpk(z, p, k, wo: float = 1.0, bw: float = 1.0):
+    """Lowpass→bandpass zpk transform (``scipy.signal.lp2bp_zpk``)."""
+    return _lp2bp(np.atleast_1d(np.asarray(z, complex)),
+                  np.atleast_1d(np.asarray(p, complex)), float(k), float(wo), float(bw))
+
+
+def lp2bs_zpk(z, p, k, wo: float = 1.0, bw: float = 1.0):
+    """Lowpass→bandstop zpk transform (``scipy.signal.lp2bs_zpk``)."""
+    return _lp2bs(np.atleast_1d(np.asarray(z, complex)),
+                  np.atleast_1d(np.asarray(p, complex)), float(k), float(wo), float(bw))
+
+
+def _tf_via_zpk(transform, b, a, *args):
+    z, p, k = tf2zpk(b, a)
+    return zpk2tf(*transform(z, p, k, *args))
+
+
+def lp2lp(b, a, wo: float = 1.0):
+    """ba-form lowpass→lowpass (``scipy.signal.lp2lp``)."""
+    return _tf_via_zpk(_lp2lp, b, a, float(wo))
+
+
+def lp2hp(b, a, wo: float = 1.0):
+    """ba-form lowpass→highpass (``scipy.signal.lp2hp``)."""
+    return _tf_via_zpk(_lp2hp, b, a, float(wo))
+
+
+def lp2bp(b, a, wo: float = 1.0, bw: float = 1.0):
+    """ba-form lowpass→bandpass (``scipy.signal.lp2bp``)."""
+    return _tf_via_zpk(_lp2bp, b, a, float(wo), float(bw))
+
+
+def lp2bs(b, a, wo: float = 1.0, bw: float = 1.0):
+    """ba-form lowpass→bandstop (``scipy.signal.lp2bs``)."""
+    return _tf_via_zpk(_lp2bs, b, a, float(wo), float(bw))
+
+
+def bilinear_zpk(z, p, k, fs: float):
+    """Bilinear s→z transform on zpk (``scipy.signal.bilinear_zpk``).
+    Tustin map z = (2fs + s)/(2fs - s); degree deficit becomes zeros at −1."""
+    return _bilinear_zpk(np.atleast_1d(np.asarray(z, complex)),
+                         np.atleast_1d(np.asarray(p, complex)), float(k), float(fs))
+
+
+# ── analog frequency response ────────────────────────────────────────────────
+
+
+def findfreqs(num, den, N: int, kind: str = "ba"):
+    """Pick ``N`` log-spaced analog frequencies spanning the interesting
+    range of a rational response (``scipy.signal.findfreqs`` heuristic:
+    bracket the pole/zero cluster by ~half a decade each side)."""
+    if kind == "ba":
+        poles = np.atleast_1d(np.roots(np.atleast_1d(den))).astype(complex)
+        zeros = np.atleast_1d(np.roots(np.atleast_1d(num))).astype(complex)
+    elif kind == "zp":
+        zeros = np.atleast_1d(np.asarray(num, complex))
+        poles = np.atleast_1d(np.asarray(den, complex))
+    else:
+        raise ValueError(f"kind must be 'ba' or 'zp', got {kind!r}")
+    if poles.size == 0:
+        poles = np.array([-1000.0 + 0j])
+    feats = np.concatenate([
+        poles[poles.imag >= 0],
+        zeros[(np.abs(zeros) < 1e5) & (zeros.imag >= 0)],
+    ])
+    at_origin = (np.abs(feats) < 1e-10).astype(float)
+    hi = np.around(np.log10(np.max(3.0 * np.abs(feats.real + at_origin)
+                                   + 1.5 * feats.imag)) + 0.5)
+    lo = np.around(np.log10(0.1 * np.min(np.abs((feats + at_origin).real)
+                                         + 2.0 * feats.imag)) - 0.5)
+    return np.logspace(lo, hi, int(N))
+
+
+def freqs(b, a, worN=200, plot=None):
+    """Analog filter frequency response H(jw) (``scipy.signal.freqs``)."""
+    b = np.atleast_1d(np.asarray(b, dtype=np.float64))
+    a = np.atleast_1d(np.asarray(a, dtype=np.float64))
+    if np.ndim(worN) == 0:
+        w = findfreqs(b, a, int(worN))
+    else:
+        w = np.asarray(worN, dtype=np.float64)
+    s = 1j * w
+    h = np.polyval(b, s) / np.polyval(a, s)
+    if plot is not None:
+        plot(w, h)
+    return w, h
+
+
+def freqs_zpk(z, p, k, worN=200):
+    """Analog zpk frequency response (``scipy.signal.freqs_zpk``)."""
+    z = np.atleast_1d(np.asarray(z, complex))
+    p = np.atleast_1d(np.asarray(p, complex))
+    if np.ndim(worN) == 0:
+        w = findfreqs(z, p, int(worN), kind="zp")
+    else:
+        w = np.asarray(worN, dtype=np.float64)
+    s = 1j * w
+    num = np.prod(s[:, None] - z[None, :], axis=1) if z.size else np.ones_like(s)
+    den = np.prod(s[:, None] - p[None, :], axis=1) if p.size else np.ones_like(s)
+    return w, k * num / den
+
+
+# ── spec-driven front end ────────────────────────────────────────────────────
+
+_ORD_FNS = {}  # populated below once the *ord functions exist
+
+
+def iirdesign(wp, ws, gpass: float, gstop: float, analog: bool = False,
+              ftype: str = "ellip", output: str = "ba", fs=None):
+    """Design by band spec (``scipy.signal.iirdesign``): pick the minimum
+    order with the family's *ord rule, then design at that order.  The
+    ripple arguments feed straight through as rp/rs where the family
+    uses them."""
+    key = {"butter": "butter", "cheby1": "cheby1", "cheby2": "cheby2",
+           "ellip": "ellip", "elliptic": "ellip"}.get(ftype)
+    if key is None:
+        raise ValueError(
+            f"iirdesign supports butter|cheby1|cheby2|ellip, got {ftype!r}")
+    ordfn = _ORD_FNS[key]
+    N, Wn = ordfn(wp, ws, gpass, gstop, analog=analog, fs=fs)
+    btype = _infer_btype(wp, ws)
+    return iirfilter(N, Wn, rp=gpass, rs=gstop, btype=btype, analog=analog,
+                     ftype=key, output=output, fs=fs)
+
+
+def _infer_btype(wp, ws) -> str:
+    wp = np.atleast_1d(np.asarray(wp, dtype=np.float64))
+    ws = np.atleast_1d(np.asarray(ws, dtype=np.float64))
+    if wp.shape[0] == 1:
+        return "lowpass" if wp[0] < ws[0] else "highpass"
+    return "bandpass" if wp[0] > ws[0] else "bandstop"
+
+
+_ORD_FNS.update(butter=buttord, cheby1=cheb1ord, cheby2=cheb2ord, ellip=ellipord)

@@ -40,6 +40,25 @@ from .ops.filter import (
     savgol_filter,
 )
 from .ops.design import (
+    bessel,
+    besselap,
+    bilinear_zpk,
+    buttap,
+    cheb1ap,
+    cheb2ap,
+    ellipap,
+    findfreqs,
+    freqs,
+    freqs_zpk,
+    iirdesign,
+    lp2bp,
+    lp2bp_zpk,
+    lp2bs,
+    lp2bs_zpk,
+    lp2hp,
+    lp2hp_zpk,
+    lp2lp,
+    lp2lp_zpk,
     bilinear,
     butter,
     buttord,
@@ -47,6 +66,9 @@ from .ops.design import (
     cheb2ord,
     cheby1,
     cheby2,
+    ellip,
+    ellipord,
+    iircomb,
     iirfilter,
     iirnotch,
     iirpeak,
@@ -86,7 +108,9 @@ __all__ = [
     "savgol_coeffs", "savgol_filter", "freqz", "lombscargle",
     "lfilter", "lfilter_zi", "filtfilt", "sosfilt", "sosfilt_zi", "sosfiltfilt",
     "butter", "cheby1", "cheby2", "iirfilter", "iirnotch", "iirpeak",
-    "buttord", "cheb1ord", "cheb2ord", "bilinear", "zpk2tf", "zpk2sos",
+    "buttord", "cheb1ord", "cheb2ord", "ellipord", "bilinear", "zpk2tf", "zpk2sos",
+    "ellip", "bessel", "iircomb",
+    "buttap", "cheb1ap", "cheb2ap", "ellipap", "besselap", "lp2lp", "lp2hp", "lp2bp", "lp2bs", "lp2lp_zpk", "lp2hp_zpk", "lp2bp_zpk", "lp2bs_zpk", "bilinear_zpk", "findfreqs", "freqs", "freqs_zpk", "iirdesign",
     "tf2zpk", "tf2sos", "sos2tf", "sos2zpk", "normalize",
     "group_delay", "sosfreqz", "freqz_zpk", "czt_points",
 ]

@@ -50,9 +50,16 @@ GROUPS = [
                        "savgol_coeffs", "savgol_filter"]),
     ("IIR filtering (block-state engine)", ["lfilter", "lfilter_device", "lfilter_zi",
                                             "filtfilt", "sosfilt", "sosfilt_zi", "sosfiltfilt"]),
-    ("IIR design", ["butter", "cheby1", "cheby2", "iirfilter",
-                    "buttord", "cheb1ord", "cheb2ord",
-                    "iirnotch", "iirpeak", "bilinear", "zpk2tf", "zpk2sos"]),
+    ("IIR design", ["butter", "cheby1", "cheby2", "ellip", "bessel", "iirfilter",
+                    "buttord", "cheb1ord", "cheb2ord", "ellipord",
+                    "iirnotch", "iirpeak", "iircomb", "bilinear", "zpk2tf", "zpk2sos",
+                    "tf2zpk", "tf2sos", "sos2tf", "sos2zpk", "normalize"]),
+    ("Filter response analysis", ["freqz_zpk", "sosfreqz", "group_delay", "czt_points",
+                                  "freqs", "freqs_zpk", "findfreqs"]),
+    ("Analog prototypes / transforms", ["buttap", "cheb1ap", "cheb2ap", "ellipap", "besselap",
+                                        "lp2lp", "lp2hp", "lp2bp", "lp2bs",
+                                        "lp2lp_zpk", "lp2hp_zpk", "lp2bp_zpk", "lp2bs_zpk",
+                                        "bilinear_zpk", "iirdesign"]),
     ("Peak detection", ["find_peaks", "peak_prominences", "peak_widths"]),
     ("Multirate", ["upfirdn", "upfirdn_device", "resample_poly",
                    "resample_poly_device", "decimate"]),
