@@ -11,6 +11,11 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = [
+    "detrend",
+    "correlation_lags",
+    "vectorstrength",
+    "deconvolve",
+
     "fft_convolve",
     "fft_convolve_device",
     "fft_correlate",
@@ -458,3 +463,87 @@ def ihfft(input):
     h = n // 2 + 1
     s = np.float32(1.0 / n)
     return re[:h] * s, -im[:h] * s
+
+
+def detrend(data, axis: int = -1, type: str = "linear", bp=0, overwrite_data: bool = False):
+    """Remove a constant or piecewise-linear trend (``scipy.signal.detrend``).
+    ``bp`` gives breakpoint indices for independently-fit linear segments.
+    Host NumPy: detrending is a data-prep step, not a device hot loop (the
+    spectral ops fuse their own detrend on device, ``ops/spectral.py``)."""
+    data = np.asarray(data)
+    if type not in ("linear", "l", "constant", "c"):
+        raise ValueError("type must be 'linear' or 'constant'")
+    res_dtype = np.float64 if data.dtype.kind in "iub" else data.dtype
+    if type in ("constant", "c"):
+        return data - np.mean(data, axis, keepdims=True)
+    x = np.moveaxis(data.astype(res_dtype, copy=not overwrite_data), axis, 0)
+    n = x.shape[0]
+    bp = np.sort(np.unique(np.concatenate([[0], np.atleast_1d(bp), [n]])))
+    if np.any(bp > n):
+        raise ValueError("breakpoints must not exceed the axis length")
+    flat = x.reshape(n, -1)
+    for lo, hi in zip(bp[:-1], bp[1:]):
+        m = int(hi - lo)
+        if m == 0:
+            continue
+        t = np.arange(m, dtype=res_dtype)
+        basis = np.stack([t / max(m, 1), np.ones(m, dtype=res_dtype)], axis=1)
+        coef, *_ = np.linalg.lstsq(basis, flat[lo:hi], rcond=None)
+        flat[lo:hi] -= basis @ coef
+    return np.moveaxis(flat.reshape(x.shape), 0, axis)
+
+
+def correlation_lags(in1_len: int, in2_len: int, mode: str = "full") -> np.ndarray:
+    """Lag indices matching ``fft_correlate(in1, in2, mode)``
+    (``scipy.signal.correlation_lags``)."""
+    if mode == "full":
+        return np.arange(-in2_len + 1, in1_len)
+    if mode == "same":
+        lags = np.arange(-in2_len + 1, in1_len)
+        mid = lags.size // 2
+        lo = mid - in1_len // 2
+        return lags[lo:lo + in1_len]
+    if mode == "valid":
+        if in1_len >= in2_len:
+            return np.arange(in1_len - in2_len + 1)
+        return np.arange(in1_len - in2_len, 1)
+    raise ValueError(f"mode must be full|same|valid, got {mode!r}")
+
+
+def vectorstrength(events, period):
+    """Phase-locking strength of events to a period
+    (``scipy.signal.vectorstrength``): resultant length and angle of the
+    unit phasors exp(j·2π·event/period)."""
+    events = np.asarray(events, dtype=np.float64)
+    period = np.asarray(period, dtype=np.float64)
+    scalar = period.ndim == 0
+    period = np.atleast_1d(period)
+    if events.ndim != 1:
+        raise ValueError("events must be 1-D")
+    if np.any(period <= 0):
+        raise ValueError("periods must be positive")
+    ang = 2.0 * np.pi * events[:, None] / period[None, :]
+    vec = np.exp(1j * ang).mean(axis=0)
+    strength, phase = np.abs(vec), np.angle(vec)
+    return (float(strength[0]), float(phase[0])) if scalar else (strength, phase)
+
+
+def deconvolve(signal, divisor):
+    """Polynomial deconvolution (``scipy.signal.deconvolve``): quotient and
+    remainder with ``signal = convolve(divisor, quotient) + remainder``."""
+    num = np.atleast_1d(np.asarray(signal, dtype=np.float64))
+    den = np.atleast_1d(np.asarray(divisor, dtype=np.float64))
+    if num.ndim != 1 or den.ndim != 1:
+        raise ValueError("signal and divisor must be 1-D")
+    if den[0] == 0:
+        raise ValueError("divisor must have a nonzero leading coefficient")
+    n = num.size - den.size + 1
+    if n <= 0:
+        return np.zeros(1), num.copy()
+    quot = np.empty(n, dtype=np.float64)
+    rem = num.copy()
+    for i in range(n):  # long division; n is the small filter-order scale
+        q = rem[i] / den[0]
+        quot[i] = q
+        rem[i:i + den.size] -= q * den
+    return quot, rem

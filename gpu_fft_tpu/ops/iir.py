@@ -33,6 +33,8 @@ import functools
 import numpy as np
 
 __all__ = [
+    "lfiltic",
+
     "lfilter",
     "lfilter_device",
     "lfilter_zi",
@@ -345,3 +347,32 @@ def sosfiltfilt(sos, x, axis: int = -1, padtype: str | None = "odd", padlen: int
     if pad > 0:
         y = y[..., pad:-pad]
     return np.moveaxis(y, -1, axis)
+
+
+def lfiltic(b, a, y, x=None) -> np.ndarray:
+    """Initial ``lfilter`` state from past outputs/inputs
+    (``scipy.signal.lfiltic``): the transposed direct-form-II delay line
+    that makes ``lfilter(b, a, x_future, zi=...)`` continue the sequence
+    whose most recent outputs were ``y[0], y[1], ...`` (newest first) and
+    inputs ``x[0], x[1], ...``."""
+    b = np.atleast_1d(np.asarray(b, dtype=np.float64))
+    a = np.atleast_1d(np.asarray(a, dtype=np.float64))
+    if a[0] != 1.0:
+        if a[0] == 0.0:
+            raise ValueError("a[0] must be nonzero")
+        b, a = b / a[0], a / a[0]
+    n, m = a.size - 1, b.size - 1
+    k = max(n, m)
+    y = np.asarray(y, dtype=np.float64)[:n]
+    y = np.concatenate([y, np.zeros(n - y.size)])
+    if x is None:
+        x = np.zeros(m)
+    else:
+        x = np.asarray(x, dtype=np.float64)[:m]
+        x = np.concatenate([x, np.zeros(m - x.size)])
+    zi = np.zeros(k, dtype=np.float64)
+    for i in range(m):
+        zi[i] += np.sum(b[i + 1:] * x[: m - i])
+    for i in range(n):
+        zi[i] -= np.sum(a[i + 1:] * y[: n - i])
+    return zi

@@ -20,7 +20,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["find_peaks", "peak_prominences", "peak_widths"]
+__all__ = ["find_peaks", "peak_prominences", "peak_widths",
+           "argrelextrema", "argrelmax", "argrelmin"]
 
 
 def _local_maxima(x: np.ndarray):
@@ -271,3 +272,32 @@ def find_peaks(
             keep &= widths <= hi
         filt(keep)
     return peaks, props
+
+
+def argrelextrema(data, comparator, axis: int = 0, order: int = 1, mode: str = "clip"):
+    """Indices of relative extrema by comparator (``scipy.signal.argrelextrema``):
+    points beating all neighbors within ``order`` steps on both sides."""
+    data = np.asarray(data)
+    if int(order) < 1:
+        raise ValueError("order must be an int >= 1")
+    locs = np.arange(data.shape[axis])
+    keep = np.ones(data.shape, dtype=bool)
+    main = data.take(locs, axis=axis, mode=mode)
+    for shift in range(1, int(order) + 1):
+        plus = data.take(locs + shift, axis=axis, mode=mode)
+        minus = data.take(locs - shift, axis=axis, mode=mode)
+        keep &= comparator(main, plus)
+        keep &= comparator(main, minus)
+        if ~keep.any():
+            break
+    return np.nonzero(keep)
+
+
+def argrelmax(data, axis: int = 0, order: int = 1, mode: str = "clip"):
+    """Relative maxima indices (``scipy.signal.argrelmax``)."""
+    return argrelextrema(data, np.greater, axis=axis, order=order, mode=mode)
+
+
+def argrelmin(data, axis: int = 0, order: int = 1, mode: str = "clip"):
+    """Relative minima indices (``scipy.signal.argrelmin``)."""
+    return argrelextrema(data, np.less, axis=axis, order=order, mode=mode)

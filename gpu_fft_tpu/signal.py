@@ -82,9 +82,9 @@ from .ops.design import (
 )
 from .ops.czt import czt_points
 from .ops.filter import group_delay
-from .ops.iir import filtfilt, lfilter, lfilter_zi, sosfilt, sosfilt_zi, sosfiltfilt
+from .ops.iir import filtfilt, lfilter, lfiltic, lfilter_zi, sosfilt, sosfilt_zi, sosfiltfilt
 from .ops.multirate import decimate, resample_poly, upfirdn
-from .ops.peaks import find_peaks, peak_prominences, peak_widths
+from .ops.peaks import argrelextrema, argrelmax, argrelmin, find_peaks, peak_prominences, peak_widths
 from .ops.spectral import (
     coherence,
     csd as _csd_split,
@@ -93,7 +93,8 @@ from .ops.spectral import (
     spectrogram_scipy as spectrogram,
     welch,
 )
-from .utils.signal import chirp
+from .ops.dsp import correlation_lags, deconvolve, detrend, vectorstrength
+from .utils.signal import chirp, gausspulse, max_len_seq, sawtooth, square, sweep_poly, unit_impulse
 from .ops.short_time_fft import ShortTimeFFT
 from .ops.stft import istft_scipy as _istft_split, stft_scipy as _stft_split, window_table
 
@@ -105,6 +106,9 @@ __all__ = [
     "firwin", "firwin2", "kaiserord", "kaiser_beta", "kaiser_atten",
     "minimum_phase", "filtfilt_fir", "FIRStream", "get_window",
     "find_peaks", "peak_prominences", "peak_widths", "chirp",
+    "argrelextrema", "argrelmax", "argrelmin",
+    "detrend", "correlation_lags", "vectorstrength", "deconvolve", "lfiltic",
+    "square", "sawtooth", "gausspulse", "sweep_poly", "unit_impulse", "max_len_seq",
     "savgol_coeffs", "savgol_filter", "freqz", "lombscargle",
     "lfilter", "lfilter_zi", "filtfilt", "sosfilt", "sosfilt_zi", "sosfiltfilt",
     "butter", "cheby1", "cheby2", "iirfilter", "iirnotch", "iirpeak",

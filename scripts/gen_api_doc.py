@@ -60,7 +60,12 @@ GROUPS = [
                                         "lp2lp", "lp2hp", "lp2bp", "lp2bs",
                                         "lp2lp_zpk", "lp2hp_zpk", "lp2bp_zpk", "lp2bs_zpk",
                                         "bilinear_zpk", "iirdesign"]),
-    ("Peak detection", ["find_peaks", "peak_prominences", "peak_widths"]),
+    ("Peak detection", ["find_peaks", "peak_prominences", "peak_widths",
+                        "argrelextrema", "argrelmax", "argrelmin"]),
+    ("Waveforms / discrete utils", ["square", "sawtooth", "gausspulse", "sweep_poly",
+                                    "unit_impulse", "max_len_seq", "detrend",
+                                    "correlation_lags", "vectorstrength", "deconvolve",
+                                    "lfiltic"]),
     ("Multirate", ["upfirdn", "upfirdn_device", "resample_poly",
                    "resample_poly_device", "decimate"]),
     ("Signal helpers", ["hilbert", "hilbert_device", "envelope", "envelope_device",
