@@ -84,6 +84,35 @@ from .ops.czt import czt_points
 from .ops.filter import group_delay
 from .ops.iir import filtfilt, lfilter, lfiltic, lfilter_zi, sosfilt, sosfilt_zi, sosfiltfilt
 from .ops.multirate import decimate, resample_poly, upfirdn
+from .ops.lti import (
+    lti,
+    dlti,
+    TransferFunction,
+    ZerosPolesGain,
+    StateSpace,
+    lsim,
+    impulse,
+    step,
+    freqresp,
+    bode,
+    dlsim,
+    dimpulse,
+    dstep,
+    dfreqresp,
+    dbode,
+    cont2discrete,
+    tf2ss,
+    ss2tf,
+    zpk2ss,
+    ss2zpk,
+    abcd_normalize,
+    place_poles,
+    residue,
+    residuez,
+    invres,
+    invresz,
+    unique_roots,
+)
 from .ops.peaks import argrelextrema, argrelmax, argrelmin, find_peaks, peak_prominences, peak_widths
 from .ops.spectral import (
     coherence,
@@ -109,6 +138,7 @@ __all__ = [
     "argrelextrema", "argrelmax", "argrelmin",
     "detrend", "correlation_lags", "vectorstrength", "deconvolve", "lfiltic",
     "square", "sawtooth", "gausspulse", "sweep_poly", "unit_impulse", "max_len_seq",
+    "lti", "dlti", "TransferFunction", "ZerosPolesGain", "StateSpace", "lsim", "impulse", "step", "freqresp", "bode", "dlsim", "dimpulse", "dstep", "dfreqresp", "dbode", "cont2discrete", "tf2ss", "ss2tf", "zpk2ss", "ss2zpk", "abcd_normalize", "place_poles", "residue", "residuez", "invres", "invresz", "unique_roots",
     "savgol_coeffs", "savgol_filter", "freqz", "lombscargle",
     "lfilter", "lfilter_zi", "filtfilt", "sosfilt", "sosfilt_zi", "sosfiltfilt",
     "butter", "cheby1", "cheby2", "iirfilter", "iirnotch", "iirpeak",

@@ -62,6 +62,12 @@ GROUPS = [
                                         "bilinear_zpk", "iirdesign"]),
     ("Peak detection", ["find_peaks", "peak_prominences", "peak_widths",
                         "argrelextrema", "argrelmax", "argrelmin"]),
+    ("LTI systems", ["lti", "dlti", "TransferFunction", "ZerosPolesGain", "StateSpace",
+                     "lsim", "impulse", "step", "freqresp", "bode",
+                     "dlsim", "dimpulse", "dstep", "dfreqresp", "dbode",
+                     "cont2discrete", "tf2ss", "ss2tf", "zpk2ss", "ss2zpk",
+                     "abcd_normalize", "place_poles",
+                     "residue", "residuez", "invres", "invresz", "unique_roots"]),
     ("Waveforms / discrete utils", ["square", "sawtooth", "gausspulse", "sweep_poly",
                                     "unit_impulse", "max_len_seq", "detrend",
                                     "correlation_lags", "vectorstrength", "deconvolve",
