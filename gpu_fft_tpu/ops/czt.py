@@ -33,7 +33,10 @@ import numpy as np
 
 from ..config import MAX_N
 
-__all__ = ["czt", "czt_device", "czt_points", "zoom_fft", "zoom_fft_device"]
+__all__ = [
+    "CZT",
+    "ZoomFFT",
+"czt", "czt_device", "czt_points", "zoom_fft", "zoom_fft_device"]
 
 
 def _phase_halfturns_exact(e: np.ndarray, num: int, den: int) -> np.ndarray:
@@ -236,3 +239,58 @@ def zoom_fft(x, fn, m: int | None = None, fs: float = 2.0):
     """Host-convenience zoom FFT; see :func:`zoom_fft_device`."""
     yr, yi = zoom_fft_device(np.asarray(x, dtype=np.float32), fn, m, fs)
     return np.asarray(yr), np.asarray(yi)
+
+
+class CZT:
+    """Reusable chirp-z transform plan (``scipy.signal.CZT``): fixes
+    (n, m, w, a) once so repeated calls share the precomputed chirp and
+    filter tables inside :func:`czt_device`'s jit cache."""
+
+    def __init__(self, n: int, m: int | None = None, w: complex | None = None,
+                 a: complex = 1 + 0j):
+        if n < 1:
+            raise ValueError("n must be positive")
+        self.n = int(n)
+        self.m = int(m) if m is not None else int(n)
+        if self.m < 1:
+            raise ValueError("m must be positive")
+        self.w = w
+        self.a = a
+
+    def __call__(self, x, *, axis: int = -1):
+        x = np.asarray(x)
+        if x.shape[axis] != self.n:
+            raise ValueError(f"input length {x.shape[axis]} != plan n {self.n}")
+        x = np.moveaxis(x, axis, -1)
+        flat = x.reshape(-1, self.n)
+        rows = []
+        for row in flat:
+            re, im = czt(row, m=self.m, w=self.w, a=self.a)
+            rows.append(re + 1j * im)
+        out = np.stack(rows)
+        return np.moveaxis(out.reshape(x.shape[:-1] + (self.m,)), -1, axis)
+
+    def points(self) -> np.ndarray:
+        """The m z-plane evaluation points of this plan."""
+        return czt_points(self.m, self.w, self.a)
+
+
+class ZoomFFT(CZT):
+    """Bandlimited DFT plan (``scipy.signal.ZoomFFT``): a CZT whose points
+    sweep [f1, f2] on the unit circle."""
+
+    def __init__(self, n: int, fn, m: int | None = None, *, fs: float = 2.0,
+                 endpoint: bool = False):
+        fn = np.atleast_1d(np.asarray(fn, dtype=np.float64))
+        if fn.size == 2:
+            f1, f2 = float(fn[0]), float(fn[1])
+        elif fn.size == 1:
+            f1, f2 = 0.0, float(fn[0])
+        else:
+            raise ValueError("fn must be one or two frequencies")
+        m = int(m) if m is not None else int(n)
+        scale = (f2 - f1) / (m - 1) if endpoint and m > 1 else (f2 - f1) / m
+        w = np.exp(-2j * np.pi * scale / fs)
+        a = np.exp(2j * np.pi * f1 / fs)
+        super().__init__(n, m=m, w=w, a=a)
+        self.f1, self.f2, self.fs = f1, f2, fs

@@ -11,6 +11,9 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = [
+    "hilbert2",
+    "gauss_spline",
+
     "detrend",
     "correlation_lags",
     "vectorstrength",
@@ -547,3 +550,43 @@ def deconvolve(signal, divisor):
         quot[i] = q
         rem[i:i + den.size] -= q * den
     return quot, rem
+
+
+def hilbert2(x, N=None, axes=(-2, -1)):
+    """2-D analytic signal (``scipy.signal.hilbert2``): single-orthant
+    spectrum — per axis, keep bin 0, double bins 1..(n+1)//2-1, zero the
+    rest (scipy >= 1.17 semantics: even-n Nyquist is zeroed) — the
+    separable product of two 1-D analytic-signal steps on the fft2 engine."""
+    x = np.asarray(x)
+    if np.iscomplexobj(x):
+        raise ValueError("hilbert2 needs a real input")
+    if x.ndim < 2:
+        raise ValueError("hilbert2 needs an at-least-2-D input")
+    if len(axes) != 2 or axes[0] == axes[1]:
+        raise ValueError("axes must be two distinct axes")
+    x = np.moveaxis(x.astype(np.float64), axes, (-2, -1))
+    if N is None:
+        N = x.shape[-2:]
+    elif np.isscalar(N):
+        N = (int(N), int(N))
+    if len(N) != 2 or any(n <= 0 for n in N):
+        raise ValueError("N must be two positive lengths")
+    from .. import compat
+
+    Xf = np.asarray(compat.fft2(x, s=tuple(N)))
+    h = []
+    for n in N:
+        h1 = np.zeros(n)
+        h1[0] = 1.0
+        h1[1:(n + 1) // 2] = 2.0
+        h.append(h1)
+    out = np.asarray(compat.ifft2(Xf * np.outer(h[0], h[1])))
+    return np.moveaxis(out, (-2, -1), axes)
+
+
+def gauss_spline(x, n: int):
+    """Gaussian approximation of the order-n B-spline
+    (``scipy.signal.gauss_spline``): variance (n+1)/12."""
+    x = np.asarray(x, dtype=np.float64)
+    sig2 = (n + 1) / 12.0
+    return np.exp(-x * x / (2.0 * sig2)) / np.sqrt(2.0 * np.pi * sig2)

@@ -25,6 +25,10 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = [
+    "convolve2d",
+    "correlate2d",
+    "choose_conv_method",
+
     "oaconvolve",
     "oaconvolve_device",
     "firwin",
@@ -909,3 +913,79 @@ def freqz_fir(h, n: int = 512, fs: float = 2.0 * np.pi):
     yr, yi = fft_exact_device(padded[None])
     w = np.arange(n) * (fs / m)
     return w, np.asarray(yr[0, :n]), np.asarray(yi[0, :n])
+
+
+def convolve2d(in1, in2, mode: str = "full", boundary: str = "fill", fillvalue: float = 0.0):
+    """2-D convolution with scipy's boundary semantics
+    (``scipy.signal.convolve2d``): the image is extended by kernel-1 pixels
+    per side (constant / periodic / reflected), then the FFT full
+    convolution of the extended image is sliced back to the mode's window
+    — one pad turns every boundary rule into the 'fill' path the fft2
+    engine already runs."""
+    return _conv2d_boundary(in1, in2, mode, boundary, fillvalue, correlate=False)
+
+
+def correlate2d(in1, in2, mode: str = "full", boundary: str = "fill", fillvalue: float = 0.0):
+    """2-D cross-correlation with boundary handling
+    (``scipy.signal.correlate2d``)."""
+    return _conv2d_boundary(in1, in2, mode, boundary, fillvalue, correlate=True)
+
+
+def _conv2d_boundary(in1, in2, mode, boundary, fillvalue, correlate):
+    x = np.asarray(in1, dtype=np.float64)
+    k = np.asarray(in2, dtype=np.float64)
+    if x.ndim != 2 or k.ndim != 2:
+        raise ValueError("convolve2d/correlate2d need 2-D inputs")
+    base = fft_correlate2d if correlate else fft_convolve2d
+    if boundary == "fill" and fillvalue == 0.0:
+        return base(x, k, mode=mode)
+    kh, kw = k.shape
+    ph, pw = kh - 1, kw - 1
+    if boundary == "fill":
+        xp = np.pad(x, ((ph, ph), (pw, pw)), mode="constant", constant_values=fillvalue)
+    elif boundary == "wrap":
+        xp = np.pad(x, ((ph, ph), (pw, pw)), mode="wrap")
+    elif boundary == "symm":
+        xp = np.pad(x, ((ph, ph), (pw, pw)), mode="symmetric")
+    else:
+        raise ValueError(f"boundary must be fill|wrap|symm, got {boundary!r}")
+    full = base(xp, k, mode="full")  # shape (H+3ph, W+3pw)
+    h, w = x.shape
+    if mode == "full":
+        oh, ow, sh, sw = ph, pw, h + ph, w + pw
+    elif mode == "same":
+        if correlate:
+            oh, ow = ph + kh // 2, pw + kw // 2
+        else:
+            oh, ow = ph + (kh - 1) // 2, pw + (kw - 1) // 2
+        sh, sw = h, w
+    elif mode == "valid":
+        oh, ow, sh, sw = 2 * ph, 2 * pw, h - kh + 1, w - kw + 1
+        if sh <= 0 or sw <= 0:
+            raise ValueError("valid mode needs the image at least the kernel's size")
+    else:
+        raise ValueError(f"mode must be full|same|valid, got {mode!r}")
+    return full[oh:oh + sh, ow:ow + sw]
+
+
+def choose_conv_method(in1, in2, mode: str = "full", measure: bool = False):
+    """Pick 'fft' or 'direct' (``scipy.signal.choose_conv_method``).
+    Without ``measure``, a size heuristic (direct only pays off for tiny
+    operands on this engine — the transform path is one batched MXU sweep);
+    with ``measure``, both paths are timed on the actual inputs."""
+    x = np.asarray(in1)
+    k = np.asarray(in2)
+    if measure:
+        import timeit
+
+        from .dsp import fft_convolve
+
+        times = {}
+        times["direct"] = timeit.timeit(lambda: np.convolve(x.ravel(), k.ravel(), mode)
+                                        if x.ndim == 1 else None, number=3)
+        times["fft"] = timeit.timeit(lambda: fft_convolve(x, k, mode)
+                                     if x.ndim == 1 else fft_convolve2d(x, k, mode), number=3)
+        return ("fft" if times["fft"] <= times["direct"] else "direct"), times
+    if min(x.size, k.size) <= 16 or x.size * k.size <= 4096:
+        return "direct"
+    return "fft"

@@ -22,6 +22,9 @@ from math import gcd as _gcd
 import numpy as np
 
 __all__ = [
+    "check_COLA",
+    "check_NOLA",
+
     "stft",
     "istft",
     "stft_device",
@@ -465,3 +468,53 @@ def istft_scipy(
         y = y[half : full - half]
     times = np.arange(y.shape[0], dtype=np.float64) / fs
     return times, y
+
+
+def check_COLA(window, nperseg: int, noverlap: int, tol: float = 1e-10) -> bool:
+    """Constant-overlap-add check (``scipy.signal.check_COLA``): the
+    hop-shifted window copies must sum to a constant for perfect
+    weighted-overlap-add ISTFT reconstruction."""
+    nperseg = int(nperseg)
+    noverlap = int(noverlap)
+    if nperseg < 1:
+        raise ValueError("nperseg must be a positive integer")
+    if not 0 <= noverlap < nperseg:
+        raise ValueError("noverlap must be in [0, nperseg)")
+    win = _check_window_f64(window, nperseg)
+    step = nperseg - noverlap
+    binsums = sum(win[i * step:(i + 1) * step] for i in range(nperseg // step))
+    if nperseg % step != 0:
+        binsums[:nperseg % step] += win[-(nperseg % step):]
+    return bool(np.max(np.abs(binsums - binsums[0])) < tol)
+
+
+def _check_window_f64(window, nperseg: int) -> np.ndarray:
+    """Full-precision periodic window for the COLA/NOLA gates (the f32
+    window_table would alias its own rounding into the tolerance)."""
+    if isinstance(window, (str, tuple)) or window is None:
+        if window is None or window == "rect":
+            return np.ones(nperseg)
+        return _symmetric_table(window, nperseg + 1)[:nperseg]
+    win = np.asarray(window, dtype=np.float64)
+    if win.shape != (nperseg,):
+        raise ValueError("window must have length nperseg")
+    return win
+
+
+def check_NOLA(window, nperseg: int, noverlap: int, tol: float = 1e-10) -> bool:
+    """Nonzero-overlap-add check (``scipy.signal.check_NOLA``): the sum of
+    SQUARED shifted windows must be bounded away from zero everywhere —
+    the weaker invertibility condition the ISTFT normalization needs."""
+    nperseg = int(nperseg)
+    noverlap = int(noverlap)
+    if nperseg < 1:
+        raise ValueError("nperseg must be a positive integer")
+    if not 0 <= noverlap < nperseg:
+        raise ValueError("noverlap must be in [0, nperseg)")
+    win = _check_window_f64(window, nperseg)
+    step = nperseg - noverlap
+    w2 = win * win
+    binsums = sum(w2[i * step:(i + 1) * step] for i in range(nperseg // step))
+    if nperseg % step != 0:
+        binsums[:nperseg % step] += w2[-(nperseg % step):]
+    return bool(np.min(binsums) > tol * np.max(w2))

@@ -122,7 +122,12 @@ from .ops.spectral import (
     spectrogram_scipy as spectrogram,
     welch,
 )
-from .ops.dsp import correlation_lags, deconvolve, detrend, vectorstrength
+from .ops.dsp import correlation_lags, deconvolve, detrend, gauss_spline, hilbert2, vectorstrength
+from .ops.fir_optimal import firls, gammatone, remez
+from .ops.rank import medfilt, medfilt2d, order_filter, wiener
+from .ops.filter import choose_conv_method, convolve2d, correlate2d
+from .ops.czt import CZT, ZoomFFT
+from .ops.stft import check_COLA, check_NOLA
 from .utils.signal import chirp, gausspulse, max_len_seq, sawtooth, square, sweep_poly, unit_impulse
 from .ops.short_time_fft import ShortTimeFFT
 from .ops.stft import istft_scipy as _istft_split, stft_scipy as _stft_split, window_table
@@ -138,6 +143,7 @@ __all__ = [
     "argrelextrema", "argrelmax", "argrelmin",
     "detrend", "correlation_lags", "vectorstrength", "deconvolve", "lfiltic",
     "square", "sawtooth", "gausspulse", "sweep_poly", "unit_impulse", "max_len_seq",
+    "convolve2d", "correlate2d", "choose_conv_method", "medfilt", "medfilt2d", "order_filter", "wiener", "hilbert2", "gauss_spline", "check_COLA", "check_NOLA", "CZT", "ZoomFFT", "firls", "remez", "gammatone",
     "lti", "dlti", "TransferFunction", "ZerosPolesGain", "StateSpace", "lsim", "impulse", "step", "freqresp", "bode", "dlsim", "dimpulse", "dstep", "dfreqresp", "dbode", "cont2discrete", "tf2ss", "ss2tf", "zpk2ss", "ss2zpk", "abcd_normalize", "place_poles", "residue", "residuez", "invres", "invresz", "unique_roots",
     "savgol_coeffs", "savgol_filter", "freqz", "lombscargle",
     "lfilter", "lfilter_zi", "filtfilt", "sosfilt", "sosfilt_zi", "sosfiltfilt",

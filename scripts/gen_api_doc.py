@@ -27,7 +27,8 @@ GROUPS = [
                    "hfft2", "ihfft2", "hfftn", "ihfftn",
                    "hfftn_device", "ihfftn_device"]),
     ("Exact arbitrary length", ["fft_exact", "ifft_exact", "fft_exact_device", "ifft_exact_device",
-                                "czt", "czt_device", "zoom_fft", "zoom_fft_device"]),
+                                "czt", "czt_device", "zoom_fft", "zoom_fft_device",
+                                "CZT", "ZoomFFT"]),
     ("Fast Hankel (FFTLog)", ["fht", "ifht", "fht_device", "ifht_device", "fhtoffset"]),
     ("scipy.fft / scipy.signal drop-in namespaces", ["compat", "signal"]),
     ("Spectral estimation", ["psd", "psd_device", "power_spectrum_device",
@@ -35,7 +36,8 @@ GROUPS = [
                              "welch", "welch_device", "csd", "csd_device",
                              "coherence", "coherence_device",
                              "periodogram", "periodogram_device", "lombscargle"]),
-    ("Time-frequency", ["stft", "stft_device", "istft", "istft_device", "stft_scipy", "istft_scipy", "window_table", "ShortTimeFFT"]),
+    ("Time-frequency", ["stft", "stft_device", "istft", "istft_device", "stft_scipy", "istft_scipy", "window_table", "ShortTimeFFT",
+                        "check_COLA", "check_NOLA"]),
     ("Serving / AOT export", ["export_transform", "save_transform", "load_transform", "exported_call"]),
     ("DCT / DST", ["dct", "idct", "dst", "idst",
                    "dct_device", "idct_device", "dst_device", "idst_device",
@@ -43,11 +45,14 @@ GROUPS = [
                    "dstn", "idstn", "dstn_device", "idstn_device"]),
     ("Convolution / correlation", ["fft_convolve", "fft_convolve_device", "fft_correlate",
                                    "oaconvolve", "oaconvolve_device",
-                                   "fft_convolve2d", "fft_convolve2d_device", "fft_correlate2d"]),
+                                   "fft_convolve2d", "fft_convolve2d_device", "fft_correlate2d",
+                                   "convolve2d", "correlate2d", "choose_conv_method"]),
+    ("Rank / local-statistics filters", ["medfilt", "medfilt2d", "order_filter", "wiener"]),
     ("FIR filtering", ["firwin", "firwin2", "kaiserord", "kaiser_beta", "kaiser_atten",
                        "minimum_phase", "fftfilt", "fftfilt_device", "filtfilt_fir",
                        "freqz_fir", "freqz", "FIRStream",
-                       "savgol_coeffs", "savgol_filter"]),
+                       "savgol_coeffs", "savgol_filter",
+                       "firls", "remez", "gammatone"]),
     ("IIR filtering (block-state engine)", ["lfilter", "lfilter_device", "lfilter_zi",
                                             "filtfilt", "sosfilt", "sosfilt_zi", "sosfiltfilt"]),
     ("IIR design", ["butter", "cheby1", "cheby2", "ellip", "bessel", "iirfilter",
@@ -74,7 +79,8 @@ GROUPS = [
                                     "lfiltic"]),
     ("Multirate", ["upfirdn", "upfirdn_device", "resample_poly",
                    "resample_poly_device", "decimate"]),
-    ("Signal helpers", ["hilbert", "hilbert_device", "envelope", "envelope_device",
+    ("Signal helpers", ["hilbert", "hilbert_device", "hilbert2", "gauss_spline",
+                        "envelope", "envelope_device",
                         "resample", "resample_device", "fftshift", "ifftshift",
                         "fftfreq", "rfftfreq"]),
 ]
