@@ -37,6 +37,8 @@ __all__ = [
     "iircomb",
     "ellip",
     "ellipord",
+    "BadCoefficients",
+    "band_stop_obj",
     "buttap",
     "cheb1ap",
     "cheb2ap",
@@ -490,6 +492,11 @@ def zpk2sos(z, p, k):
     return sos
 
 
+class BadCoefficients(UserWarning):
+    """Warning emitted when ``normalize`` strips near-zero leading
+    numerator coefficients (``scipy.signal.BadCoefficients``)."""
+
+
 def normalize(b, a):
     """``scipy.signal.normalize``: make the transfer function canonical —
     strip leading numerator zeros and divide through by ``a[0]``."""
@@ -510,6 +517,11 @@ def normalize(b, a):
     lead = 0
     while lead < b2.shape[1] - 1 and np.all(np.abs(b2[:, lead]) <= tol):
         lead += 1
+    if lead:
+        import warnings
+
+        warnings.warn("Badly conditioned filter coefficients (numerator): the "
+                      "results may be meaningless", BadCoefficients, stacklevel=2)
     b2 = b2[:, lead:]
     return (b2[0] if b.ndim == 1 else b2), a
 
@@ -1081,3 +1093,22 @@ def _infer_btype(wp, ws) -> str:
 
 
 _ORD_FNS.update(butter=buttord, cheby1=cheb1ord, cheby2=cheb2ord, ellip=ellipord)
+
+
+def band_stop_obj(wp, ind, passb, stopb, gpass, gstop, type):
+    """Band-stop order objective (``scipy.signal.band_stop_obj``): the
+    filter order required when passband edge ``ind`` is moved to ``wp`` —
+    the function the *ord routines minimize over the bandstop edges."""
+    passb = np.asarray(passb, dtype=np.float64).copy()
+    passb[int(ind)] = float(wp)
+    nat = float(np.min(np.abs(stopb * (passb[0] - passb[1])
+                              / (stopb ** 2 - passb[0] * passb[1]))))
+    gp = 10.0 ** (0.1 * abs(gpass))
+    gs = 10.0 ** (0.1 * abs(gstop))
+    if type == "butter":
+        return np.log10((gs - 1.0) / (gp - 1.0)) / (2.0 * np.log10(nat))
+    if type in ("cheby", "cheby1", "cheby2"):
+        return float(np.arccosh(np.sqrt((gs - 1.0) / (gp - 1.0))) / np.arccosh(nat))
+    if type == "ellip":
+        return _ellip_order(nat, gp, gs)
+    raise ValueError(f"type must be butter|cheby|ellip, got {type!r}")

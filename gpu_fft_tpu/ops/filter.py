@@ -989,3 +989,37 @@ def choose_conv_method(in1, in2, mode: str = "full", measure: bool = False):
     if min(x.size, k.size) <= 16 or x.size * k.size <= 4096:
         return "direct"
     return "fft"
+
+
+def freqz_sos(sos, worN: int = 512, whole: bool = False, fs: float = 2.0 * np.pi):
+    """:func:`sosfreqz` under scipy's >=1.12 name, with scipy's complex
+    return (``scipy.signal.freqz_sos``)."""
+    w, hr, hi = sosfreqz(sos, worN=worN, whole=whole, fs=fs)
+    return w, hr + 1j * hi
+
+
+def firwin_2d(hsize, window, *, fc=None, fs: float = 2.0, circular: bool = False,
+              pass_zero=True, scale: bool = True):
+    """2-D window-method FIR (``scipy.signal.firwin_2d``): separable outer
+    product of two 1-D firwin designs, or a circularly-symmetric filter by
+    radial interpolation of an 8x-oversampled 1-D prototype."""
+    if len(hsize) != 2:
+        raise ValueError("hsize must be a 2-element tuple or list")
+    if circular:
+        if fc is None:
+            raise ValueError("fc must be provided when circular=True")
+        n_r = max(hsize[0], hsize[1]) * 8
+        win_r = firwin(n_r, fc, window=window, fs=fs)
+        f1, f2 = np.meshgrid(np.linspace(-1, 1, hsize[0]), np.linspace(-1, 1, hsize[1]))
+        r = np.sqrt(f1 ** 2 + f2 ** 2)
+        return np.interp(r, np.linspace(0, 1, n_r), win_r)
+    if len(window) != 2:
+        raise ValueError("window must be a 2-element tuple or list")
+    if fc is None:
+        raise ValueError("fc must be provided")
+    # scipy 1.17 does NOT forward pass_zero/scale in the separable branch
+    # (each 1-D prototype is designed with firwin defaults) — mirrored here.
+    del pass_zero, scale
+    row = firwin(hsize[0], fc, window=window[0], fs=fs)
+    col = firwin(hsize[1], fc, window=window[1], fs=fs)
+    return np.outer(row, col)

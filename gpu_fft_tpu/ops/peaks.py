@@ -301,3 +301,113 @@ def argrelmax(data, axis: int = 0, order: int = 1, mode: str = "clip"):
 def argrelmin(data, axis: int = 0, order: int = 1, mode: str = "clip"):
     """Relative minima indices (``scipy.signal.argrelmin``)."""
     return argrelextrema(data, np.less, axis=axis, order=order, mode=mode)
+
+
+def _ricker(points: int, a: float) -> np.ndarray:
+    """Mexican-hat wavelet: (1 - (x/a)^2) exp(-x^2/(2a^2)), normalized."""
+    amp = 2.0 / (np.sqrt(3.0 * a) * np.pi ** 0.25)
+    x = np.arange(points) - (points - 1.0) / 2.0
+    xsq = (x / a) ** 2
+    return amp * (1.0 - xsq) * np.exp(-xsq / 2.0)
+
+
+def _cwt_ricker(vector: np.ndarray, widths, wavelet) -> np.ndarray:
+    out = np.empty((len(widths), vector.size))
+    for i, w in enumerate(widths):
+        npts = int(min(10 * w, vector.size))
+        out[i] = np.convolve(vector, wavelet(npts, w)[::-1], mode="same")
+    return out
+
+
+def _boolrelextrema_rows(matr: np.ndarray, order: int = 1) -> np.ndarray:
+    locs = np.arange(matr.shape[1])
+    keep = np.ones(matr.shape, dtype=bool)
+    for shift in range(1, order + 1):
+        plus = matr.take(locs + shift, axis=1, mode="clip")
+        minus = matr.take(locs - shift, axis=1, mode="clip")
+        keep &= matr > plus
+        keep &= matr > minus
+    return keep
+
+
+def _identify_ridge_lines(matr, max_distances, gap_thresh):
+    """Connect per-row CWT maxima into ridge lines (Du et al. 2006):
+    walk from the widest scale down, attaching each new maximum to the
+    nearest live line within max_distances of its row; a line dies after
+    gap_thresh rows without a continuation."""
+    all_max = _boolrelextrema_rows(matr)
+    has_max = np.nonzero(all_max.any(axis=1))[0]
+    if has_max.size == 0:
+        return []
+    start = has_max[-1]
+    ridge = [[[start], [c], 0] for c in np.nonzero(all_max[start])[0]]
+    final = []
+    for row in range(start - 1, -1, -1):
+        cols = np.nonzero(all_max[row])[0]
+        for line in ridge:
+            line[2] += 1
+        prev = np.array([line[1][-1] for line in ridge])
+        for col in cols:
+            line = None
+            if prev.size:
+                d = np.abs(col - prev)
+                j = int(np.argmin(d))
+                if d[j] <= max_distances[row]:
+                    line = ridge[j]
+            if line is not None:
+                line[0].append(row)
+                line[1].append(col)
+                line[2] = 0
+            else:
+                ridge.append([[row], [col], 0])
+        prev = np.array([line[1][-1] for line in ridge])
+        for line in list(ridge):
+            if line[2] > gap_thresh:
+                final.append(line)
+                ridge.remove(line)
+    # order each line by row ascending so [0] indexes the finest scale
+    out = []
+    for rows, cols, _ in ridge + final:
+        order = np.argsort(rows)
+        out.append([list(np.asarray(rows)[order]), list(np.asarray(cols)[order])])
+    return out
+
+
+def find_peaks_cwt(vector, widths, wavelet=None, max_distances=None,
+                   gap_thresh=None, min_length=None, min_snr: float = 1,
+                   noise_perc: float = 10, window_size=None):
+    """Wavelet-ridge peak detection (``scipy.signal.find_peaks_cwt``):
+    CWT at each width, connect maxima into ridge lines across scales,
+    keep lines long enough and with sufficient SNR at the finest scale."""
+    vector = np.asarray(vector, dtype=np.float64)
+    widths = np.atleast_1d(np.asarray(widths, dtype=np.float64))
+    if gap_thresh is None:
+        gap_thresh = np.ceil(widths[0])
+    if max_distances is None:
+        max_distances = widths / 4.0
+    if wavelet is None:
+        wavelet = _ricker
+    cwt_mat = _cwt_ricker(vector, widths, wavelet)
+    ridge_lines = _identify_ridge_lines(cwt_mat, max_distances, gap_thresh)
+    if min_length is None:
+        min_length = int(np.ceil(cwt_mat.shape[0] / 4.0))
+    if window_size is None:
+        window_size = int(np.ceil(cwt_mat.shape[1] / 20.0))
+    window_size = int(window_size)
+    hf, odd = divmod(window_size, 2)
+    row_one = cwt_mat[0]  # raw (signed) values — scipy's noise floor is a
+    npts = cwt_mat.shape[1]  # percentile of the windowed raw finest row
+
+    def snr_ok(line):
+        rows, cols = line[0], line[1]
+        if len(rows) < min_length:
+            return False
+        col = cols[0]  # smallest-scale end of the ridge
+        noise = np.percentile(row_one[max(col - hf, 0):min(col + hf + odd, npts)],
+                              noise_perc)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            snr = abs(cwt_mat[rows[0], col] / noise)
+        return not snr < min_snr
+
+    return np.sort(np.array([line[1][0] for line in ridge_lines if snr_ok(line)],
+                            dtype=np.intp))

@@ -518,3 +518,47 @@ def check_NOLA(window, nperseg: int, noverlap: int, tol: float = 1e-10) -> bool:
     if nperseg % step != 0:
         binsums[:nperseg % step] += w2[-(nperseg % step):]
     return bool(np.min(binsums) > tol * np.max(w2))
+
+
+def _dual_canonical_window(win: np.ndarray, hop: int) -> np.ndarray:
+    """Canonical WOLA dual: win / (per-position sum of |win|^2 over all
+    hop-shifted copies); raises when the frame is not invertible."""
+    w2 = win.real ** 2 + win.imag ** 2
+    dd = w2.copy()
+    for k in range(hop, win.size, hop):
+        dd[k:] += w2[:-k]
+        dd[:-k] += w2[k:]
+    if not np.all(dd >= np.finfo(np.float64).resolution * dd.max()):
+        raise ValueError("short-time Fourier transform not invertible for this "
+                         "window/hop (zero frame-overlap energy somewhere)")
+    return win / dd
+
+
+def closest_STFT_dual_window(win, hop: int, desired_dual=None, *, scaled: bool = True):
+    """Dual STFT window closest to a desired one
+    (``scipy.signal.closest_STFT_dual_window``): the canonical dual plus
+    the component of (desired − projection) in the dual space; with
+    ``scaled`` the optimal scale factor alpha is solved for and returned."""
+    win = np.asarray(win)
+    desired_dual = np.ones_like(win) if desired_dual is None else np.asarray(desired_dual)
+    if win.ndim != 1 or win.shape != desired_dual.shape:
+        raise ValueError("win and desired_dual must be equal-length 1-D arrays")
+    if not (np.all(np.isfinite(win)) and np.all(np.isfinite(desired_dual))):
+        raise ValueError("win and desired_dual must be finite")
+    if not (isinstance(hop, (int, np.integer)) and 1 <= hop <= win.size):
+        raise ValueError(f"hop must be an integer in [1, {win.size}], got {hop!r}")
+    w_d = _dual_canonical_window(win.astype(np.result_type(win.dtype, np.float64)), hop)
+    wdd = np.conj(win) * desired_dual
+    q_d = wdd.copy()
+    for k in range(hop, win.size, hop):
+        q_d[k:] += wdd[:-k]
+        q_d[:-k] += wdd[k:]
+    q_d = w_d * q_d
+    if not scaled:
+        return w_d + desired_dual - q_d, 1.0
+    numerator = np.conj(q_d) @ w_d
+    denominator = q_d.real @ q_d.real + q_d.imag @ q_d.imag
+    if not (abs(numerator) > 0 and denominator > np.finfo(np.float64).resolution):
+        raise ValueError("scaled dual window numerically unstable; use scaled=False")
+    alpha = numerator / denominator
+    return w_d + alpha * (desired_dual - q_d), alpha

@@ -113,7 +113,15 @@ from .ops.lti import (
     invresz,
     unique_roots,
 )
-from .ops.peaks import argrelextrema, argrelmax, argrelmin, find_peaks, peak_prominences, peak_widths
+from .ops.peaks import (
+    argrelextrema,
+    argrelmax,
+    argrelmin,
+    find_peaks,
+    find_peaks_cwt,
+    peak_prominences,
+    peak_widths,
+)
 from .ops.spectral import (
     coherence,
     csd as _csd_split,
@@ -122,12 +130,21 @@ from .ops.spectral import (
     spectrogram_scipy as spectrogram,
     welch,
 )
-from .ops.dsp import correlation_lags, deconvolve, detrend, gauss_spline, hilbert2, vectorstrength
+from .ops.dsp import (
+    correlation_lags,
+    deconvolve,
+    detrend,
+    envelope_scipy as envelope,
+    gauss_spline,
+    hilbert2,
+    vectorstrength,
+)
 from .ops.fir_optimal import firls, gammatone, remez
 from .ops.rank import medfilt, medfilt2d, order_filter, wiener
-from .ops.filter import choose_conv_method, convolve2d, correlate2d
+from .ops.filter import choose_conv_method, convolve2d, correlate2d, firwin_2d
+from .ops.design import BadCoefficients, band_stop_obj
 from .ops.czt import CZT, ZoomFFT
-from .ops.stft import check_COLA, check_NOLA
+from .ops.stft import check_COLA, check_NOLA, closest_STFT_dual_window
 from .utils.signal import chirp, gausspulse, max_len_seq, sawtooth, square, sweep_poly, unit_impulse
 from .ops.short_time_fft import ShortTimeFFT
 from .ops.stft import istft_scipy as _istft_split, stft_scipy as _stft_split, window_table
@@ -152,7 +169,9 @@ __all__ = [
     "ellip", "bessel", "iircomb",
     "buttap", "cheb1ap", "cheb2ap", "ellipap", "besselap", "lp2lp", "lp2hp", "lp2bp", "lp2bs", "lp2lp_zpk", "lp2hp_zpk", "lp2bp_zpk", "lp2bs_zpk", "bilinear_zpk", "findfreqs", "freqs", "freqs_zpk", "iirdesign",
     "tf2zpk", "tf2sos", "sos2tf", "sos2zpk", "normalize",
-    "group_delay", "sosfreqz", "freqz_zpk", "czt_points",
+    "group_delay", "sosfreqz", "freqz_sos", "freqz_zpk", "czt_points",
+    "find_peaks_cwt", "envelope", "firwin_2d", "band_stop_obj",
+    "BadCoefficients", "closest_STFT_dual_window",
 ]
 
 
@@ -241,6 +260,10 @@ def sosfreqz(sos, worN: int = 512, whole: bool = False, fs: float = 2.0 * np.pi)
 
     w, hr, hi = _sosfreqz_split(sos, worN=worN, whole=whole, fs=fs)
     return w, _pack(hr, hi)
+
+
+#: scipy >= 1.12 name for :func:`sosfreqz` (``scipy.signal.freqz_sos``).
+freqz_sos = sosfreqz
 
 
 def freqz_zpk(z, p, k, worN: int = 512, whole: bool = False, fs: float = 2.0 * np.pi):
