@@ -40,67 +40,25 @@ __all__ = [
 # near-coprime (frame, hop) pairs — every power-of-two hop stays well under.
 _MAX_SLICES = 256
 
-_WINDOWS = ("rect", "hann", "hamming", "blackman", "bartlett", "blackmanharris", "flattop")
-
-# Cosine-sum coefficients, alternating signs: w = Σ (−1)^j a_j cos(j·c).
-_COSINE_COEFFS = {
-    "hann": (0.5, 0.5),
-    "hamming": (0.54, 0.46),
-    "blackman": (0.42, 0.5, 0.08),
-    "blackmanharris": (0.35875, 0.48829, 0.14128, 0.01168),
-    "flattop": (0.21557895, 0.41663158, 0.277263158, 0.083578947, 0.006947368),
-}
-
-
 def _symmetric_table(window, m: int) -> np.ndarray:
-    """Symmetric window of ``m`` samples, f64 (scipy fftbins=False form)."""
+    """Symmetric window of ``m`` samples, f64 (scipy fftbins=False form) —
+    any name/tuple/float :func:`gpu_fft_tpu.ops.windows.get_window` accepts."""
     if m <= 1:
         return np.ones(max(m, 0))
-    if isinstance(window, tuple):
-        if len(window) != 2 or window[0] not in ("kaiser", "tukey", "gaussian"):
-            raise ValueError(
-                "tuple windows must be ('kaiser', beta), ('tukey', alpha), or "
-                f"('gaussian', std), got {window!r}"
-            )
-        kind, p = window[0], float(window[1])
-        if kind == "kaiser":
-            return np.kaiser(m, p)
-        if kind == "tukey":
-            # Cosine-tapered: flat middle, raised-cosine edges of total
-            # fraction alpha; alpha=0 -> rect, alpha=1 -> hann.
-            a = min(max(p, 0.0), 1.0)
-            if a == 0.0:
-                return np.ones(m)
-            w = np.ones(m)
-            edge = int(np.floor(a * (m - 1) / 2.0))
-            k = np.arange(edge + 1)
-            taper = 0.5 * (1.0 + np.cos(np.pi * (2.0 * k / (a * (m - 1)) - 1.0)))
-            w[: edge + 1] = taper
-            w[m - edge - 1 :] = taper[::-1]
-            return w
-        # gaussian: exp(-0.5 ((k - center)/std)^2), center = (m-1)/2
-        k = np.arange(m) - (m - 1) / 2.0
-        return np.exp(-0.5 * (k / p) ** 2)
-    if window == "bartlett":
-        return np.bartlett(m)
-    coeffs = _COSINE_COEFFS.get(window)
-    if coeffs is None:
-        raise ValueError(
-            f"window must be one of {_WINDOWS}, ('kaiser', beta), or None, got {window!r}"
-        )
-    c = 2.0 * np.pi * np.arange(m) / (m - 1)
-    w = np.zeros(m)
-    for j, a in enumerate(coeffs):
-        w += (-1.0) ** j * a * np.cos(j * c)
-    return w
+    if window == "rect":  # library-local alias kept for the reference API
+        return np.ones(m)
+    from .windows import get_window
+
+    return np.asarray(get_window(window, m, fftbins=False), dtype=np.float64)
 
 
 def window_table(window, frame_size: int) -> np.ndarray:
     """Periodic (DFT-even) window of ``frame_size`` samples as f32.
 
-    ``window``: None/"rect", "hann", "hamming", "blackman", "bartlett",
-    "blackmanharris", "flattop", or ``("kaiser", beta)`` — accepted by every
-    windowed estimator (stft/welch/csd/coherence/periodogram/spectrogram).
+    ``window``: None/"rect", any ``scipy.signal.windows`` family name,
+    ``(name, *params)`` tuple, or bare float (kaiser beta) — see
+    :mod:`gpu_fft_tpu.ops.windows`.  Accepted by every windowed estimator
+    (stft/welch/csd/coherence/periodogram/spectrogram).
     Periodic form (the symmetric window of frame_size+1 samples with the
     last dropped — scipy's fftbins=True) is the correct choice for
     spectral analysis and overlap-add.

@@ -24,9 +24,9 @@ from __future__ import annotations
 
 import numpy as np
 
-from .ops.czt import czt as _czt_split, zoom_fft as _zoom_split
-from .ops.dsp import fft_convolve as fftconvolve, fft_correlate, hilbert as _hilbert_split, resample
-from .ops.filter import (
+from ..ops.czt import czt as _czt_split, zoom_fft as _zoom_split
+from ..ops.dsp import fft_convolve as fftconvolve, fft_correlate, hilbert as _hilbert_split, resample
+from ..ops.filter import (
     FIRStream,
     filtfilt_fir,
     firwin,
@@ -39,7 +39,7 @@ from .ops.filter import (
     savgol_coeffs,
     savgol_filter,
 )
-from .ops.design import (
+from ..ops.design import (
     bessel,
     besselap,
     bilinear_zpk,
@@ -80,11 +80,11 @@ from .ops.design import (
     zpk2sos,
     zpk2tf,
 )
-from .ops.czt import czt_points
-from .ops.filter import group_delay
-from .ops.iir import filtfilt, lfilter, lfiltic, lfilter_zi, sosfilt, sosfilt_zi, sosfiltfilt
-from .ops.multirate import decimate, resample_poly, upfirdn
-from .ops.lti import (
+from ..ops.czt import czt_points
+from ..ops.filter import group_delay
+from ..ops.iir import filtfilt, lfilter, lfiltic, lfilter_zi, sosfilt, sosfilt_zi, sosfiltfilt
+from ..ops.multirate import decimate, resample_poly, upfirdn
+from ..ops.lti import (
     lti,
     dlti,
     TransferFunction,
@@ -113,7 +113,7 @@ from .ops.lti import (
     invresz,
     unique_roots,
 )
-from .ops.peaks import (
+from ..ops.peaks import (
     argrelextrema,
     argrelmax,
     argrelmin,
@@ -122,7 +122,7 @@ from .ops.peaks import (
     peak_prominences,
     peak_widths,
 )
-from .ops.spectral import (
+from ..ops.spectral import (
     coherence,
     csd as _csd_split,
     lombscargle,
@@ -130,7 +130,7 @@ from .ops.spectral import (
     spectrogram_scipy as spectrogram,
     welch,
 )
-from .ops.dsp import (
+from ..ops.dsp import (
     correlation_lags,
     deconvolve,
     detrend,
@@ -139,15 +139,28 @@ from .ops.dsp import (
     hilbert2,
     vectorstrength,
 )
-from .ops.fir_optimal import firls, gammatone, remez
-from .ops.rank import medfilt, medfilt2d, order_filter, wiener
-from .ops.filter import choose_conv_method, convolve2d, correlate2d, firwin_2d
-from .ops.design import BadCoefficients, band_stop_obj
-from .ops.czt import CZT, ZoomFFT
-from .ops.stft import check_COLA, check_NOLA, closest_STFT_dual_window
-from .utils.signal import chirp, gausspulse, max_len_seq, sawtooth, square, sweep_poly, unit_impulse
-from .ops.short_time_fft import ShortTimeFFT
-from .ops.stft import istft_scipy as _istft_split, stft_scipy as _stft_split, window_table
+from ..ops.fir_optimal import firls, gammatone, remez
+from ..ops.rank import medfilt, medfilt2d, order_filter, wiener
+from ..ops.filter import choose_conv_method, convolve2d, correlate2d, firwin_2d
+from ..ops.design import BadCoefficients, band_stop_obj
+from ..ops.splines import (
+    cspline1d,
+    cspline1d_eval,
+    cspline2d,
+    qspline1d,
+    qspline1d_eval,
+    qspline2d,
+    sepfir2d,
+    spline_filter,
+    symiirorder1,
+    symiirorder2,
+)
+from ..ops.czt import CZT, ZoomFFT
+from ..ops.stft import check_COLA, check_NOLA, closest_STFT_dual_window
+from ..utils.signal import chirp, gausspulse, max_len_seq, sawtooth, square, sweep_poly, unit_impulse
+from ..ops.short_time_fft import ShortTimeFFT
+from ..ops.stft import istft_scipy as _istft_split, stft_scipy as _stft_split, window_table
+from . import windows
 
 __all__ = [
     "fftconvolve", "oaconvolve", "correlate", "convolve",
@@ -171,7 +184,9 @@ __all__ = [
     "tf2zpk", "tf2sos", "sos2tf", "sos2zpk", "normalize",
     "group_delay", "sosfreqz", "freqz_sos", "freqz_zpk", "czt_points",
     "find_peaks_cwt", "envelope", "firwin_2d", "band_stop_obj",
-    "BadCoefficients", "closest_STFT_dual_window",
+    "BadCoefficients", "closest_STFT_dual_window", "windows",
+    "cspline1d", "cspline1d_eval", "cspline2d", "qspline1d", "qspline1d_eval",
+    "qspline2d", "sepfir2d", "spline_filter", "symiirorder1", "symiirorder2",
 ]
 
 
@@ -248,7 +263,7 @@ def zoom_fft(x, fn, m: int | None = None, fs: float = 2.0):
 
 def freqz(b, a=1.0, worN: int = 512, whole: bool = False, fs: float = 2.0 * np.pi):
     """Rational frequency response — ``scipy.signal.freqz``, complex ``h``."""
-    from .ops.filter import freqz as _freqz_split
+    from ..ops.filter import freqz as _freqz_split
 
     w, hr, hi = _freqz_split(b, a, worN=worN, whole=whole, fs=fs)
     return w, _pack(hr, hi)
@@ -256,7 +271,7 @@ def freqz(b, a=1.0, worN: int = 512, whole: bool = False, fs: float = 2.0 * np.p
 
 def sosfreqz(sos, worN: int = 512, whole: bool = False, fs: float = 2.0 * np.pi):
     """Cascade frequency response — ``scipy.signal.sosfreqz``, complex ``h``."""
-    from .ops.filter import sosfreqz as _sosfreqz_split
+    from ..ops.filter import sosfreqz as _sosfreqz_split
 
     w, hr, hi = _sosfreqz_split(sos, worN=worN, whole=whole, fs=fs)
     return w, _pack(hr, hi)
@@ -268,15 +283,13 @@ freqz_sos = sosfreqz
 
 def freqz_zpk(z, p, k, worN: int = 512, whole: bool = False, fs: float = 2.0 * np.pi):
     """Factored-form frequency response — ``scipy.signal.freqz_zpk``, complex ``h``."""
-    from .ops.design import freqz_zpk as _freqz_zpk_split
+    from ..ops.design import freqz_zpk as _freqz_zpk_split
 
     w, hr, hi = _freqz_zpk_split(z, p, k, worN=worN, whole=whole, fs=fs)
     return w, _pack(hr, hi)
 
 
 def get_window(window, Nx: int, fftbins: bool = True):
-    """``scipy.signal.get_window`` for the window families the estimators
-    accept (periodic/DFT-even form only, scipy's default ``fftbins=True``)."""
-    if not fftbins:
-        raise NotImplementedError("get_window supports the periodic form (fftbins=True) only")
-    return window_table(window, Nx)
+    """``scipy.signal.get_window``: every scipy window family, symmetric or
+    periodic form, in f64 (see :mod:`gpu_fft_tpu.signal.windows`)."""
+    return windows.get_window(window, Nx, fftbins=fftbins)

@@ -530,9 +530,19 @@ def test_stft_roundtrip_with_kaiser_window(rng):
 
 def test_window_table_rejects_unknown():
     with pytest.raises(ValueError):
-        gf.window_table("tukey", 64)
+        gf.window_table("nosuchwindow", 64)
     with pytest.raises(ValueError):
-        gf.window_table(("kaiser",), 64)
+        gf.window_table(("kaiser",), 64)  # missing required beta
+
+
+def test_window_table_accepts_all_scipy_families():
+    import scipy.signal as _ss
+
+    for win in ("tukey", "nuttall", ("gaussian", 12.0), ("dpss", 2.5), "lanczos"):
+        got = gf.window_table(win, 64)
+        ref = _ss.get_window(win, 64, fftbins=True)
+        assert got.dtype == np.float32
+        assert np.abs(got - ref.astype(np.float32)).max() < 1e-6
 
 
 @pytest.mark.parametrize("detrend", ["linear", False])

@@ -97,8 +97,13 @@ def test_get_window(sig):
     w = gsig.get_window(("kaiser", 8.6), 64)
     ref = ss.get_window(("kaiser", 8.6), 64, fftbins=True)
     assert np.abs(w - ref).max() < 1e-5
-    with pytest.raises(NotImplementedError):
-        gsig.get_window("hann", 128, fftbins=False)
+    # symmetric form now supported via the windows module
+    w = gsig.get_window("hann", 128, fftbins=False)
+    ref = ss.get_window("hann", 128, fftbins=False)
+    assert np.abs(w - ref).max() < 1e-12
+    w = gsig.get_window("tukey", 65, fftbins=False)
+    ref = ss.get_window("tukey", 65, fftbins=False)
+    assert np.abs(w - ref).max() < 1e-12
 
 
 def test_multirate_names(sig):
