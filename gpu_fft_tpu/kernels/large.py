@@ -65,9 +65,12 @@ __all__ = ["transform_any", "inverse_real", "inverse_real_half"]
 # and transpose by itself; the one opaque piece is the stage-A pallas_call.
 # The transform is LINEAR, so its JVP is itself — computed here as the jnp
 # einsum engine (stage_a_jnp), which reverse mode can transpose.  Primal
-# execution keeps the measured kernel; only tangent/cotangent passes pay the
-# einsum form's ~1.3x (docs/ABLATION.md §12), which is the right trade for a
-# gradient path that exists at every size.
+# execution keeps the measured kernel; tangent/cotangent passes pay the
+# einsum form's cost.  transform_any's staged path no longer relies on this
+# seam (it routes BOTH AD modes through the measured dispatch via
+# linear_call + the DFT's F^T = F symmetry — see transform_any); this seam
+# remains the AD story for inverse_real's fold paths, whose linear map has
+# no such self-transpose identity.
 
 _STAGE_A_TABLE_KEYS = (
     "f1r", "f1i", "f1s", "f1d", "two_r", "two_i", "twi_r", "twi_i", "twr", "twi"
@@ -239,13 +242,49 @@ def transform_any(xr, xi, n: int, sign: int, scale: float | None = None):
             return fused_fft_jnp_folded(xr, xi, plan)
         return fused_fft_jnp(xr, xi, plan)
 
-    b = xr.shape[0]
     if scale is not None:
         # Staged sizes: explicit epilogue (the fused-size table fold does
         # not reach the Pallas stage-A tables).
         yr, yi = transform_any(xr, xi, n, sign)
         s = jnp.float32(scale)
         return yr * s, yi * s
+
+    # Staged sizes: route BOTH autodiff modes through the measured kernels.
+    # The stage-A pallas_call has no transpose rule, and letting reverse
+    # mode transpose the einsum tangent graph composes ~2.2x slower than
+    # the shipped dispatch (172 vs 53 us grad at 2^20; docs/ABLATION.md
+    # §12's composition collapse).  The transform is a SYMMETRIC complex-
+    # linear map (DFT matrix: F^T = F), so the real-form transpose is
+    # conj . T . conj — i.e. the same measured transform on the conjugated
+    # cotangent.  linear_call makes the tangent pass f itself and the
+    # transpose the conjugated call, so jvp, vjp, and grad all run the
+    # Pallas dispatch.  linear_call has no vmap rule; the API is already
+    # batched over rows, so vmap over a staged transform is unsupported —
+    # fold extra axes into B instead.
+    if xi is None:
+        # x real: M = [Re F; Im F], so M^T [cr; ci] = Re(F_sign(cr - i*ci)).
+        # (A Hermitian-projection form riding inverse_real was measured and
+        # LOST — 133 vs 96 us at 2^20: the two (rows, 128) mirror+roll
+        # passes cost ~24 us each, eating the fold's savings.)
+        return jax.custom_derivatives.linear_call(
+            lambda _, x: _staged(x, None, n, sign),
+            lambda _, ct: _staged(ct[0], -ct[1], n, sign)[0],
+            (),
+            xr,
+        )
+
+    def _transpose(_, ct):
+        gr, gi = _staged(ct[0], -ct[1], n, sign)
+        return gr, -gi
+
+    return jax.custom_derivatives.linear_call(
+        lambda _, x: _staged(x[0], x[1], n, sign), _transpose, (), (xr, xi)
+    )
+
+
+def _staged(xr, xi, n: int, sign: int):
+    """The staged (n > FUSED_MAX) dispatch body; see transform_any."""
+    b = xr.shape[0]
     plan = get_stage_a_plan(n, sign)
     n1, n2 = plan["n1"], plan["n2"]
 

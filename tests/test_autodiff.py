@@ -4,9 +4,12 @@ The transforms are linear maps, so two exact oracles exist with no
 numerics beyond the transform's own: Parseval's theorem gives the
 closed-form gradient of the spectrum power (d/dx sum|X|^2 = 2*n*x), and
 the dot test <L v, w> == <v, L^T w> checks the vjp against the jvp.  The
-Pallas stage-A kernel has no transpose rule of its own; the custom-jvp
-seam (kernels/large.py:_stage_a_core) routes tangents through the jnp
-engine, so both modes must work at FUSED and STAGED sizes.
+Pallas stage-A kernel has no transpose rule of its own; transform_any's
+staged path routes both AD modes through the measured dispatch itself
+(linear_call + the DFT's F^T = F symmetry: transpose = conj . T . conj),
+while inverse_real's fold paths use the custom-jvp seam
+(kernels/large.py:_stage_a_core) with jnp-engine tangents — so both
+modes must work at FUSED and STAGED sizes on every entry point.
 """
 
 import jax
