@@ -307,9 +307,10 @@ def transform_cost(b: int, n: int, kind: str = "fft") -> dict:
         # complex, so the inverse leg is the full complex transform).
         "hilbert",
         # grad_fft: reverse-mode spectrum-power gradient = the forward
-        # transform + its transpose (the opposite-direction transform, run
-        # as the jnp tangent engine) + an O(bn) epilogue — a roundtrip's
-        # compute, so the roundtrip model is its speed-of-light.
+        # transform + its transpose (conj . T . conj — one full COMPLEX
+        # transform via the linear_call seam, kernels/large.py) + an O(bn)
+        # epilogue — a roundtrip's compute, so the roundtrip model is its
+        # speed-of-light.
         "grad_fft",
     ):
         stages, elem = parts((b, n, True), (b, n, False))

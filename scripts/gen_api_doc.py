@@ -36,7 +36,7 @@ GROUPS = [
                              "welch", "welch_device", "csd", "csd_device",
                              "coherence", "coherence_device",
                              "periodogram", "periodogram_device", "lombscargle"]),
-    ("Time-frequency", ["stft", "stft_device", "istft", "istft_device", "stft_scipy", "istft_scipy", "window_table", "ShortTimeFFT",
+    ("Time-frequency", ["stft", "stft_device", "istft", "istft_device", "stft_scipy", "istft_scipy", "window_table", "ShortTimeFFT", "closest_STFT_dual_window",
                         "check_COLA", "check_NOLA"]),
     ("Serving / AOT export", ["export_transform", "save_transform", "load_transform", "exported_call"]),
     ("DCT / DST", ["dct", "idct", "dst", "idst",
@@ -48,24 +48,24 @@ GROUPS = [
                                    "fft_convolve2d", "fft_convolve2d_device", "fft_correlate2d",
                                    "convolve2d", "correlate2d", "choose_conv_method"]),
     ("Rank / local-statistics filters", ["medfilt", "medfilt2d", "order_filter", "wiener"]),
-    ("FIR filtering", ["firwin", "firwin2", "kaiserord", "kaiser_beta", "kaiser_atten",
+    ("FIR filtering", ["firwin", "firwin2", "firwin_2d", "kaiserord", "kaiser_beta", "kaiser_atten",
                        "minimum_phase", "fftfilt", "fftfilt_device", "filtfilt_fir",
                        "freqz_fir", "freqz", "FIRStream",
                        "savgol_coeffs", "savgol_filter",
-                       "firls", "remez", "gammatone"]),
+                       "firls", "remez", "gammatone", "band_stop_obj"]),
     ("IIR filtering (block-state engine)", ["lfilter", "lfilter_device", "lfilter_zi",
                                             "filtfilt", "sosfilt", "sosfilt_zi", "sosfiltfilt"]),
     ("IIR design", ["butter", "cheby1", "cheby2", "ellip", "bessel", "iirfilter",
                     "buttord", "cheb1ord", "cheb2ord", "ellipord",
                     "iirnotch", "iirpeak", "iircomb", "bilinear", "zpk2tf", "zpk2sos",
-                    "tf2zpk", "tf2sos", "sos2tf", "sos2zpk", "normalize"]),
-    ("Filter response analysis", ["freqz_zpk", "sosfreqz", "group_delay", "czt_points",
+                    "tf2zpk", "tf2sos", "sos2tf", "sos2zpk", "normalize", "BadCoefficients"]),
+    ("Filter response analysis", ["freqz_zpk", "sosfreqz", "freqz_sos", "group_delay", "czt_points",
                                   "freqs", "freqs_zpk", "findfreqs"]),
     ("Analog prototypes / transforms", ["buttap", "cheb1ap", "cheb2ap", "ellipap", "besselap",
                                         "lp2lp", "lp2hp", "lp2bp", "lp2bs",
                                         "lp2lp_zpk", "lp2hp_zpk", "lp2bp_zpk", "lp2bs_zpk",
                                         "bilinear_zpk", "iirdesign"]),
-    ("Peak detection", ["find_peaks", "peak_prominences", "peak_widths",
+    ("Peak detection", ["find_peaks", "peak_prominences", "peak_widths", "find_peaks_cwt",
                         "argrelextrema", "argrelmax", "argrelmin"]),
     ("LTI systems", ["lti", "dlti", "TransferFunction", "ZerosPolesGain", "StateSpace",
                      "lsim", "impulse", "step", "freqresp", "bode",
@@ -79,10 +79,13 @@ GROUPS = [
                                     "lfiltic"]),
     ("Multirate", ["upfirdn", "upfirdn_device", "resample_poly",
                    "resample_poly_device", "decimate"]),
-    ("Signal helpers", ["hilbert", "hilbert_device", "hilbert2", "gauss_spline",
-                        "envelope", "envelope_device",
+    ("Signal helpers", ["hilbert", "hilbert_device", "hilbert2",
+                        "envelope", "envelope_device", "envelope_scipy",
                         "resample", "resample_device", "fftshift", "ifftshift",
                         "fftfreq", "rfftfreq"]),
+    ("Splines", ["gauss_spline", "cspline1d", "qspline1d", "cspline1d_eval", "qspline1d_eval",
+                 "cspline2d", "qspline2d", "sepfir2d", "spline_filter",
+                 "symiirorder1", "symiirorder2"]),
 ]
 
 PARALLEL = [
