@@ -30,7 +30,7 @@ GROUPS = [
                                 "czt", "czt_device", "zoom_fft", "zoom_fft_device",
                                 "CZT", "ZoomFFT"]),
     ("Fast Hankel (FFTLog)", ["fht", "ifht", "fht_device", "ifht_device", "fhtoffset"]),
-    ("scipy.fft / scipy.signal drop-in namespaces", ["compat", "signal"]),
+    ("scipy.fft / scipy.signal / scipy.ndimage drop-in namespaces", ["compat", "signal", "ndimage"]),
     ("Spectral estimation", ["psd", "psd_device", "power_spectrum_device",
                              "spectrogram", "spectrogram_device", "spectrogram_scipy",
                              "welch", "welch_device", "csd", "csd_device",
