@@ -119,3 +119,33 @@ def test_grad_through_compat_namespace(rng):
     eps = 0.5
     fd = (loss(x + eps * d) - loss(x - eps * d)) / (2 * eps)
     assert abs(float(fd) - float(jnp.vdot(g, d))) / max(1.0, abs(float(fd))) < 5e-3
+
+
+def test_grad_through_estimators(rng):
+    # The common training-loss surfaces: STFT power, Welch PSD, spectrogram.
+    # All are compositions of linear transforms + smooth elementwise ops, so
+    # a central difference on the quadratic-ish losses pins the gradients.
+    x = jnp.asarray(rng.standard_normal((4096,)).astype(np.float32))
+    d = jnp.asarray(rng.standard_normal((4096,)).astype(np.float32))
+
+    def fd_rel(loss, eps=1e-2):
+        g = jax.grad(loss)(x)
+        assert bool(jnp.all(jnp.isfinite(g)))
+        fd = (loss(x + eps * d) - loss(x - eps * d)) / (2 * eps)
+        an = float(jnp.vdot(g, d))
+        return abs(float(fd) - an) / max(1.0, abs(an))
+
+    def loss_stft(v):
+        sr, si = gf.stft_device(v.reshape(1, -1), 256, 64)
+        return jnp.sum(sr**2 + si**2)
+
+    def loss_welch(v):
+        _, p = gf.welch_device(v, fs=1.0, nperseg=256)
+        return jnp.sum(p)
+
+    def loss_spec(v):
+        return jnp.sum(gf.spectrogram_device(v, 256, 64))
+
+    assert fd_rel(loss_stft) < 5e-3
+    assert fd_rel(loss_welch) < 5e-3
+    assert fd_rel(loss_spec) < 5e-3
