@@ -111,3 +111,14 @@ def test_training_example():
     line = [l for l in out.splitlines() if "spectral MSE" in l][0]
     before, after = float(line.split()[2]), float(line.split()[4])
     assert after < before / 5
+
+
+def test_images_example():
+    import images
+
+    out = _run_capturing(images.main)
+    assert "[OK]" in out.splitlines()[-1]
+    # gaussian blur must soften the sharpest edge by >= 4x
+    line = [l for l in out.splitlines() if "sharpest edge" in l][0]
+    before, after = float(line.split()[4]), float(line.split()[6])
+    assert after < before / 4
