@@ -28,6 +28,7 @@ from ..plan import FusedPlan
 
 __all__ = [
     "fused_fft_jnp",
+    "transform_axis0",
     "fused_fft_jnp_folded",
     "fused_fft_jnp_half",
     "fused_irfft_jnp",
@@ -215,6 +216,76 @@ def _hermitian_mirror(sr, si, n1: int, axis: int):
         jnp.concatenate([sr[head], tail_r], axis),
         jnp.concatenate([si[head], tail_i], axis),
     )
+
+
+def transform_axis0(xr, xi, n: int, sign: int, scale: float | None = None):
+    """Length-n transform along axis -2 of (..., n, w) — IN PLACE of the
+    transpose -> row transform -> transpose-back composition.
+
+    The column pass of a 2-D transform (ops/fft2d.py) is the only consumer
+    of an axis-0 transform; expressing it as the same four-step
+    contractions with the width as a FREE TRAILING (lane) axis
+    ('acw,ak->ckw' then 'ckw,cJ->Jkw', digit reversal folded into the
+    output order exactly like fused_fft_jnp_folded) deletes all four
+    relayout passes of the transpose form.  Measured v5e at 4096x4096:
+    column leg 1722 -> 1529 us complex, and the w-minor dots keep the lane
+    axis contiguous (scripts/ablate_fft2_axis0.py for the (h, w) grid the
+    dispatch gate is derived from).
+
+    ``xi`` may be None (real input).  Same tables/plan as the row engines
+    (plan.get_fused_plan(n, sign, wide=False)); unnormalized, natural
+    order along the transformed axis.  Pow2 ``n <= FUSED_MAX`` only —
+    callers fall back to the transpose form otherwise.
+    """
+    from ..plan import get_fused_plan
+
+    lead = xr.shape[:-2]
+    h, w = xr.shape[-2], xr.shape[-1]
+    assert h == n, (h, n)
+    x3r = xr.reshape((-1,) + xr.shape[-2:])
+    x3i = None if xi is None else xi.reshape((-1,) + xi.shape[-2:])
+    plan = get_fused_plan(n, sign, wide=False, scale=scale)  # scale in tables
+    t = plan.tables
+
+    if plan.kind == "direct":
+        # One MXU contraction over the column axis; F is symmetric so the
+        # row-engine tables apply unchanged.
+        if x3i is None:
+            yr = jnp.einsum("bhw,hk->bkw", x3r, t["fr"], precision=_prec())
+            yi = jnp.einsum("bhw,hk->bkw", x3r, t["fi"], precision=_prec())
+        else:
+            yr, yi = _ceinsum("bhw,hk->bkw", x3r, x3i, t, "f")
+        return yr.reshape(lead + (h, w)), yi.reshape(lead + (h, w))
+
+    n1, n2 = plan.n1, plan.n2
+    x4r = x3r.reshape(-1, n1, n2, w)
+    if x3i is None:
+        pr = jnp.einsum("bacw,ak->bckw", x4r, t["f1r"], precision=_prec())
+        pi = jnp.einsum("bacw,ak->bckw", x4r, t["f1i"], precision=_prec())
+    else:
+        x4i = x3i.reshape(-1, n1, n2, w)
+        pr, pi = _ceinsum("bacw,ak->bckw", x4r, x4i, t, "f1")
+    twr = t["twr"][None, :, :, None]  # (n2, n1) = [c, k]
+    twi = t["twi"][None, :, :, None]
+    zr = pr * twr - pi * twi
+    zi = pr * twi + pi * twr
+    rr, ri = _ceinsum("bckw,cJ->bJkw", zr, zi, t, "f2")
+    return rr.reshape(lead + (h, w)), ri.reshape(lead + (h, w))
+
+
+def _ceinsum(eq, ar, ai, t, prefix):
+    """Split-complex einsum against the plan's table group ``prefix``
+    (the einsum twin of _cmatmul, same Karatsuba 3-dot form)."""
+    if KARATSUBA:
+        k1 = jnp.einsum(eq, ar + ai, t[prefix + "r"], precision=_prec())
+        k2 = jnp.einsum(eq, ar, t[prefix + "d"], precision=_prec())
+        k3 = jnp.einsum(eq, ai, t[prefix + "s"], precision=_prec())
+        return k1 - k3, k1 + k2
+    rr = jnp.einsum(eq, ar, t[prefix + "r"], precision=_prec())
+    ii = jnp.einsum(eq, ai, t[prefix + "i"], precision=_prec())
+    ri = jnp.einsum(eq, ar, t[prefix + "i"], precision=_prec())
+    ir = jnp.einsum(eq, ai, t[prefix + "r"], precision=_prec())
+    return rr - ii, ri + ir
 
 
 def fused_fft_jnp_half(xr, plan: FusedPlan):

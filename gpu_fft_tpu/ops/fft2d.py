@@ -92,7 +92,15 @@ def _transform2d(xr, xi, sign: int):
     rr, ri = _rows(
         xr.reshape(b * h, w), None if xi is None else xi.reshape(b * h, w), w, sign
     )
-    # Columns: transpose, transform the H-length rows, transpose back.
+    # Columns: axis-0 folded einsums where they measure faster (free
+    # trailing lane axis, zero relayout passes — plan.axis0_applies);
+    # otherwise transpose, transform the H-length rows, transpose back.
+    from ..kernels.fused_jnp import transform_axis0
+    from ..plan import axis0_applies
+
+    if axis0_applies(h, w):
+        sr, si = transform_axis0(rr.reshape(b, h, w), ri.reshape(b, h, w), h, sign)
+        return sr.reshape(*lead, h, w), si.reshape(*lead, h, w)
     cr = jnp.swapaxes(rr.reshape(b, h, w), 1, 2).reshape(b * w, h)
     ci = jnp.swapaxes(ri.reshape(b, h, w), 1, 2).reshape(b * w, h)
     sr, si = _rows(cr, ci, h, sign)
@@ -255,6 +263,13 @@ def rfft2_device(x):
             raise ValueError(f"rfft2 {name} must be a power of two >= 2, got {s}")
     hw = w // 2 + 1
     rr, ri = rfft_device(x.reshape(b * h, w))  # rows: (b*h, hw)
+    from ..plan import axis0_applies
+
+    if axis0_applies(h, hw):
+        from ..kernels.fused_jnp import transform_axis0
+
+        out_r, out_i = transform_axis0(rr.reshape(b, h, hw), ri.reshape(b, h, hw), h, -1)
+        return (out_r[0], out_i[0]) if squeeze else (out_r, out_i)
     cr = jnp.swapaxes(rr.reshape(b, h, hw), 1, 2).reshape(b * hw, h)
     ci = jnp.swapaxes(ri.reshape(b, h, hw), 1, 2).reshape(b * hw, h)
     sr, si = transform_any(cr, ci, h, -1)  # columns: full complex FFT
@@ -291,12 +306,22 @@ def irfft2_device(xr, xi):
             f"irfft2 expects power-of-two sides (H, W//2 + 1 bins), got {xr.shape[1:]}"
         )
     # Columns first: inverse complex FFT over H with the 1/H scale folded
-    # into the last matmul table (plan.py).
-    cr = jnp.swapaxes(xr, 1, 2).reshape(b * hw, h)
-    ci = jnp.swapaxes(xi, 1, 2).reshape(b * hw, h)
-    sr, si = transform_any(cr, ci, h, +1, scale=1.0 / h)
-    rr = jnp.swapaxes(sr.reshape(b, hw, h), 1, 2).reshape(b * h, hw)
-    ri = jnp.swapaxes(si.reshape(b, hw, h), 1, 2).reshape(b * h, hw)
+    # into the last matmul table (plan.py).  The axis-0 form makes this
+    # leg relayout-free end to end (the following row pass is a plain
+    # reshape away).
+    from ..plan import axis0_applies
+
+    if axis0_applies(h, hw):
+        from ..kernels.fused_jnp import transform_axis0
+
+        rr3, ri3 = transform_axis0(xr, xi, h, +1, scale=1.0 / h)
+        rr, ri = rr3.reshape(b * h, hw), ri3.reshape(b * h, hw)
+    else:
+        cr = jnp.swapaxes(xr, 1, 2).reshape(b * hw, h)
+        ci = jnp.swapaxes(xi, 1, 2).reshape(b * hw, h)
+        sr, si = transform_any(cr, ci, h, +1, scale=1.0 / h)
+        rr = jnp.swapaxes(sr.reshape(b, hw, h), 1, 2).reshape(b * h, hw)
+        ri = jnp.swapaxes(si.reshape(b, hw, h), 1, 2).reshape(b * h, hw)
     out = irfft_device(rr, ri).reshape(b, h, w)  # rows carry the 1/W scale
     return out[0] if squeeze else out
 

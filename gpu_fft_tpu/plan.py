@@ -81,6 +81,26 @@ def irfft_half_staged_applies(n: int) -> bool:
     return n >= get_tuning().irfft_half_staged_min
 
 
+def axis0_applies(h: int, w: int) -> bool:
+    """Whether the 2-D column pass runs as axis-0 folded einsums
+    (kernels/fused_jnp.py:transform_axis0) instead of
+    transpose -> row transform -> transpose back.
+
+    OFF by default on every current chip: the isolated-harness win
+    (1.03-1.13x, scripts/ablate_fft2_axis0.py) turned out to be a
+    loop-carry layout artifact — composed through fft2_device the form
+    loses 0.57-0.87x (docs/ABLATION.md §19).  The gate and engine stay so
+    a re-calibration on a layout-different chip/toolchain can re-open it
+    without code changes."""
+    t = get_tuning()
+    return (
+        h & (h - 1) == 0
+        and t.axis0_h_min <= h <= t.axis0_h_max
+        and w >= t.axis0_w_min
+        and h > w // 2
+    )
+
+
 def half_spectrum_applies(n: int) -> bool:
     """Real-input transforms compute only the k1 <= n1/2 spectrum half and
     mirror the rest (Hermitian symmetry: X[n-k] = conj(X[k]) for real input,

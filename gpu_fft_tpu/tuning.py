@@ -81,6 +81,9 @@ class ChipTuning:
     half_spectrum_min: int
     irfft_half_min: int
     irfft_half_staged_min: int
+    axis0_h_min: int
+    axis0_h_max: int
+    axis0_w_min: int
     calibrated: bool  # True = measured on this chip; False = transferred
     note: str
 
@@ -116,8 +119,21 @@ _V5E = ChipTuning(
     # at 2^18, 1.21x at 2^20 B=1, 1.28x at 2^22; 0.96-1.01x at 2^17
     # (ceil((n2/2+1)/512) = all tiles there), so the gate opens at 2^18.
     irfft_half_staged_min=1 << 18,
+    # 2-D column pass as axis-0 folded einsums: REJECTED on composed
+    # evidence (docs/ABLATION.md §19).  In ISOLATION the form wins
+    # 1.03-1.13x for tall panels (scripts/ablate_fft2_axis0.py) — but
+    # that isolation is a loop-carry layout artifact: XLA picks the
+    # einsum-friendly layout for the chained harness's carry, hiding the
+    # relayout the real pipeline pays.  COMPOSED through fft2_device the
+    # form loses 0.57-0.87x at every cell except a 1.01-1.03x tie at
+    # w = 512, so the gate is off; the engine stays implemented and
+    # tested (kernels/fused_jnp.py:transform_axis0) for layout-different
+    # future chips/toolchains.
+    axis0_h_min=1 << 62,
+    axis0_h_max=1 << 62,
+    axis0_w_min=512,
     calibrated=True,
-    note="measured on v5e 2026-08 (docs/ABLATION.md §3, §7, §9, §10, §11)",
+    note="measured on v5e 2026-08 (docs/ABLATION.md §3, §7, §9, §10, §11, §19)",
 )
 
 TUNING = {

@@ -347,3 +347,75 @@ def test_prev_fast_len():
     assert gf.prev_fast_len(3, real=True) == 2
     with pytest.raises(ValueError):
         gf.prev_fast_len(1)
+
+
+class TestAxis0ColumnPass:
+    """The axis-0 folded-einsum column engine (kernels/fused_jnp.py).
+
+    The dispatch gate is OFF on current chips (composed-measurement
+    rejection, docs/ABLATION.md §19) — these tests pin (a) that default,
+    (b) the engine's correctness for a future re-opening, and (c) the
+    fft2/rfft2/irfft2 dispatch branches under a forced gate.
+    """
+
+    def test_gate_off_by_default(self):
+        from gpu_fft_tpu.plan import axis0_applies
+
+        for h, w in ((2048, 512), (4096, 4096), (8192, 2048)):
+            assert not axis0_applies(h, w)
+
+    def test_engine_correctness(self, rng):
+        import jax.numpy as jnp
+
+        from gpu_fft_tpu.kernels.fused_jnp import transform_axis0
+
+        for h, w, cx in ((64, 96, False), (512, 130, True), (2048, 64, False)):
+            x = rng.standard_normal((h, w)).astype(np.float32)
+            xi = rng.standard_normal((h, w)).astype(np.float32) if cx else None
+            yr, yi = transform_axis0(
+                jnp.asarray(x), None if xi is None else jnp.asarray(xi), h, -1
+            )
+            z = (x if xi is None else x + 1j * xi).astype(np.complex128)
+            ref = np.fft.fft(z, axis=0)
+            scale = max(1.0, np.abs(ref).max())
+            assert np.abs(np.asarray(yr) - ref.real).max() / scale < 3e-6, (h, w, cx)
+            assert np.abs(np.asarray(yi) - ref.imag).max() / scale < 3e-6, (h, w, cx)
+        # inverse direction with the scale folded into the tables
+        x = rng.standard_normal((256, 48)).astype(np.float32)
+        yr, yi = transform_axis0(jnp.asarray(x), None, 256, +1, scale=1.0 / 256)
+        ref = np.fft.ifft(x.astype(np.complex128), axis=0)
+        assert np.abs(np.asarray(yr) - ref.real).max() < 1e-6
+
+    def test_dispatch_branches_under_forced_gate(self, rng, monkeypatch):
+        import gpu_fft_tpu.plan as plan
+
+        monkeypatch.setattr(plan, "axis0_applies", lambda h, w: h & (h - 1) == 0)
+        h, w = 512, 96
+        x = rng.standard_normal((h, w)).astype(np.float32)
+        yr, yi = gf.fft2_device(x)
+        ref = np.fft.fft2(x.astype(np.float64))
+        scale = np.abs(ref).max()
+        assert np.abs(np.asarray(yr) - ref.real).max() / scale < 3e-6
+        assert np.abs(np.asarray(yi) - ref.imag).max() / scale < 3e-6
+        br, bi = gf.ifft2_device(yr, yi)
+        assert np.abs(np.asarray(br) - x).max() < 5e-4
+        # one-sided pair through the forced gate
+        h, w = 256, 256
+        x = rng.standard_normal((h, w)).astype(np.float32)
+        yr, yi = gf.rfft2_device(x)
+        ref = np.fft.rfft2(x.astype(np.float64))
+        scale = np.abs(ref).max()
+        assert np.abs(np.asarray(yr) - ref.real).max() / scale < 3e-6
+        back = gf.irfft2_device(yr, yi)
+        assert np.abs(np.asarray(back) - x).max() < 5e-4
+
+    def test_batched_lead_through_forced_gate(self, rng, monkeypatch):
+        import gpu_fft_tpu.plan as plan
+
+        monkeypatch.setattr(plan, "axis0_applies", lambda h, w: True)
+        x = rng.standard_normal((2, 128, 64)).astype(np.float32)
+        yr, yi = gf.fft2_device(x)
+        ref = np.fft.fft2(x.astype(np.float64))
+        scale = np.abs(ref).max()
+        assert np.abs(np.asarray(yr) - ref.real).max() / scale < 3e-6
+        assert np.abs(np.asarray(yi) - ref.imag).max() / scale < 3e-6
