@@ -95,6 +95,11 @@ PARALLEL = [
     "fft2_sharded", "ifft2_sharded", "fftn_sharded", "ifftn_sharded",
 ]
 
+MODELS = [
+    "SpectralConv1d", "SpectralConv2d", "FNO1d", "FNO2d", "append_grid",
+    "mse", "make_train_step", "make_data_parallel_step", "fit",
+]
+
 UTILS = [
     "generate_sine_wave", "calculate_frequencies", "calculate_one_sided_frequencies",
     "find_dominant_frequencies", "fftfreq", "rfftfreq", "chirp",
@@ -149,6 +154,17 @@ def main() -> None:
         lines.append(f"- **`{name}{_sig(obj)}`** — {_summary(obj)}")
     lines.append("")
 
+    lines += ["## Model family (`gpu_fft_tpu.models`)", ""]
+    from gpu_fft_tpu import models
+
+    for name in MODELS:
+        obj = getattr(models, name)
+        if inspect.isclass(obj):
+            lines.append(f"- **`{name}`** (flax module) — {_summary(obj)}")
+        else:
+            lines.append(f"- **`{name}{_sig(obj)}`** — {_summary(obj)}")
+    lines.append("")
+
     lines += ["## Host utilities (`gpu_fft_tpu.utils`)", ""]
     for name in UTILS:
         obj = getattr(utils, name)
@@ -166,7 +182,8 @@ def main() -> None:
 
     out = pathlib.Path("docs/API.md")
     out.write_text("\n".join(lines))
-    print(f"wrote {out} ({len(lines)} lines, {len(listed) + len(PARALLEL) + len(UTILS)} symbols)"
+    print(f"wrote {out} ({len(lines)} lines, "
+          f"{len(listed) + len(PARALLEL) + len(MODELS) + len(UTILS)} symbols)"
           + (f"; UNGROUPED: {missing}" if missing else ""))
 
 

@@ -41,6 +41,14 @@ def test_backends_example():
     assert found >= 2, f"expected per-backend roundtrip lines, got:\n{out}"
 
 
+def test_fno_example():
+    import fno
+
+    out = _run_capturing(fno.main)
+    assert "[OK] antiderivative operator learned" in out
+    assert "FNO2d forward: (2, 64, 64, 1) -> (2, 64, 64, 1)" in out
+
+
 def test_cli_demo():
     from gpu_fft_tpu.__main__ import main
 
