@@ -16,11 +16,20 @@ __all__ = [
     "mse",
     "make_train_step",
     "make_data_parallel_step",
+    "make_gspmd_step",
+    "param_shardings",
     "fit",
 ]
 
 _FNO = {"SpectralConv1d", "SpectralConv2d", "FNO1d", "FNO2d", "append_grid"}
-_TRAIN = {"mse", "make_train_step", "make_data_parallel_step", "fit"}
+_TRAIN = {
+    "mse",
+    "make_train_step",
+    "make_data_parallel_step",
+    "make_gspmd_step",
+    "param_shardings",
+    "fit",
+}
 
 
 def __getattr__(name):

@@ -17,7 +17,14 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import PartitionSpec as P
 
-__all__ = ["mse", "make_train_step", "make_data_parallel_step", "fit"]
+__all__ = [
+    "mse",
+    "make_train_step",
+    "make_data_parallel_step",
+    "make_gspmd_step",
+    "param_shardings",
+    "fit",
+]
 
 
 def mse(pred, target):
@@ -74,6 +81,97 @@ def make_data_parallel_step(apply_fn, optimizer, mesh, axis="dp", loss_fn=mse):
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def param_shardings(params, mesh, axis="tp"):
+    """Channel-sharded NamedShardings for a parameter pytree.
+
+    The tensor-parallel layout rule: each array shards its LAST axis over
+    ``axis`` when divisible by the axis size (Dense kernels and biases
+    split their output features; spectral-conv weights split their kept
+    modes), otherwise it stays replicated.  This is a layout HINT, not a
+    program transform — under ``jit`` GSPMD propagates the shardings
+    through the whole step and inserts the collectives itself, so
+    correctness never depends on the rule and a bad hint costs only
+    performance (the scaling-book recipe: pick a mesh, annotate, let XLA
+    place the comms).
+    """
+    from jax.sharding import NamedSharding
+
+    size = mesh.shape[axis]
+
+    def rule(p):
+        spec = [None] * p.ndim
+        if p.ndim and p.shape[-1] % size == 0 and p.shape[-1] >= size:
+            spec[-1] = axis
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree.map(rule, params)
+
+
+def make_gspmd_step(apply_fn, optimizer, mesh, dp_axis=None, tp_axis=None, loss_fn=mse):
+    """2-D-parallel train step via jit + sharding annotations (GSPMD).
+
+    Batch rows shard over ``dp_axis``; parameters (and the mirrored optax
+    state) shard channels over ``tp_axis`` per :func:`param_shardings`.
+    Unlike :func:`make_data_parallel_step` (explicit shard_map + pmean),
+    this is the compiler-placed form: one ``jit`` with in/out shardings,
+    XLA inserts every collective.  Either axis may be ``None`` to run
+    1-D dp-only or tp-only.  Returns ``(step, shard_params)`` where
+    ``shard_params(params, opt_state)`` places an existing (replicated)
+    state onto the mesh layout.
+    """
+    from jax.sharding import NamedSharding
+
+    def shardings_of(params, opt_state):
+        if tp_axis is not None:
+            p_sh = param_shardings(params, mesh, tp_axis)
+        else:
+            rep = NamedSharding(mesh, P())
+            p_sh = jax.tree.map(lambda _: rep, params)
+        # optax state mirrors the param tree where it holds arrays of the
+        # same shape (mu/nu); scalars (count) replicate.
+        def opt_rule(s):
+            if tp_axis is not None and s.ndim and s.shape[-1] % mesh.shape[tp_axis] == 0 and s.shape[-1] >= mesh.shape[tp_axis]:
+                return NamedSharding(mesh, P(*([None] * (s.ndim - 1) + [tp_axis])))
+            return NamedSharding(mesh, P())
+
+        o_sh = jax.tree.map(opt_rule, opt_state)
+        return p_sh, o_sh
+
+    data_spec = P(dp_axis) if dp_axis is not None else P()
+    data_sh = jax.sharding.NamedSharding(mesh, data_spec)
+
+    def step_impl(params, opt_state, x, y):
+        def loss(p):
+            return loss_fn(apply_fn(p, x), y)
+
+        value, grads = jax.value_and_grad(loss)(params)
+        updates, new_opt = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt, value
+
+    cache = {}
+
+    def step(params, opt_state, x, y):
+        # The sharding layout needs the param tree, which only exists at
+        # call time — build the jitted step on first use, reuse after.
+        if "fn" not in cache:
+            p_sh, o_sh = shardings_of(params, opt_state)
+            cache["fn"] = jax.jit(
+                step_impl,
+                in_shardings=(p_sh, o_sh, data_sh, data_sh),
+                out_shardings=(p_sh, o_sh, None),
+            )
+        return cache["fn"](params, opt_state, x, y)
+
+    def shard_params(params, opt_state):
+        p_sh, o_sh = shardings_of(params, opt_state)
+        return (
+            jax.tree.map(jax.device_put, params, p_sh),
+            jax.tree.map(jax.device_put, opt_state, o_sh),
+        )
+
+    return step, shard_params
 
 
 def fit(step, params, opt_state, data, steps):

@@ -154,5 +154,54 @@ def test_data_parallel_step_matches_single_chip(rng, mesh8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_gspmd_2d_parallel_step_matches_single_chip(rng):
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from jax.sharding import Mesh
+
+    from gpu_fft_tpu.models import make_gspmd_step, param_shardings
+
+    mesh = Mesh(np.asarray(devs[:8]).reshape(2, 4), ("dp", "tp"))
+    x, y = _derivative_problem(rng, 8, 64)
+    model = FNO1d(modes=8, width=16, depth=2)
+    params = model.init(jax.random.PRNGKey(3), x)
+    opt = optax.adam(1e-3)
+    p_ref, _, l_ref = make_train_step(model.apply, opt)(params, opt.init(params), x, y)
+    step, shard = make_gspmd_step(model.apply, opt, mesh, dp_axis="dp", tp_axis="tp")
+    ps, os_ = shard(params, opt.init(params))
+    p_tp, _, l_tp = step(ps, os_, x, y)
+    jax.block_until_ready(p_tp)
+    assert abs(float(l_ref) - float(l_tp)) < 1e-6
+    err = max(
+        float(jnp.abs(a - b).max())
+        for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_tp))
+    )
+    assert err < 5e-6, f"gspmd update diverged: {err}"
+    # The layout hint must actually have sharded something over tp.
+    specs = {str(l.sharding.spec) for l in jax.tree.leaves(p_tp)}
+    assert any("tp" in s for s in specs), f"nothing sharded: {specs}"
+
+
+def test_param_shardings_rule(rng):
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from jax.sharding import Mesh
+
+    from gpu_fft_tpu.models import param_shardings
+
+    mesh = Mesh(np.asarray(devs[:8]), ("tp",))
+    tree = {
+        "dense": jnp.zeros((3, 16)),  # 16 % 8 == 0 -> last dim sharded
+        "odd": jnp.zeros((3, 7)),  # not divisible -> replicated
+        "tiny": jnp.zeros((4,)),  # smaller than axis -> replicated
+    }
+    sh = param_shardings(tree, mesh, "tp")
+    assert "tp" in str(sh["dense"].spec)
+    assert "tp" not in str(sh["odd"].spec)
+    assert "tp" not in str(sh["tiny"].spec)
+
+
 def test_mse_value():
     assert float(mse(jnp.ones((2, 2)), jnp.zeros((2, 2)))) == 1.0
