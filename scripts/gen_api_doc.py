@@ -97,7 +97,8 @@ PARALLEL = [
 
 MODELS = [
     "SpectralConv1d", "SpectralConv2d", "FNO1d", "FNO2d", "append_grid",
-    "mse", "make_train_step", "make_data_parallel_step", "fit",
+    "mse", "make_train_step", "make_data_parallel_step", "make_gspmd_step",
+    "param_shardings", "fit",
 ]
 
 UTILS = [
