@@ -130,7 +130,7 @@ class SpectralConv2d(nn.Module):
 
         tr, ti = _cmul_mix(yr[:, :, :m1, :m2], yi[:, :, :m1, :m2], w1r, w1i)
         br, bi = _cmul_mix(yr[:, :, h - m1 :, :m2], yi[:, :, h - m1 :, :m2], w2r, w2i)
-        gap = jnp.zeros((b, o, h - 2 * m1, m2), jnp.float32)
+        gap = jnp.zeros((b, o, h - 2 * m1, m2), tr.dtype)
         zr = jnp.concatenate([tr, gap, br], axis=2)
         zi = jnp.concatenate([ti, gap, bi], axis=2)
         pad = [(0, 0), (0, 0), (0, 0), (0, hw - m2)]

@@ -32,6 +32,21 @@ def mse(pred, target):
     return jnp.mean((pred - target) ** 2)
 
 
+def _last_axis_shards(shape, size) -> bool:
+    """The single layout rule shared by params and optimizer state: an
+    array shards its LAST axis over the mesh axis iff that axis is
+    divisible by (and at least) the axis size."""
+    return bool(shape) and shape[-1] % size == 0 and shape[-1] >= size
+
+
+def _check_batch_divisible(x, size, axis_name):
+    if x.shape[0] % size:
+        raise ValueError(
+            f"batch dimension {x.shape[0]} must be divisible by mesh axis "
+            f"{axis_name!r} (size {size}) — pad or rebatch the data"
+        )
+
+
 def make_train_step(apply_fn, optimizer, loss_fn=mse):
     """Jitted ``(params, opt_state, x, y) -> (params, opt_state, loss)``.
 
@@ -61,7 +76,12 @@ def make_data_parallel_step(apply_fn, optimizer, mesh, axis="dp", loss_fn=mse):
     Updates are computed post-reduction so every replica applies the
     identical step: parameters stay bitwise-replicated without any
     re-broadcast.
+
+    The leading batch dimension of ``x``/``y`` must be divisible by the
+    mesh axis size (shard_map splits it evenly); the step checks and
+    raises a clear ValueError otherwise.
     """
+    size = mesh.shape[axis]
 
     def local(params, opt_state, x, y):
         def loss(p):
@@ -80,7 +100,13 @@ def make_data_parallel_step(apply_fn, optimizer, mesh, axis="dp", loss_fn=mse):
         out_specs=(P(), P(), P()),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    jitted = jax.jit(sharded)
+
+    def step(params, opt_state, x, y):
+        _check_batch_divisible(x, size, axis)
+        return jitted(params, opt_state, x, y)
+
+    return step
 
 
 def param_shardings(params, mesh, axis="tp"):
@@ -102,7 +128,7 @@ def param_shardings(params, mesh, axis="tp"):
 
     def rule(p):
         spec = [None] * p.ndim
-        if p.ndim and p.shape[-1] % size == 0 and p.shape[-1] >= size:
+        if _last_axis_shards(p.shape, size):
             spec[-1] = axis
         return NamedSharding(mesh, P(*spec))
 
@@ -130,9 +156,10 @@ def make_gspmd_step(apply_fn, optimizer, mesh, dp_axis=None, tp_axis=None, loss_
             rep = NamedSharding(mesh, P())
             p_sh = jax.tree.map(lambda _: rep, params)
         # optax state mirrors the param tree where it holds arrays of the
-        # same shape (mu/nu); scalars (count) replicate.
+        # same shape (mu/nu); scalars (count) replicate.  Same predicate
+        # as param_shardings so the mirrored layout cannot drift.
         def opt_rule(s):
-            if tp_axis is not None and s.ndim and s.shape[-1] % mesh.shape[tp_axis] == 0 and s.shape[-1] >= mesh.shape[tp_axis]:
+            if tp_axis is not None and _last_axis_shards(s.shape, mesh.shape[tp_axis]):
                 return NamedSharding(mesh, P(*([None] * (s.ndim - 1) + [tp_axis])))
             return NamedSharding(mesh, P())
 
@@ -152,17 +179,27 @@ def make_gspmd_step(apply_fn, optimizer, mesh, dp_axis=None, tp_axis=None, loss_
 
     cache = {}
 
+    def _tree_key(tree):
+        leaves, structure = jax.tree.flatten(tree)
+        return (structure, tuple(getattr(l, "shape", ()) for l in leaves))
+
     def step(params, opt_state, x, y):
         # The sharding layout needs the param tree, which only exists at
-        # call time — build the jitted step on first use, reuse after.
-        if "fn" not in cache:
+        # call time — build the jitted step on first use.  The cache is
+        # keyed on the (structure, shapes) of both trees, so calling the
+        # same returned step with a different model/optimizer state builds
+        # fresh shardings instead of silently reusing stale layout hints.
+        if dp_axis is not None:
+            _check_batch_divisible(x, mesh.shape[dp_axis], dp_axis)
+        key = (_tree_key(params), _tree_key(opt_state))
+        if key not in cache:
             p_sh, o_sh = shardings_of(params, opt_state)
-            cache["fn"] = jax.jit(
+            cache[key] = jax.jit(
                 step_impl,
                 in_shardings=(p_sh, o_sh, data_sh, data_sh),
                 out_shardings=(p_sh, o_sh, None),
             )
-        return cache["fn"](params, opt_state, x, y)
+        return cache[key](params, opt_state, x, y)
 
     def shard_params(params, opt_state):
         p_sh, o_sh = shardings_of(params, opt_state)
