@@ -102,7 +102,16 @@ def main() -> None:
                 "n": n,
                 "kind": kind,
             }
-            row.update(roofline.roofline_row(b, n, kind, s.median_s, chip=chip))
+            # Measured kernel count of the compiled step (persistent-cache
+            # cheap) feeds the launch-floor wall so small-N rows name their
+            # true bound (round-3 verdict item 3).
+            try:
+                nk = roofline.count_kernels(step, x0)
+            except Exception:
+                nk = None
+            row.update(
+                roofline.roofline_row(b, n, kind, s.median_s, chip=chip, n_kernels=nk)
+            )
             details["configs"][name] = row
             print(
                 f"[bench] {name}: {s.median_s * 1e6:.2f} us "
@@ -372,6 +381,52 @@ def main() -> None:
 
     # ── Mosaic smoke: compile-and-run every Pallas kernel kind on TPU ───────
     details["mosaic_smoke"] = mosaic_smoke() if platform != "cpu" else {"skipped": "cpu platform"}
+
+    # ── Calibration gate + north-star verdict (round-3 verdict item 6) ──────
+    # %SoL is only certifiable when the FULL instrument (EFF_PASSES,
+    # bandwidths, launch floor) was measured on THIS chip generation;
+    # transferred models describe a different chip and must not certify.
+    calibrated = roofline.chip_calibrated(chip)
+    details["calibration"] = {
+        "chip": chip.name,
+        "calibrated": calibrated,
+        "remedy": None
+        if calibrated
+        else (
+            f"instrument transferred from v5e — run `python scripts/calibrate_chip.py`, "
+            f"`python scripts/calibrate_matmul.py` and `python scripts/calibrate_latency.py` "
+            f"on {chip.name} hardware, then add the measured rows to "
+            f"utils/roofline.py (CHIPS/EFF_PASSES) and {chip.name} to CALIBRATED_CHIPS"
+        ),
+    }
+    ns_rows = {
+        name: row
+        for name, row in c.items()
+        if row.get("kind") == "fft" and row.get("n", 0) <= (1 << 20) and "pct_sol" in row
+        and not name.startswith("xla_")
+    }
+    if not calibrated:
+        ns_verdict = "uncertifiable"
+    elif ns_rows and all(r["pct_sol"] >= 80.0 for r in ns_rows.values()):
+        ns_verdict = "met"
+    else:
+        ns_verdict = "not met"
+    details["north_star"] = {
+        "target": "scalar fft N<=2^20 at >=80% of calibrated speed-of-light "
+        "(latency-bound small-N rows judged against the measured launch floor)",
+        "rows": {k: round(v["pct_sol"], 1) for k, v in ns_rows.items()},
+        "bounds": {k: v.get("bound") for k, v in ns_rows.items()},
+        "verdict": ns_verdict,
+    }
+    if not calibrated:
+        print(
+            f"[bench] UNCALIBRATED chip {chip.name}: %SoL is a transferred model, "
+            f"north star not certifiable — {details['calibration']['remedy']}",
+            file=sys.stderr,
+            flush=True,
+        )
+    else:
+        print(f"[bench] north star: {ns_verdict} {details['north_star']['rows']}", file=sys.stderr, flush=True)
 
     details["wall_s"] = time.time() - start
 
