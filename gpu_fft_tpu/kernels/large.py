@@ -185,6 +185,14 @@ def inverse_real_half(xr, xi, n: int, scale: float | None = None):
         from .fused_jnp import irfft_direct_half_jnp
 
         return irfft_direct_half_jnp(xr, xi, get_irfft_direct_plan(n, scale))
+    # NOTE (round 4, scripts/ablate_irfft_fused.py): assembling the
+    # (B, n2, h1) fold grid STRAIGHT from the one-sided bins
+    # (fused_jnp.fused_irfft_half_jnp) was measured and REJECTED — its
+    # revs + concats land on a 129-wide minor axis (odd lane tile), which
+    # costs more than the full mirror's aligned flat-axis concats save
+    # (n=65536: 10.9 vs 8.3 us through the same harness).  The mirror
+    # form below stays the dispatch; the direct-grid engine remains
+    # implemented + oracle-tested for layout-different toolchains.
     # Hermitian reconstruction: X[n-k] = conj(X[k]); DC/Nyquist forced real.
     # The tail rev(x[1:h-1]) equals the first h-2 elements of the flat
     # reversal of x[:n/2] — a POW2-length reversal that runs as a cheap

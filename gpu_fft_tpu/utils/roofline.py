@@ -47,6 +47,7 @@ __all__ = [
     "CALIBRATED_CHIPS",
     "chip_calibrated",
     "count_kernels",
+    "compiled_stats",
 ]
 
 
@@ -128,14 +129,21 @@ def eff_passes(chip_name: str, k: int) -> float:
     return table[key]
 
 
-def count_kernels(step, x0) -> int:
-    """Kernel count of ``jit(step)(x0)``'s compiled module.
+def compiled_stats(step, x0) -> dict:
+    """Kernel count + content fingerprint of ``jit(step)(x0)``'s compiled
+    module.
 
-    Counts fusion computations plus TPU custom calls (Pallas kernels) in
-    the compiled HLO — each is one device kernel launch per iteration, the
-    unit the launch-floor model charges.  Compilation rides the persistent
-    cache, so repeat bench runs pay nothing.
+    ``n_kernels`` counts fusion computations plus TPU custom calls (Pallas
+    kernels) in the compiled HLO — each is one device kernel launch per
+    iteration, the unit the launch-floor model charges.  ``fingerprint``
+    is a sha256 prefix of the compiled HLO text: two rounds with the same
+    fingerprint run the IDENTICAL program, so a timing delta between them
+    is environment drift by construction, not a code regression (the
+    regression gate uses this to reclassify IQR-exceeding deltas —
+    round-4 welch study, docs/ABLATION.md §21).  Compilation rides the
+    persistent cache, so repeat bench runs pay nothing.
     """
+    import hashlib
     import re
 
     import jax
@@ -143,7 +151,16 @@ def count_kernels(step, x0) -> int:
     txt = jax.jit(step).lower(x0).compile().as_text()
     fusions = len(re.findall(r"^\s*(?:ROOT )?%?fusion", txt, re.M))
     pallas = txt.count('custom_call_target="tpu_custom_call"')
-    return fusions + pallas
+    return {
+        "n_kernels": fusions + pallas,
+        "fingerprint": hashlib.sha256(txt.encode()).hexdigest()[:16],
+    }
+
+
+def count_kernels(step, x0) -> int:
+    """Kernel count of ``jit(step)(x0)``'s compiled module (see
+    :func:`compiled_stats`)."""
+    return compiled_stats(step, x0)["n_kernels"]
 
 
 def detect_chip() -> ChipSpec:

@@ -181,3 +181,46 @@ def test_direct_half_grad_flows():
     fi = jnp.asarray(rng.standard_normal((1, h)).astype(np.float32))
     g = jax.grad(lambda a, b: jnp.sum(irfft_device(a, b) ** 2), argnums=(0, 1))(fr, fi)
     assert np.isfinite(np.asarray(g[0])).all() and np.isfinite(np.asarray(g[1])).all()
+
+
+class TestOneSidedDirectGridEngine:
+    """fused_irfft_half_jnp: the fold grid assembled STRAIGHT from the
+    one-sided bins.  Measured and REJECTED as the fused-size dispatch
+    (its odd-width minor-axis concats cost more than the full mirror's
+    aligned flat concats — docs/ABLATION.md §22), but the engine stays
+    correct and oracle-pinned for layout-different chips/toolchains,
+    the same disposition as the fft2 axis-0 pass (§19)."""
+
+    @pytest.mark.parametrize("n", [1 << 15, 1 << 16])
+    @pytest.mark.parametrize("b", [1, 3])
+    def test_matches_numpy_irfft(self, n, b):
+        from gpu_fft_tpu.kernels.fused_jnp import fused_irfft_half_jnp
+        from gpu_fft_tpu.plan import get_irfft_plan
+
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((b, n)).astype(np.float32)
+        sp = np.fft.rfft(x.astype(np.float64))
+        y = np.asarray(
+            fused_irfft_half_jnp(
+                jnp.asarray(sp.real.astype(np.float32)),
+                jnp.asarray(sp.imag.astype(np.float32)),
+                get_irfft_plan(n, scale=1.0 / n),
+            )
+        )
+        err = np.abs(y - x).max()
+        assert err < _bound(n), f"n={n} b={b}: error {err:.2e}"
+
+    def test_ignores_dc_nyquist_imag(self):
+        """numpy irfft semantics: dirty imaginary parts in bins 0 and n/2
+        must not change the output."""
+        from gpu_fft_tpu.kernels.fused_jnp import fused_irfft_half_jnp
+        from gpu_fft_tpu.plan import get_irfft_plan
+
+        n = 1 << 15
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((1, n)).astype(np.float32)
+        sp = np.fft.rfft(x.astype(np.float64))
+        xr = jnp.asarray(sp.real.astype(np.float32))
+        xi = jnp.asarray(sp.imag.astype(np.float32)).at[:, 0].set(7.0).at[:, -1].set(-3.0)
+        y = np.asarray(fused_irfft_half_jnp(xr, xi, get_irfft_plan(n, scale=1.0 / n)))
+        assert np.abs(y - x).max() < _bound(n)
