@@ -12,5 +12,5 @@ python scripts/bench_sweep.py "$@" | tee bench-results/last_run.log
 # Distributed validation section (8-device virtual CPU mesh) — best-effort.
 XLA_FLAGS="${XLA_FLAGS:-} --xla_force_host_platform_device_count=8" \
   python scripts/bench_distributed.py || echo "(distributed section skipped)"
-python scripts/export_report.py
-echo "report: bench-results/latest.md"
+python scripts/export_report.py --readme
+echo "report: bench-results/latest.md (+ README.md headline tables)"

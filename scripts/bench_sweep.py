@@ -127,7 +127,15 @@ def main() -> None:
                 "suspect": st.suspect,
                 "melem_per_s": melem,
             }
-            entry.update(roofline.roofline_row(b, n, kind, st.median_s, chip=chip))
+            # Kernel count feeds the measured launch-floor wall so small-N
+            # rows name their true bound (bench.py does the same).
+            try:
+                nk = roofline.compiled_stats(step, x0)["n_kernels"]
+            except Exception:
+                nk = None
+            entry.update(
+                roofline.roofline_row(b, n, kind, st.median_s, chip=chip, n_kernels=nk)
+            )
             results["entries"].append(entry)
             print(
                 f"{name:40s} {st.median_s * 1e6:9.2f} us ±{st.iqr_s * 1e6:6.2f}  "

@@ -454,10 +454,132 @@ def render_markdown(raw, charts, out_md):
     out_md.write_text("\n".join(lines))
 
 
+README_BEGIN = (
+    "<!-- bench-tables:begin (generated by scripts/export_report.py --readme;"
+    " do not edit by hand) -->"
+)
+README_END = "<!-- bench-tables:end -->"
+
+
+def _fmt_us(us: float) -> str:
+    return f"{us:.2f} µs" if us < 1000 else f"{us / 1000:.3f} ms"
+
+
+def render_readme_tables(raw) -> str:
+    """Headline tables for the README (the reference README's pattern of
+    publishing its measured tables in-page, `README.md:132-327`): scalar
+    sweep vs the vendor FFT and the reference baseline, batched throughput,
+    and the analysis-op pipelines — each row stamped with %SoL + bound."""
+    entries = raw["entries"]
+
+    def pick(kind, backend, batch=None):
+        rows = {}
+        for e in entries:
+            if e["kind"] == kind and e["backend"] == backend:
+                if batch is not None and e["batch"] != batch:
+                    continue
+                rows[(e["batch"], e["n"])] = e
+        return rows
+
+    lines = [
+        f"*Generated {raw.get('timestamp', '?')} at commit"
+        f" `{raw.get('commit', '?')}` on {raw.get('device', '?')}"
+        f" ({raw.get('chip', '?')}); timing = chained on-device iteration,"
+        " median over ≥5 reps.  Reference baseline: eugenehp/gpu-fft on"
+        f" Apple M4 Mini — wgpu scalar fft, best MLX {REFERENCE_MLX_65536}"
+        " Melem/s at N=65,536.*",
+        "",
+        "### Scalar forward FFT (real input, B=1)",
+        "",
+        "| N | this library | Melem/s | XLA `jnp.fft` | vs XLA | reference (wgpu) | vs reference | %SoL (bound) |",
+        "|---:|---:|---:|---:|---:|---:|---:|---|",
+    ]
+    ours = pick("fft", "pallas", batch=1)
+    xla = pick("fft", "xla", batch=1)
+    for (b, n), e in sorted(ours.items(), key=lambda kv: kv[0][1]):
+        x = xla.get((b, n))
+        ref = REFERENCE_SCALAR.get(n)
+        vs_x = f"{x['per_call_us'] / e['per_call_us']:.1f}×" if x else "—"
+        vs_r = f"{e['melem_per_s'] / ref:.0f}×" if ref else "—"
+        sol = f"{e['pct_sol']:.0f}% ({e.get('bound', '?')})" if "pct_sol" in e else "—"
+        lines.append(
+            f"| {n:,} | {_fmt_us(e['per_call_us'])} | {e['melem_per_s']:,.0f} |"
+            f" {_fmt_us(x['per_call_us']) if x else '—'} | {vs_x} |"
+            f" {f'{ref} Melem/s' if ref else '—'} | {vs_r} | {sol} |"
+        )
+    lines += [
+        "",
+        "### Batched forward FFT (one device pass)",
+        "",
+        "| B × N | this library | Melem/s | XLA `jnp.fft` | vs XLA | %SoL (bound) |",
+        "|---:|---:|---:|---:|---:|---|",
+    ]
+    ours = pick("fft_batch", "pallas")
+    xla = pick("fft_batch", "xla")
+    for (b, n), e in sorted(ours.items()):
+        x = xla.get((b, n))
+        vs_x = f"{x['per_call_us'] / e['per_call_us']:.1f}×" if x else "—"
+        sol = f"{e['pct_sol']:.0f}% ({e.get('bound', '?')})" if "pct_sol" in e else "—"
+        lines.append(
+            f"| {b} × {n:,} | {_fmt_us(e['per_call_us'])} | {e['melem_per_s']:,.0f} |"
+            f" {_fmt_us(x['per_call_us']) if x else '—'} | {vs_x} | {sol} |"
+        )
+    lines += [
+        "",
+        "### Inverse, roundtrip, and analysis pipelines",
+        "",
+        "| Pipeline | B | N | per call | Melem/s | %SoL (bound) |",
+        "|---|---:|---:|---:|---:|---|",
+    ]
+    analysis_kinds = (
+        "ifft",
+        "irfft",
+        "roundtrip",
+        "roundtrip_batch",
+        "fft2",
+        "fft_exact",
+        "hilbert",
+        "welch",
+        "stft_roundtrip",
+        "oaconvolve",
+        "conv2d",
+        "dct_roundtrip",
+        "resample",
+    )
+    for kind in analysis_kinds:
+        for (b, n), e in sorted(pick(kind, "pallas").items()):
+            sol = f"{e['pct_sol']:.0f}% ({e.get('bound', '?')})" if "pct_sol" in e else "—"
+            lines.append(
+                f"| {kind} | {b} | {n:,} | {_fmt_us(e['per_call_us'])} |"
+                f" {e['melem_per_s']:,.0f} | {sol} |"
+            )
+    lines.append("")
+    return "\n".join(lines)
+
+
+def inject_readme(raw, readme_path=pathlib.Path("README.md")) -> bool:
+    """Replace the marker-delimited block in the README with fresh tables.
+    Returns False (and leaves the file alone) if the markers are absent."""
+    text = readme_path.read_text()
+    try:
+        head, rest = text.split(README_BEGIN, 1)
+        _, tail = rest.split(README_END, 1)
+    except ValueError:
+        return False
+    block = README_BEGIN + "\n" + render_readme_tables(raw) + README_END
+    readme_path.write_text(head + block + tail)
+    return True
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("raw", nargs="?", default=None, help="raw sweep JSON")
     parser.add_argument("--out", default="bench-results")
+    parser.add_argument(
+        "--readme",
+        action="store_true",
+        help="also refresh the marker-delimited benchmark tables in README.md",
+    )
     args = parser.parse_args()
 
     out = pathlib.Path(args.out)
@@ -494,6 +616,11 @@ def main() -> None:
         charts.append(("Analysis-op pipelines", "charts/analysis_ops.svg"))
 
     render_markdown(raw, charts, out / "latest.md")
+    if args.readme:
+        if inject_readme(raw):
+            print("refreshed README.md benchmark tables")
+        else:
+            print("README.md bench-table markers not found; skipped")
     # Timestamped archive (the reference's bench-results/archive layout,
     # scripts/bench.sh:37).
     archive = out / "archive"
