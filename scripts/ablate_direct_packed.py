@@ -100,19 +100,25 @@ def main() -> None:
         zr = jnp.asarray(sp.real.astype(np.float32))
         zi = jnp.asarray(sp.imag.astype(np.float32))
 
+        # Both spectrum halves ride the chained carry (stacked (2, b, h)) so
+        # zi is runtime data under jit — a closed-over zi would be a
+        # compile-time constant XLA can fold into the dot, flattering the
+        # timed variants (advisor finding, round 4).
+        z0 = jnp.stack([zr, zi])
+
         def i0(z):
-            y = inverse_real_half(z, zi, n, scale=1.0 / n)
-            return y[:, :h]
+            y = inverse_real_half(z[0], z[1], n, scale=1.0 / n)
+            return z.at[0].set(y[:, :h])
 
         def i1(z):
-            y = jnp.dot(jnp.concatenate([z, zi[:, 1 : h - 1]], axis=1), pid, **HI)
-            return y[:, :h]
+            y = jnp.dot(jnp.concatenate([z[0], z[1][:, 1 : h - 1]], axis=1), pid, **HI)
+            return z.at[0].set(y[:, :h])
 
-        a = np.asarray(jax.jit(i0)(zr))
-        bb = np.asarray(jax.jit(i1)(zr))
+        a = np.asarray(jax.jit(i0)(z0))
+        bb = np.asarray(jax.jit(i1)(z0))
         print(f"  parity i1 vs i0: {np.abs(a - bb).max():.3e}")
-        t(i0, zr, "I0 shipped inverse_real_half (2 dots K=129)")
-        t(i1, zr, "I1 packed concat + one-dot K=256")
+        t(i0, z0, "I0 shipped inverse_real_half (2 dots K=129)")
+        t(i1, z0, "I1 packed concat + one-dot K=256")
 
     # Composed stft roundtrip: shipped vs fully packed + window-folded.
     frame, hop, L = 256, 64, 16384

@@ -557,9 +557,14 @@ def render_readme_tables(raw) -> str:
     return "\n".join(lines)
 
 
-def inject_readme(raw, readme_path=pathlib.Path("README.md")) -> bool:
+def inject_readme(raw, readme_path=None) -> bool:
     """Replace the marker-delimited block in the README with fresh tables.
     Returns False (and leaves the file alone) if the markers are absent."""
+    if readme_path is None:
+        # Resolve against the repo root, not the CWD: the script takes a
+        # raw-JSON path and is plausibly run from elsewhere, where a
+        # CWD-relative README.md silently no-ops (advisor finding, round 4).
+        readme_path = pathlib.Path(__file__).resolve().parent.parent / "README.md"
     text = readme_path.read_text()
     try:
         head, rest = text.split(README_BEGIN, 1)
