@@ -40,7 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import config
 from ..config import KARATSUBA
 
-__all__ = ["stage_a"]
+__all__ = ["stage_a", "whole_transform"]
 
 
 def _dot(a, b):
@@ -277,6 +277,117 @@ def stage_a(
         out_shape=out_shape,
         interpret=_interpret(),
     )(xr, xi, *(tables[k] for k in names), *tw_args)
+
+
+# ── Whole-transform single-kernel path (the latency-bound small-N band) ─────
+#
+# The reference's central design idea is the single-dispatch fused kernel for
+# N <= TILE (``butterfly_inner``, reference src/butterfly.rs:84-147; launch
+# table README.md:397-405).  Round 2 retired the round-1 fused kernels on
+# THROUGHPUT grounds — but at B ~ 1, n = 1024..16384 the XLA schedule's ~11
+# fusions are the bound, not the math (fft_n1024: 2.44 us measured vs a
+# 1.21 us launch floor, BENCH_DETAILS r4).  This kernel is the
+# launch-count-minimizing translation: the ENTIRE four-step — column DFT,
+# twiddle, lane-axis row DFT with the digit reversal falling out of the
+# output block layout — in ONE pallas_call.  Dispatch is gated per (B, n) by
+# the measured table (tuning.whole_*; scripts/ablate_whole_kernel.py).
+
+
+def _dot_nt(a, z):
+    """out[i, k] = sum_c a[i, c] * z[k, c] — contraction on BOTH minor axes.
+
+    The MXU streams the rhs transposed natively (dot_general with rhs
+    contracting dim 1), so the (n1, n2) -> (n2, n1) axis swap of the
+    four-step's middle costs no separate relayout pass.
+    """
+    return lax.dot_general(
+        a,
+        z,
+        (((1,), (1,)), ((), ())),
+        precision=config.mosaic_precision(),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _whole_stage2(zr, zi, f2r, f2s, f2d, yr_ref, yi_ref):
+    """Shared stage 2: contract the lane digit c, natural-order (n2, n1) out."""
+    if KARATSUBA:
+        k1 = _dot_nt(f2r, zr + zi)
+        k2 = _dot_nt(f2d, zr)
+        k3 = _dot_nt(f2s, zi)
+        yr_ref[0] = k1 - k3
+        yi_ref[0] = k1 + k2
+    else:
+        fi = f2s - f2r  # ext group: fs = fr + fi
+        yr_ref[0] = _dot_nt(f2r, zr) - _dot_nt(fi, zi)
+        yi_ref[0] = _dot_nt(f2r, zi) + _dot_nt(fi, zr)
+
+
+def _whole_real_kernel(x_ref, f1r, f1i, twr, twi, f2r, f2s, f2d, yr_ref, yi_ref):
+    xb = x_ref[0]  # (n1, n2) = [a, c]
+    pr = _dot(f1r[...], xb)
+    pi = _dot(f1i[...], xb)
+    zr, zi = _cmul(pr, pi, twr[...], twi[...])
+    _whole_stage2(zr, zi, f2r[...], f2s[...], f2d[...], yr_ref, yi_ref)
+
+
+def _whole_complex_kernel(
+    xr_ref, xi_ref, f1r, f1s, f1d, twr, twi, f2r, f2s, f2d, yr_ref, yi_ref
+):
+    xbr = xr_ref[0]
+    xbi = xi_ref[0]
+    if KARATSUBA:
+        k1 = _dot(f1r[...], xbr + xbi)
+        k2 = _dot(f1d[...], xbr)
+        k3 = _dot(f1s[...], xbi)
+        pr, pi = k1 - k3, k1 + k2
+    else:
+        fi = f1s[...] - f1r[...]
+        pr = _dot(f1r[...], xbr) - _dot(fi, xbi)
+        pi = _dot(f1r[...], xbi) + _dot(fi, xbr)
+    zr, zi = _cmul(pr, pi, twr[...], twi[...])
+    _whole_stage2(zr, zi, f2r[...], f2s[...], f2d[...], yr_ref, yi_ref)
+
+
+def whole_transform(xr, xi, plan: dict):
+    """ONE pallas_call for the entire (B, n) fused transform.
+
+    ``plan``: ``plan.get_whole_plan(n, sign, scale)`` — f1/tw/f2 tables
+    oriented so the kernel's output block (n2, n1) flattens to the
+    natural-order spectrum (flat k = k1 + n1*j).  ``xi`` may be None (real
+    input: 5 in-kernel MXU dots; complex: 6).  Returns split-complex (B, n).
+    """
+    b, n = xr.shape
+    n1, n2 = plan["n1"], plan["n2"]
+    assert n == n1 * n2, (n, n1, n2)
+    grid = (b,)
+    x_spec = _vmem_spec((1, n1, n2), lambda i: (i, 0, 0))
+    t_spec = lambda key: pl.BlockSpec(
+        plan[key].shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    o_spec = _vmem_spec((1, n2, n1), lambda i: (i, 0, 0))
+    out_shape = [jax.ShapeDtypeStruct((b, n2, n1), jnp.float32)] * 2
+    if xi is None:
+        names = ("f1r", "f1i", "twr", "twi", "f2r", "f2s", "f2d")
+        yr, yi = pl.pallas_call(
+            _whole_real_kernel,
+            grid=grid,
+            in_specs=[x_spec] + [t_spec(k) for k in names],
+            out_specs=[o_spec, o_spec],
+            out_shape=out_shape,
+            interpret=_interpret(),
+        )(xr.reshape(b, n1, n2), *(plan[k] for k in names))
+    else:
+        names = ("f1r", "f1s", "f1d", "twr", "twi", "f2r", "f2s", "f2d")
+        yr, yi = pl.pallas_call(
+            _whole_complex_kernel,
+            grid=grid,
+            in_specs=[x_spec, x_spec] + [t_spec(k) for k in names],
+            out_specs=[o_spec, o_spec],
+            out_shape=out_shape,
+            interpret=_interpret(),
+        )(xr.reshape(b, n1, n2), xi.reshape(b, n1, n2), *(plan[k] for k in names))
+    return yr.reshape(b, n), yi.reshape(b, n)
 
 
 # ── Shared spec helpers ──────────────────────────────────────────────────────

@@ -38,14 +38,16 @@ from ..plan import (
     get_irfft_plan,
     get_pack_tables,
     get_stage_a_plan,
+    get_whole_plan,
     half_spectrum_applies,
     irfft_half_applies,
     irfft_half_staged_applies,
     rfft_pack_applies,
     use_folded_layout,
+    whole_kernel_applies,
     wide_split_applies,
 )
-from .fused import stage_a
+from .fused import stage_a, whole_transform
 from .fused_jnp import (
     fused_fft_jnp,
     fused_fft_jnp_folded,
@@ -226,6 +228,35 @@ def transform_any(xr, xi, n: int, sign: int, scale: float | None = None):
         return _real_packed_fft(xr, n, scale)
     if n <= FUSED_MAX:
         b = xr.shape[0]
+        if whole_kernel_applies(b, n) and config.PRECISION != "high":
+            # Latency-bound band: the ENTIRE four-step in ONE pallas_call
+            # (kernels/fused.py:whole_transform) — the reference's
+            # single-dispatch design translated (src/butterfly.rs:84-147).
+            # AD routes through the measured kernel exactly like the staged
+            # path: the DFT is a symmetric complex-linear map (F^T = F), so
+            # the real-form transpose is conj . F_sign . conj; the folded
+            # real ``scale`` carries through the transpose unchanged.
+            # ("high" precision falls through: Mosaic has no 3-pass
+            # lowering, same rule as the staged stage A.)
+            plan = get_whole_plan(n, sign, scale=scale)
+            if xi is None:
+                return jax.custom_derivatives.linear_call(
+                    lambda _, x: whole_transform(x, None, plan),
+                    lambda _, ct: whole_transform(ct[0], -ct[1], plan)[0],
+                    (),
+                    xr,
+                )
+
+            def _w_transpose(_, ct):
+                gr, gi = whole_transform(ct[0], -ct[1], plan)
+                return gr, -gi
+
+            return jax.custom_derivatives.linear_call(
+                lambda _, x: whole_transform(x[0], x[1], plan),
+                _w_transpose,
+                (),
+                (xr, xi),
+            )
         if xi is None and half_spectrum_applies(n):
             # Real input at big fused sizes: compute only the k1 <= n1/2
             # spectrum half and mirror the rest (Hermitian symmetry, valid

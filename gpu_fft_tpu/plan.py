@@ -232,6 +232,66 @@ def get_fused_plan(n: int, sign: int, wide: bool = False, scale: float | None = 
     return FusedPlan(n=n, sign=sign, kind="fourstep", n1=n1, n2=n2, tables=tables)
 
 
+def whole_kernel_applies(b: int, n: int) -> bool:
+    """Whether a (b, n) fused-size transform runs as ONE Pallas kernel.
+
+    The latency-bound band (B small, n = 1024..16384 on v5e) spends half
+    its time on kernel-launch overhead: the XLA-scheduled four-step
+    compiles to ~11 fusions, and 11 launches cost more than the math
+    (BENCH_DETAILS: fft_n1024 2.44 us vs a 1.21 us 11-kernel launch floor).
+    Fusing the whole transform into one pallas_call is the TPU translation
+    of the reference's single-dispatch design for N <= 1024
+    (``butterfly_inner``, reference src/butterfly.rs:84-147, launch table
+    README.md:397-405).  Above the batch/size gate the XLA graph's
+    better-overlapped big matmuls win and this stays off (the round-2
+    lesson: don't hand-schedule what the compiler schedules better —
+    unless launch latency IS the bound).
+    """
+    t = get_tuning()
+    return (
+        t.whole_n_min <= n <= t.whole_n_max
+        and b <= t.whole_batch_max
+        and n % 128 == 0
+        and n >= 1024
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def get_whole_plan(n: int, sign: int, scale: float | None = None) -> dict:
+    """Tables for the single-kernel whole-transform (kernels/fused.py:
+    whole_transform), oriented for the kernel's in-VMEM dataflow.
+
+    Layout (all f64-generated f32, DFT matrices symmetric so no transposed
+    copies are needed):
+
+      * x viewed (n1, n2) = [a, c] with n2 = 128 (the lane width; n1 = n/128
+        keeps stage 2's contraction a full MXU tile).
+      * ``f1*``  — (n1, n1) ext group: P[k1, c] = sum_a F1[k1, a] x[a, c],
+        a LEFT matmul (the c digit never leaves the lane axis).
+      * ``twr/twi`` — (n1, n2) = [k1, c] twiddle W_n^(sign k1 c).
+      * ``f2*``  — (n2, n2) ext group with ``scale`` folded in; the kernel
+        contracts c against Z's LANE axis (out[j, k1] = sum_c F2[j, c]
+        Z[k1, c]), so the (n2, n1) output block IS the natural-order
+        spectrum when flattened (k = k1 + n1*j).
+    """
+    if n % 128 or n < 1024:
+        raise ValueError(f"whole-kernel plans need n = 128*k >= 1024, got {n}")
+    if n > FUSED_MAX:
+        raise ValueError(f"n={n} exceeds FUSED_MAX={FUSED_MAX}")
+    n2 = 128
+    n1 = n // n2
+    k = np.float32(1.0) if scale is None else np.float32(scale)
+    f1r, f1i, f1s, f1d = dft_matrix_ext(n1, sign)
+    f2r, f2i, f2s, f2d = dft_matrix_ext(n2, sign)
+    twr, twi = twiddle_table(n1, n2, n, sign)
+    return {
+        "n1": n1, "n2": n2,
+        "f1r": f1r, "f1i": f1i, "f1s": f1s, "f1d": f1d,
+        "f2r": f2r * k, "f2i": f2i * k, "f2s": f2s * k, "f2d": f2d * k,
+        "twr": twr, "twi": twi,
+    }
+
+
 @functools.lru_cache(maxsize=None)
 def get_irfft_plan(
     n: int, scale: float | None = None, split: tuple[int, int] | None = None

@@ -84,6 +84,13 @@ class ChipTuning:
     axis0_h_min: int
     axis0_h_max: int
     axis0_w_min: int
+    # Single-kernel whole-transform band (kernels/fused.py:whole_transform):
+    # the latency-bound small-N region where fusing the entire four-step
+    # into ONE pallas_call beats the ~11-fusion XLA schedule (the
+    # reference's single-dispatch thesis, src/butterfly.rs:84-147).
+    whole_n_min: int
+    whole_n_max: int
+    whole_batch_max: int
     calibrated: bool  # True = measured on this chip; False = transferred
     note: str
 
@@ -132,6 +139,12 @@ _V5E = ChipTuning(
     axis0_h_min=1 << 62,
     axis0_h_max=1 << 62,
     axis0_w_min=512,
+    # Whole-transform single-kernel band: gate closed pending the round-5
+    # hardware measurement (scripts/ablate_whole_kernel.py); opened by the
+    # measured table once the interleaved head-to-head lands.
+    whole_n_min=1 << 62,
+    whole_n_max=0,
+    whole_batch_max=0,
     calibrated=True,
     note="measured on v5e 2026-08 (docs/ABLATION.md §3, §7, §9, §10, §11, §19)",
 )
