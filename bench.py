@@ -123,11 +123,14 @@ def main() -> None:
             try:
                 cs = roofline.compiled_stats(step, x0)
                 nk = cs["n_kernels"]
+                np_ = cs.get("n_pallas")
                 row["hlo_fp"] = cs["fingerprint"]
             except Exception:
-                nk = None
+                nk = np_ = None
             row.update(
-                roofline.roofline_row(b, n, kind, s.median_s, chip=chip, n_kernels=nk)
+                roofline.roofline_row(
+                    b, n, kind, s.median_s, chip=chip, n_kernels=nk, n_pallas=np_
+                )
             )
             details["configs"][name] = row
             print(

@@ -139,14 +139,20 @@ _V5E = ChipTuning(
     axis0_h_min=1 << 62,
     axis0_h_max=1 << 62,
     axis0_w_min=512,
-    # Whole-transform single-kernel band: gate closed pending the round-5
-    # hardware measurement (scripts/ablate_whole_kernel.py); opened by the
-    # measured table once the interleaved head-to-head lands.
-    whole_n_min=1 << 62,
-    whole_n_max=0,
-    whole_batch_max=0,
+    # Whole-transform single-kernel band: measured v5e 2026-08-20
+    # (scripts/ablate_whole_kernel.py, docs/ABLATION.md §23).  Wins ONLY at
+    # B=1 — 1.06-1.12x at 1024, 1.47x at 2048, 1.39-1.42x at 4096,
+    # 1.01-1.17x at 8192, 1.09-1.10x at 16384 (real and complex) — because
+    # the single serial kernel trades all of XLA's inter-fusion overlap for
+    # one launch, which only pays where launch latency dominates.  At B>=2
+    # the shipped schedule overlaps grid rows and wins 0.17-0.85x; at
+    # n>=32768 the serial in-VMEM dataflow loses its MXU efficiency
+    # (0.47-0.75x).  Gate: B=1, 1024 <= n <= 16384.
+    whole_n_min=1 << 10,
+    whole_n_max=1 << 14,
+    whole_batch_max=1,
     calibrated=True,
-    note="measured on v5e 2026-08 (docs/ABLATION.md §3, §7, §9, §10, §11, §19)",
+    note="measured on v5e 2026-08 (docs/ABLATION.md §3, §7, §9, §10, §11, §19, §23)",
 )
 
 TUNING = {

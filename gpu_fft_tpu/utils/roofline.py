@@ -66,13 +66,22 @@ class ChipSpec:
     # uncalibrated (no latency term — the other walls still bound).
     launch_base_us: float | None = None
     launch_per_kernel_us: float | None = None
+    # Per-Mosaic-kernel (pallas_call custom-call) dispatch floor, measured
+    # as the chained per-call time of a minimal (8,128) copy pallas_call
+    # (scripts/calibrate_latency.py pallas probes; v5e 2026-08:
+    # 0.390 us/call vs 0.370 us for the same-shape fusion — the dispatch
+    # itself is nearly free; what costs extra in real Pallas kernels is
+    # per-operand DMA issue and serial in-kernel dots, charged
+    # separately).  Charged instead of the fusion rate for each custom
+    # call so 1-kernel Pallas rows read against a measured floor.
+    pallas_call_us: float | None = None
 
 
 CHIPS = {
     # v5e: hbm/onchip/vpu/launch measured in this repo
     # (scripts/calibrate_matmul.py, scripts/calibrate_latency.py + the
     # bandwidth probes, 2026-08); bf16 peak is the published spec.
-    "v5e": ChipSpec("v5e", 620.0, 197.0, 4.0, 4700.0, 32.0, 0.35, 0.078),
+    "v5e": ChipSpec("v5e", 620.0, 197.0, 4.0, 4700.0, 32.0, 0.35, 0.078, 0.390),
     # Other generations: published specs; on-chip numbers transferred from
     # v5e by HBM ratio (UNCALIBRATED — re-run scripts/calibrate_matmul.py
     # + scripts/calibrate_latency.py on hardware).  The launch floor is
@@ -153,6 +162,7 @@ def compiled_stats(step, x0) -> dict:
     pallas = txt.count('custom_call_target="tpu_custom_call"')
     return {
         "n_kernels": fusions + pallas,
+        "n_pallas": pallas,
         "fingerprint": hashlib.sha256(txt.encode()).hexdigest()[:16],
     }
 
@@ -204,6 +214,12 @@ def _half_applies(n: int) -> bool:
     return half_spectrum_applies(n)
 
 
+def _whole_applies(b: int, n: int) -> bool:
+    from ..plan import whole_kernel_applies
+
+    return whole_kernel_applies(b, n)
+
+
 def transform_stages(b: int, n: int, real_input: bool):
     """Per-matmul-stage (flops, contraction) list + elementwise flops.
 
@@ -217,6 +233,17 @@ def transform_stages(b: int, n: int, real_input: bool):
         # Packed recombination: mirror/E/O/T/X epilogue, ~8 flops per
         # original element (14-16 VPU ops per half element).
         return stages, elem + 8.0 * b * n
+    if DIRECT_MAX < n <= FUSED_MAX and _whole_applies(b, n):
+        # Whole-transform single Pallas kernel (kernels/fused.py:
+        # whole_transform; gate = tuning.whole_*): fixed n2 = 128 lane
+        # split, stage 1 contracts n1 = n/128 (2 real / 3 Karatsuba
+        # dots), stage 2 contracts the 128 lanes (3 dots), one in-VMEM
+        # twiddle cmul between.  Table DMA is charged to the latency
+        # wall's pallas floor, not bytes (lower bound preserved).
+        n1 = n // 128
+        if real_input:
+            return [(2 * 2.0 * b * n * n1, n1), (3 * 2.0 * b * n * 128, 128)], 6.0 * b * n
+        return [(3 * 2.0 * b * n * n1, n1), (3 * 2.0 * b * n * 128, 128)], 6.0 * b * n
     if n <= DIRECT_MAX:
         if real_input:
             return [(2 * 2.0 * b * n * n, n)], 0.0
@@ -489,6 +516,7 @@ def roofline_row(
     chip: ChipSpec | None = None,
     precision_passes: int | None = None,
     n_kernels: int | None = None,
+    n_pallas: int | None = None,
 ) -> dict:
     """Calibrated %-of-speed-of-light accounting for a measured config.
 
@@ -527,9 +555,13 @@ def roofline_row(
         and chip.launch_base_us is not None
         and chip.launch_per_kernel_us is not None
     ):
-        walls["latency"] = (
-            chip.launch_base_us + chip.launch_per_kernel_us * n_kernels
-        ) * 1e-6
+        t_lat_us = chip.launch_base_us + chip.launch_per_kernel_us * n_kernels
+        if n_pallas and chip.pallas_call_us is not None:
+            # Each Mosaic custom call pays the measured pallas dispatch
+            # floor instead of the (much cheaper) fusion rate it was
+            # already charged in the fit above.
+            t_lat_us += max(0.0, chip.pallas_call_us - chip.launch_per_kernel_us) * n_pallas
+        walls["latency"] = t_lat_us * 1e-6
     bound = max(walls, key=walls.get)
     sol = walls[bound]
     row = {

@@ -62,7 +62,15 @@ def main() -> None:
     from gpu_fft_tpu.utils.roofline import compiled_stats
 
     rng = np.random.default_rng(7)
-    results: dict = {"device": str(jax.devices()[0]), "rows": []}
+    out = pathlib.Path(__file__).with_name("ablate_whole_kernel_results.json")
+    # Incremental + resumable: the tunnel can drop mid-run (round-5 first
+    # attempt died at row 46/56 on a remote_compile disconnect), so every
+    # row is persisted as it lands and measured rows are skipped on rerun.
+    if out.exists():
+        results = json.loads(out.read_text())
+    else:
+        results = {"device": str(jax.devices()[0]), "rows": []}
+    done = {(r["kind"], r["b"], r["n"]) for r in results["rows"]}
 
     def step_current(n, complex_in):
         s = np.float32(1.0 / np.sqrt(n))
@@ -93,18 +101,20 @@ def main() -> None:
         return chained_step_stats(step, x0, k1=30, k2=530, reps=4)
 
     # ── 1. Fusion inventory of the shipped dispatch (B=1 real) ──────────────
-    print("== fusion inventory (shipped dispatch, B=1 real input) ==", flush=True)
-    inventory = {}
-    for n in (1024, 4096, 16384):
-        x0 = jnp.asarray(rng.standard_normal((1, n)).astype(np.float32))
-        step = step_current(n, False)
-        txt = jax.jit(step).lower(x0).compile().as_text()
-        fus = classify_fusions(txt)
-        inventory[f"n{n}"] = fus
-        print(f"n={n}: {len(fus)} fusions")
-        for f in fus:
-            print(f"   {f}")
-    results["inventory"] = inventory
+    if "inventory" not in results:
+        print("== fusion inventory (shipped dispatch, B=1 real input) ==", flush=True)
+        inventory = {}
+        for n in (1024, 4096, 16384):
+            x0 = jnp.asarray(rng.standard_normal((1, n)).astype(np.float32))
+            step = step_current(n, False)
+            txt = jax.jit(step).lower(x0).compile().as_text()
+            fus = classify_fusions(txt)
+            inventory[f"n{n}"] = fus
+            print(f"n={n}: {len(fus)} fusions")
+            for f in fus:
+                print(f"   {f}")
+        results["inventory"] = inventory
+        out.write_text(json.dumps(results, indent=1))
 
     # ── 2. Interleaved head-to-head ─────────────────────────────────────────
     print("\n== whole-kernel vs shipped (interleaved, us/call) ==", flush=True)
@@ -112,6 +122,8 @@ def main() -> None:
         tag = "complex" if complex_in else "real"
         for n in (1024, 2048, 4096, 8192, 16384, 32768, 65536):
             for b in (1, 2, 4, 16):
+                if (tag, b, n) in done:
+                    continue
                 x0 = jnp.asarray(rng.standard_normal((b, n)).astype(np.float32))
                 s_cur = step_current(n, complex_in)
                 s_new = step_whole(n, complex_in)
@@ -136,13 +148,13 @@ def main() -> None:
                     "nk_cur": nk_cur, "nk_new": nk_new,
                 }
                 results["rows"].append(row)
+                out.write_text(json.dumps(results, indent=1))
                 print(
                     f"{tag} b={b:3d} n={n:6d}: shipped {cur*1e6:7.2f} us ({nk_cur}k) "
                     f"whole {new*1e6:7.2f} us ({nk_new}k) -> {cur/new:5.2f}x  par={par:.1e}",
                     flush=True,
                 )
 
-    out = pathlib.Path(__file__).with_name("ablate_whole_kernel_results.json")
     out.write_text(json.dumps(results, indent=1))
     print(f"\nwrote {out}")
 

@@ -23,9 +23,13 @@ chained floor into ``utils/roofline.py:CHIPS[<chip>].latency_us``.
 from __future__ import annotations
 
 import json
+import pathlib
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
 def main() -> None:
@@ -59,6 +63,36 @@ def main() -> None:
 
     w = jnp.asarray(np.eye(128, dtype=np.float32) * (1.0 + 2 ** -20))
     probe("dot_128x128", lambda x: x @ w, jnp.ones((128, 128), jnp.float32))
+
+    # ── Pallas dispatch floor (round 5): a Mosaic custom call costs far
+    # more per launch than an XLA fusion — kernel entry, grid setup, and
+    # serialized input-block DMA issue.  Measured as the chained per-call
+    # time of a minimal (8,128) copy pallas_call; the delta vs the
+    # same-shape fusion (scale_8x128) is the extra the roofline charges
+    # per custom call (CHIPS[chip].pallas_call_us).
+    from jax.experimental import pallas as pl
+
+    def _copy_kernel(x_ref, o_ref):
+        o_ref[...] = x_ref[...] * (1.0 + 2.0 ** -20)
+
+    def pallas_min(x):
+        return pl.pallas_call(
+            _copy_kernel, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32)
+        )(x)
+
+    if jax.default_backend() == "tpu":
+        probe("pallas_copy_8x128", pallas_min, jnp.ones((8, 128), jnp.float32))
+        # Context: the live 1-kernel whole-transform at the band floor.
+        from gpu_fft_tpu.kernels.fused import whole_transform
+        from gpu_fft_tpu.plan import get_whole_plan
+
+        wp = get_whole_plan(1024, -1)
+        probe(
+            "pallas_whole_n1024",
+            lambda x: whole_transform(x, None, wp)[0],
+            jnp.ones((1, 1024), jnp.float32),
+        )
+        out["pallas_call_us"] = rows["pallas_copy_8x128"]["per_call_us"]
 
     from gpu_fft_tpu.utils.profiling import fft_forward_step
 

@@ -31,10 +31,19 @@ def test_transform_cost_direct_vs_fused():
     # Below the gate (and for complex input) the full-spectrum model holds.
     cfull = roofline.transform_cost(1, 65536, "ifft")
     assert cfull["stages"][1][0] == pytest.approx(3 * 2.0 * 65536 * n2)
+    # (1, 16384) rides the whole-transform single kernel (round 5,
+    # tuning.whole_*): same [n1, 128] stage classes, one in-kernel twiddle
+    # cmul (6 flops/elem) and no separate digit-reversal epilogue.
     c3 = roofline.transform_cost(1, 16384, "fft")
     assert [k for _, k in c3["stages"]] == [128, 128]
     assert c3["flops"] == pytest.approx(
-        2 * 2.0 * 16384 * 128 + 3 * 2.0 * 16384 * 128 + (6.0 + 5.0) * 16384
+        2 * 2.0 * 16384 * 128 + 3 * 2.0 * 16384 * 128 + 6.0 * 16384
+    )
+    # Above the whole-kernel batch gate the XLA-scheduled fused model holds.
+    c4 = roofline.transform_cost(2, 16384, "fft")
+    assert [k for _, k in c4["stages"]] == [128, 128]
+    assert c4["flops"] == pytest.approx(
+        2 * (2 * 2.0 * 16384 * 128 + 3 * 2.0 * 16384 * 128 + (6.0 + 5.0) * 16384)
     )
 
 
