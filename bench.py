@@ -699,6 +699,23 @@ def mosaic_smoke() -> dict:
         1e-2,
     )
 
+    # Packed single-operand variant (the n=1024 sub-gate, §24).
+    from gpu_fft_tpu.kernels.fused import whole_transform_packed
+    from gpu_fft_tpu.plan import get_whole_packed_plan
+
+    check(
+        "whole_packed_real",
+        lambda: whole_transform_packed(ww, None, get_whole_packed_plan(nw, -1)),
+        lambda: whole_ref(None),
+        1e-2,
+    )
+    check(
+        "whole_packed_complex",
+        lambda: whole_transform_packed(ww, wwi, get_whole_packed_plan(nw, -1)),
+        lambda: whole_ref(wwi),
+        1e-2,
+    )
+
     out["all_pass"] = all(v.get("pass") for k, v in out.items() if k != "all_pass")
     return out
 

@@ -40,7 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import config
 from ..config import KARATSUBA
 
-__all__ = ["stage_a", "whole_transform"]
+__all__ = ["stage_a", "whole_transform", "whole_transform_packed"]
 
 
 def _dot(a, b):
@@ -347,6 +347,78 @@ def _whole_complex_kernel(
         pi = _dot(f1r[...], xbi) + _dot(fi, xbr)
     zr, zi = _cmul(pr, pi, twr[...], twi[...])
     _whole_stage2(zr, zi, f2r[...], f2s[...], f2d[...], yr_ref, yi_ref)
+
+
+def _whole_packed_real_kernel(x_ref, t_ref, yr_ref, yi_ref, *, n1):
+    xb = x_ref[0]  # (n1, 128) = [a, c]
+    f1 = t_ref[0 : 2 * n1, 0:n1]  # [F1r; F1i]
+    p = _dot(f1, xb)  # (2n1, 128) = [Pr; Pi]
+    pr, pi = p[:n1], p[n1:]
+    twr = t_ref[2 * n1 : 3 * n1, :]
+    twi = t_ref[3 * n1 : 4 * n1, :]
+    zr, zi = _cmul(pr, pi, twr, twi)
+    f2 = t_ref[4 * n1 : 4 * n1 + 256, :]  # [F2r; F2i]
+    a = _dot_nt(f2, zr)  # (256, n1) = [F2r x Zr; F2i x Zr]
+    c = _dot_nt(f2, zi)
+    yr_ref[0] = a[:128] - c[128:]
+    yi_ref[0] = c[:128] + a[128:]
+
+
+def _whole_packed_complex_kernel(xr_ref, xi_ref, t_ref, yr_ref, yi_ref, *, n1):
+    f1 = t_ref[0 : 2 * n1, 0:n1]
+    p = _dot(f1, xr_ref[0])  # [F1r xr; F1i xr]
+    q = _dot(f1, xi_ref[0])  # [F1r xi; F1i xi]
+    pr = p[:n1] - q[n1:]
+    pi = p[n1:] + q[:n1]
+    twr = t_ref[2 * n1 : 3 * n1, :]
+    twi = t_ref[3 * n1 : 4 * n1, :]
+    zr, zi = _cmul(pr, pi, twr, twi)
+    f2 = t_ref[4 * n1 : 4 * n1 + 256, :]
+    a = _dot_nt(f2, zr)
+    c = _dot_nt(f2, zi)
+    yr_ref[0] = a[:128] - c[128:]
+    yi_ref[0] = c[:128] + a[128:]
+
+
+def whole_transform_packed(xr, xi, plan: dict):
+    """The whole-transform single kernel with ONE packed table operand.
+
+    Same dataflow as :func:`whole_transform` but the measured serial
+    bottlenecks are collapsed: one table DMA issue instead of 7-8, and 3
+    stacked dots (real; 4 complex) instead of 5-6 (docs/ABLATION.md §24;
+    ``plan``: :func:`plan.get_whole_packed_plan`).  Returns split-complex
+    (B, n) in natural order.
+    """
+    import functools as _ft
+
+    b, n = xr.shape
+    n1, n2 = plan["n1"], plan["n2"]
+    assert n == n1 * n2, (n, n1, n2)
+    packed = plan["packed"]
+    grid = (b,)
+    x_spec = _vmem_spec((1, n1, n2), lambda i: (i, 0, 0))
+    t_spec = pl.BlockSpec(packed.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    o_spec = _vmem_spec((1, n2, n1), lambda i: (i, 0, 0))
+    out_shape = [jax.ShapeDtypeStruct((b, n2, n1), jnp.float32)] * 2
+    if xi is None:
+        yr, yi = pl.pallas_call(
+            _ft.partial(_whole_packed_real_kernel, n1=n1),
+            grid=grid,
+            in_specs=[x_spec, t_spec],
+            out_specs=[o_spec, o_spec],
+            out_shape=out_shape,
+            interpret=_interpret(),
+        )(xr.reshape(b, n1, n2), packed)
+    else:
+        yr, yi = pl.pallas_call(
+            _ft.partial(_whole_packed_complex_kernel, n1=n1),
+            grid=grid,
+            in_specs=[x_spec, x_spec, t_spec],
+            out_specs=[o_spec, o_spec],
+            out_shape=out_shape,
+            interpret=_interpret(),
+        )(xr.reshape(b, n1, n2), xi.reshape(b, n1, n2), packed)
+    return yr.reshape(b, n), yi.reshape(b, n)
 
 
 def whole_transform(xr, xi, plan: dict):

@@ -38,6 +38,7 @@ from ..plan import (
     get_irfft_plan,
     get_pack_tables,
     get_stage_a_plan,
+    get_whole_packed_plan,
     get_whole_plan,
     half_spectrum_applies,
     irfft_half_applies,
@@ -47,7 +48,7 @@ from ..plan import (
     whole_kernel_applies,
     wide_split_applies,
 )
-from .fused import stage_a, whole_transform
+from .fused import stage_a, whole_transform, whole_transform_packed
 from .fused_jnp import (
     fused_fft_jnp,
     fused_fft_jnp_folded,
@@ -238,21 +239,31 @@ def transform_any(xr, xi, n: int, sign: int, scale: float | None = None):
             # real ``scale`` carries through the transpose unchanged.
             # ("high" precision falls through: Mosaic has no 3-pass
             # lowering, same rule as the staged stage A.)
-            plan = get_whole_plan(n, sign, scale=scale)
+            from ..tuning import get_tuning
+
+            if n <= get_tuning().whole_packed_n_max:
+                # Packed single-operand variant: one table DMA issue +
+                # stacked dots — wins where per-operand DMA-issue
+                # serialization dominates (n=1024 on v5e, §24).
+                kern = whole_transform_packed
+                plan = get_whole_packed_plan(n, sign, scale=scale)
+            else:
+                kern = whole_transform
+                plan = get_whole_plan(n, sign, scale=scale)
             if xi is None:
                 return jax.custom_derivatives.linear_call(
-                    lambda _, x: whole_transform(x, None, plan),
-                    lambda _, ct: whole_transform(ct[0], -ct[1], plan)[0],
+                    lambda _, x: kern(x, None, plan),
+                    lambda _, ct: kern(ct[0], -ct[1], plan)[0],
                     (),
                     xr,
                 )
 
             def _w_transpose(_, ct):
-                gr, gi = whole_transform(ct[0], -ct[1], plan)
+                gr, gi = kern(ct[0], -ct[1], plan)
                 return gr, -gi
 
             return jax.custom_derivatives.linear_call(
-                lambda _, x: whole_transform(x[0], x[1], plan),
+                lambda _, x: kern(x[0], x[1], plan),
                 _w_transpose,
                 (),
                 (xr, xi),

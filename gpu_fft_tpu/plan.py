@@ -293,6 +293,47 @@ def get_whole_plan(n: int, sign: int, scale: float | None = None) -> dict:
 
 
 @functools.lru_cache(maxsize=None)
+def get_whole_packed_plan(n: int, sign: int, scale: float | None = None) -> dict:
+    """Single-operand table buffer for the PACKED whole-transform kernel
+    (kernels/fused.py:whole_transform_packed).
+
+    The measured pallas probes (scripts/calibrate_latency.py, v5e
+    2026-08) showed a minimal pallas_call costs 0.39 us while the
+    7-operand whole kernel costs 2.34 us at n=1024 — the gap is serial
+    per-operand DMA issue plus 5 serial small dots.  This plan packs
+    every table into ONE (4*n1 + 256, 128) f32 buffer (one DMA issue)
+    laid out for 3 stacked dots (real input; 4 complex):
+
+      * rows [0, 2n1): ``[F1r; F1i]`` left-padded into 128 lanes (cols
+        [0, n1) live) — stage 1 runs as ONE (2n1, n1) @ (n1, 128) dot
+        producing [Pr; Pi] stacked on the sublane axis.
+      * rows [2n1, 4n1): ``[TWr; TWi]`` (n1, 128) each.
+      * rows [4n1, 4n1+256): ``[F2r; F2i]`` with ``scale`` folded in —
+        stage 2 runs as TWO both-minor-axes dots F2 (256, 128) against
+        Zr and Zi, the real/imag products split by static row slices
+        (schoolbook; the Karatsuba 3-dot form loses here because dot
+        COUNT, not FLOPs, is the serial bottleneck at these sizes).
+    """
+    if n % 128 or n < 1024:
+        raise ValueError(f"whole-kernel plans need n = 128*k >= 1024, got {n}")
+    if n > FUSED_MAX:
+        raise ValueError(f"n={n} exceeds FUSED_MAX={FUSED_MAX}")
+    n2 = 128
+    n1 = n // n2
+    k = np.float32(1.0) if scale is None else np.float32(scale)
+    f1r, f1i, _, _ = dft_matrix_ext(n1, sign)
+    f2r, f2i, _, _ = dft_matrix_ext(n2, sign)
+    twr, twi = twiddle_table(n1, n2, n, sign)
+    f1_stack = np.zeros((2 * n1, 128), np.float32)
+    f1_stack[:n1, :n1] = f1r
+    f1_stack[n1:, :n1] = f1i
+    packed = np.concatenate(
+        [f1_stack, twr, twi, f2r * k, f2i * k], axis=0
+    ).astype(np.float32)
+    return {"n1": n1, "n2": n2, "packed": packed}
+
+
+@functools.lru_cache(maxsize=None)
 def get_irfft_plan(
     n: int, scale: float | None = None, split: tuple[int, int] | None = None
 ) -> dict:

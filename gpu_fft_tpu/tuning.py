@@ -91,6 +91,11 @@ class ChipTuning:
     whole_n_min: int
     whole_n_max: int
     whole_batch_max: int
+    # Within the whole band, sizes <= this run the PACKED single-operand
+    # variant (one table DMA issue, 3-4 stacked dots); larger sizes keep
+    # the 7-operand form whose operand DMAs overlap its bigger dots
+    # (scripts/ablate_whole_packed.py, §24).
+    whole_packed_n_max: int
     calibrated: bool  # True = measured on this chip; False = transferred
     note: str
 
@@ -151,6 +156,12 @@ _V5E = ChipTuning(
     whole_n_min=1 << 10,
     whole_n_max=1 << 14,
     whole_batch_max=1,
+    # Packed sub-gate: W2 wins 1.16-1.22x over W1 at n=1024 only (the
+    # operand probe's ~0.45+0.10/operand us DMA-issue serialization is
+    # the whole story there); at n >= 2048 W1's operand DMAs overlap its
+    # larger dots and the packed form's extra schoolbook flops tie or
+    # lose 0.94-1.00x (§24).
+    whole_packed_n_max=1 << 10,
     calibrated=True,
     note="measured on v5e 2026-08 (docs/ABLATION.md §3, §7, §9, §10, §11, §19, §23)",
 )

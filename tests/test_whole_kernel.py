@@ -117,3 +117,64 @@ def test_autodiff_through_whole_kernel(monkeypatch):
     lhs = float(jnp.vdot(tangent[0], w_r) + jnp.vdot(tangent[1], w_i))
     rhs = float(jnp.vdot(v[0], back[0]) + jnp.vdot(v[1], back[1]))
     assert abs(lhs - rhs) / max(abs(lhs), 1.0) < 1e-4
+
+
+# ── Packed single-operand variant (round 5, docs/ABLATION.md §24) ────────────
+
+
+@pytest.mark.parametrize("n", [1024, 4096, 16384])
+@pytest.mark.parametrize("b", [1, 3])
+def test_packed_real_forward_matches_numpy(n, b):
+    from gpu_fft_tpu.kernels.fused import whole_transform_packed
+    from gpu_fft_tpu.plan import get_whole_packed_plan
+
+    x = rng.standard_normal((b, n)).astype(np.float32)
+    yr, yi = whole_transform_packed(jnp.asarray(x), None, get_whole_packed_plan(n, -1))
+    ref = np.fft.fft(x.astype(np.float64))
+    scale = np.abs(ref).max()
+    assert np.abs(np.asarray(yr) - ref.real).max() / scale < 1e-6
+    assert np.abs(np.asarray(yi) - ref.imag).max() / scale < 1e-6
+
+
+@pytest.mark.parametrize("n", [1024, 8192])
+def test_packed_complex_inverse_scale_folded(n):
+    from gpu_fft_tpu.kernels.fused import whole_transform_packed
+    from gpu_fft_tpu.plan import get_whole_packed_plan
+
+    xr = rng.standard_normal((2, n)).astype(np.float32)
+    xi = rng.standard_normal((2, n)).astype(np.float32)
+    p = get_whole_packed_plan(n, +1, scale=1.0 / n)
+    zr, zi = whole_transform_packed(jnp.asarray(xr), jnp.asarray(xi), p)
+    ref = np.fft.ifft(xr.astype(np.float64) + 1j * xi.astype(np.float64))
+    assert np.abs(np.asarray(zr) - ref.real).max() < 1e-6
+    assert np.abs(np.asarray(zi) - ref.imag).max() < 1e-6
+
+
+def test_packed_vs_whole_parity():
+    from gpu_fft_tpu.kernels.fused import whole_transform_packed
+    from gpu_fft_tpu.plan import get_whole_packed_plan
+
+    n = 2048
+    xr = jnp.asarray(rng.standard_normal((2, n)).astype(np.float32))
+    xi = jnp.asarray(rng.standard_normal((2, n)).astype(np.float32))
+    a = whole_transform(xr, xi, get_whole_plan(n, -1))
+    b = whole_transform_packed(xr, xi, get_whole_packed_plan(n, -1))
+    for u, v in zip(a, b):
+        assert np.abs(np.asarray(u) - np.asarray(v)).max() / np.abs(np.asarray(u)).max() < 1e-6
+
+
+def test_packed_dispatch_and_autodiff(monkeypatch):
+    """transform_any routes n <= whole_packed_n_max through the packed
+    kernel (the sub-gate) and AD rides the same linear_call seam."""
+    _open_gate(monkeypatch)
+    n = 1024
+    assert n <= tuning.get_tuning().whole_packed_n_max
+    x = jnp.asarray(rng.standard_normal((1, n)).astype(np.float32))
+
+    def power(v):
+        yr, yi = transform_any(v, None, n, -1)
+        return jnp.sum(yr**2 + yi**2)
+
+    g = np.asarray(jax.grad(power)(x))
+    expect = 2.0 * n * np.asarray(x)
+    assert np.abs(g - expect).max() / np.abs(expect).max() < 1e-5
