@@ -501,6 +501,21 @@ def irfft_direct_half_jnp(xr, xi, plan: dict):
     return _dot(xr, plan["cr"]) + _dot(xi, plan["ci"])
 
 
+def irfft_direct_half_k128_jnp(xr, xi, plan: dict):
+    """Lane-exact direct half inverse: K = n/2 dots + Nyquist broadcast.
+
+    Same math as :func:`irfft_direct_half_jnp` but the h-deep contraction
+    (which MXU-pads h = n/2 + 1 up to the next 128-multiple, ~2x the dot
+    cost at n = 256 — the §22 padding signature) is split into exact
+    K = n/2 dots plus the rank-1 Nyquist term ``xr[:, -1:] * alt``, which
+    XLA fuses into the dot epilogue (``plan.get_irfft_direct_k128_plan``)."""
+    return (
+        _dot(xr[:, :-1], plan["cr"])
+        + _dot(xi[:, :-1], plan["ci"])
+        + xr[:, -1:] * plan["alt"]
+    )
+
+
 def stage_b_irfft_jnp(yr, yi, n1: int, t: dict):
     """Real-output stage B for the staged inverse: per-row Hermitian fold.
 

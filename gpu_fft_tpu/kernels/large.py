@@ -183,10 +183,16 @@ def inverse_real_half(xr, xi, n: int, scale: float | None = None):
     if xr.shape[-1] != h:
         raise ValueError(f"inverse_real_half expects {h} bins for n={n}, got {xr.shape[-1]}")
     if n <= DIRECT_MAX:
-        from ..plan import get_irfft_direct_plan
+        from ..plan import get_irfft_direct_k128_plan, get_irfft_direct_plan
+        from ..tuning import get_tuning
 
-        from .fused_jnp import irfft_direct_half_jnp
+        from .fused_jnp import irfft_direct_half_jnp, irfft_direct_half_k128_jnp
 
+        if n >= 256 and get_tuning().irfft_direct_k128:
+            # Lane-exact variant: K = n/2 dots + Nyquist broadcast — the
+            # h-deep contraction MXU-pads 129 -> 256; measured 1.43x at
+            # the istft hot shape (253, 256) on v5e (docs/ABLATION.md §25).
+            return irfft_direct_half_k128_jnp(xr, xi, get_irfft_direct_k128_plan(n, scale))
         return irfft_direct_half_jnp(xr, xi, get_irfft_direct_plan(n, scale))
     # NOTE (round 4, scripts/ablate_irfft_fused.py): assembling the
     # (B, n2, h1) fold grid STRAIGHT from the one-sided bins

@@ -431,6 +431,34 @@ def get_irfft_direct_plan(n: int, scale: float | None = None) -> dict:
     return {"n": n, "h": h, "cr": cr, "ci": ci}
 
 
+@functools.lru_cache(maxsize=None)
+def get_irfft_direct_k128_plan(n: int, scale: float | None = None) -> dict:
+    """Lane-exact variant of :func:`get_irfft_direct_plan` (round 5, §25).
+
+    The (h = n/2 + 1)-deep contraction of the direct fold pads to the next
+    128-multiple on the MXU (h = 129 -> K = 256: the §22 signature, ~2x
+    the dot cost).  But the Nyquist row needs no dot at all: its sin row
+    is exactly zero and its cos row is s*(-1)^m, so
+
+        x = xr[:, :h-1] @ cr' + xi[:, :h-1] @ ci' + xr[:, h-1:] * alt
+
+    with cr'/ci' the first h-1 = n/2 rows (K = n/2, an exact lane
+    multiple for every n >= 256) and ``alt`` the broadcast row — a VPU
+    term XLA fuses into the dot epilogue.  DC-imag handling is unchanged
+    (ci row 0 is exactly zero).  Dispatch-gated by measurement
+    (tuning/scripts/ablate_stft_floor.py §25).
+    """
+    base = get_irfft_direct_plan(n, scale)
+    h = base["h"]
+    return {
+        "n": n,
+        "h": h,
+        "cr": np.ascontiguousarray(base["cr"][: h - 1]),
+        "ci": np.ascontiguousarray(base["ci"][: h - 1]),
+        "alt": np.ascontiguousarray(base["cr"][h - 1 : h]),
+    }
+
+
 # Stage-A digit: n1 = 128 at every measured N (the full n1 x engine sweep is
 # scripts/ablate_large.py, archived in docs/ABLATION.md).  128 is the MXU
 # width — the column DFT becomes lane-perfect 128x128 matmuls — and keeps the

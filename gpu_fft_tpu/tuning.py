@@ -96,6 +96,11 @@ class ChipTuning:
     # the 7-operand form whose operand DMAs overlap its bigger dots
     # (scripts/ablate_whole_packed.py, §24).
     whole_packed_n_max: int
+    # Direct real-output inverse: split the h = n/2+1 contraction into
+    # exact K = n/2 dots + the rank-1 Nyquist broadcast (lane-exact; the
+    # h-deep form MXU-pads 129 -> 256).  Structurally needs n/2 % 128 == 0
+    # (n >= 256); measured 1.43x at (253, 256) on v5e (§25).
+    irfft_direct_k128: bool
     calibrated: bool  # True = measured on this chip; False = transferred
     note: str
 
@@ -162,6 +167,9 @@ _V5E = ChipTuning(
     # larger dots and the packed form's extra schoolbook flops tie or
     # lose 0.94-1.00x (§24).
     whole_packed_n_max=1 << 10,
+    # K=128 + Nyquist-broadcast direct irfft: 1.98 vs 2.83 us at
+    # (B, n) = (253, 256) — the istft hot shape (§25).
+    irfft_direct_k128=True,
     calibrated=True,
     note="measured on v5e 2026-08 (docs/ABLATION.md §3, §7, §9, §10, §11, §19, §23)",
 )

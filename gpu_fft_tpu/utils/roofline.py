@@ -438,7 +438,15 @@ def transform_cost(b: int, n: int, kind: str = "fft") -> dict:
         if n <= DIRECT_MAX:
             stages, elem = parts((b, n, True))
             h = n // 2 + 1
-            stages.append((2 * 2.0 * b * n * h, h))
+            # Direct inverse leg: the K=128 lane-exact variant (K = n/2
+            # dots + Nyquist broadcast) when its gate is on, else the
+            # h-deep fold (kernels/large.py:inverse_real_half).
+            from ..tuning import get_tuning
+
+            if n >= 256 and get_tuning().irfft_direct_k128:
+                stages.append((2 * 2.0 * b * n * (n // 2), n // 2))
+            else:
+                stages.append((2 * 2.0 * b * n * h, h))
             # window multiply + overlap-add accumulation + WOLA division.
             elem += 4.0 * b * n
         else:

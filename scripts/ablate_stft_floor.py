@@ -8,7 +8,12 @@ a quantified composition floor (the §15/§16 treatment).
 
 from __future__ import annotations
 
+import pathlib
+import sys
+
 import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
 def main() -> None:
@@ -70,19 +75,48 @@ def main() -> None:
     t(p3, f0, "P3 rfft+irfft pair on (253,256)")
 
     # irfft direct: does the (B,129)@(129,256) dot pad its contraction?
-    sp = np.fft.rfft(np.asarray(f0, dtype=np.float64))
-    hr = jnp.asarray(sp.real.astype(np.float32))
-    hi = jnp.asarray(sp.imag.astype(np.float32))
-
+    # (Chained carry must be shape-stable, so the step takes the (253,256)
+    # frame buffer and slices its first 129 lanes as the spectrum.)
     def p4(z):
-        return irfft_device(z, z * np.float32(0.5))
+        h = z[..., :129]
+        return irfft_device(h, h * np.float32(0.5))
 
-    t(p4, hr, "P4 irfft alone on (253,129)")
+    t(p4, f0, "P4 irfft alone on (253,129)")
 
     def p5(f):
-        return rfft_device(f)[0]
+        # Shape-stable chain carry: repack the 129+127 one-sided halves
+        # into the (253, 256) frame buffer (one concat, same as P1's form).
+        fr, fi = rfft_device(f)
+        return jnp.concatenate([fr, fi[..., 1:-1]], axis=-1) * np.float32(1.0 / frame)
 
-    t(p5, f0, "P5 rfft alone on (253,256)")
+    t(p5, f0, "P5 rfft alone on (253,256), +1 repack concat")
+
+    # P6: the K=128 lane-exact direct irfft variant (round-5 lever): the
+    # h=129 contraction split into exact K=128 dots + the Nyquist
+    # broadcast (plan.get_irfft_direct_k128_plan).
+    from gpu_fft_tpu.kernels.fused_jnp import (
+        irfft_direct_half_jnp,
+        irfft_direct_half_k128_jnp,
+    )
+    from gpu_fft_tpu.plan import get_irfft_direct_k128_plan, get_irfft_direct_plan
+
+    pk = get_irfft_direct_k128_plan(frame)
+    pb = get_irfft_direct_plan(frame)
+
+    def p4k(z):
+        h = z[..., :129]
+        return irfft_direct_half_k128_jnp(h, h * np.float32(0.5), pk)
+
+    def p4b(z):
+        h = z[..., :129]
+        return irfft_direct_half_jnp(h, h * np.float32(0.5), pb)
+
+    # Parity first (vs the shipped table form).
+    a = np.asarray(jax.jit(p4b)(f0))
+    bk = np.asarray(jax.jit(p4k)(f0))
+    print(f"  P6 parity k128 vs shipped: {np.abs(a - bk).max() / np.abs(a).max():.2e}")
+    t(p4b, f0, "P6a irfft shipped h-table (re-measure)")
+    t(p4k, f0, "P6b irfft K=128 + nyquist broadcast")
 
     import re
 

@@ -224,3 +224,52 @@ class TestOneSidedDirectGridEngine:
         xi = jnp.asarray(sp.imag.astype(np.float32)).at[:, 0].set(7.0).at[:, -1].set(-3.0)
         y = np.asarray(fused_irfft_half_jnp(xr, xi, get_irfft_plan(n, scale=1.0 / n)))
         assert np.abs(y - x).max() < _bound(n)
+
+
+class TestDirectK128Variant:
+    """Lane-exact direct half inverse (round 5, docs/ABLATION.md §25):
+    K = n/2 dots + Nyquist broadcast instead of the MXU-padded h-deep
+    contraction."""
+
+    @pytest.mark.parametrize("n", [256, 512])
+    @pytest.mark.parametrize("b", [1, 5])
+    def test_matches_numpy_and_shipped(self, n, b):
+        from gpu_fft_tpu.kernels.fused_jnp import (
+            irfft_direct_half_jnp,
+            irfft_direct_half_k128_jnp,
+        )
+        from gpu_fft_tpu.plan import (
+            get_irfft_direct_k128_plan,
+            get_irfft_direct_plan,
+        )
+
+        rng = np.random.default_rng(9)
+        x = rng.standard_normal((b, n)).astype(np.float32)
+        sp = np.fft.rfft(x.astype(np.float64))
+        xr = jnp.asarray(sp.real.astype(np.float32))
+        xi = jnp.asarray(sp.imag.astype(np.float32))
+        a = np.asarray(
+            irfft_direct_half_jnp(xr, xi, get_irfft_direct_plan(n, scale=1.0 / n))
+        )
+        y = np.asarray(
+            irfft_direct_half_k128_jnp(
+                xr, xi, get_irfft_direct_k128_plan(n, scale=1.0 / n)
+            )
+        )
+        assert np.abs(y - x).max() < _bound(n)
+        assert np.abs(y - a).max() < _bound(n)
+
+    def test_ignores_dc_nyquist_imag(self):
+        from gpu_fft_tpu.kernels.fused_jnp import irfft_direct_half_k128_jnp
+        from gpu_fft_tpu.plan import get_irfft_direct_k128_plan
+
+        n = 256
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal((2, n)).astype(np.float32)
+        sp = np.fft.rfft(x.astype(np.float64))
+        xr = jnp.asarray(sp.real.astype(np.float32))
+        xi = jnp.asarray(sp.imag.astype(np.float32)).at[:, 0].set(5.0).at[:, -1].set(-2.0)
+        y = np.asarray(
+            irfft_direct_half_k128_jnp(xr, xi, get_irfft_direct_k128_plan(n, scale=1.0 / n))
+        )
+        assert np.abs(y - x).max() < _bound(n)
