@@ -341,7 +341,12 @@ def transform_any(xr, xi, n: int, sign: int, scale: float | None = None):
 def _staged(xr, xi, n: int, sign: int):
     """The staged (n > FUSED_MAX) dispatch body; see transform_any."""
     b = xr.shape[0]
-    plan = get_stage_a_plan(n, sign)
+    # Full-range stage A: wider column tiles at big n2 (+3-4% at
+    # 2^20/2^22, docs/ABLATION.md §26); the half-range irfft path keeps
+    # the finer default tile (its mirror-skip granularity).
+    from ..plan import stage_a_ct_full_range
+
+    plan = get_stage_a_plan(n, sign, ct=stage_a_ct_full_range(n))
     n1, n2 = plan["n1"], plan["n2"]
 
     # Real input + half-spectrum stage B: the stage-A output is conjugate-

@@ -550,6 +550,21 @@ def stage_a_col_tile(n1: int, n2: int) -> int:
     return min(256 if n1 >= 512 else 512, n2)
 
 
+def stage_a_ct_full_range(n: int) -> int:
+    """Column tile for FULL-range stage-A consumers (forward fft and the
+    staged complex inverse): wider tiles once n2 is large — measured +3-4%
+    at 2^20/2^22 (docs/ABLATION.md §26, tuning.stage_a_wide_ct) — while
+    half-range consumers (the staged real-output inverse) keep
+    :func:`stage_a_col_tile`, whose finer granularity skips more mirror
+    column tiles."""
+    n1 = _stage_a_n1(n)
+    n2 = n // n1
+    t = get_tuning()
+    if n1 < 512 and n2 >= t.stage_a_wide_ct_n2_min:
+        return min(t.stage_a_wide_ct, n2)
+    return stage_a_col_tile(n1, n2)
+
+
 def _stage_a_n1(n: int) -> int:
     n1 = min(get_tuning().stage_a_n1, n // 2)
     # Keep n2 a fused size (n1 grows past 128 only above n = 2^23).
@@ -559,7 +574,7 @@ def _stage_a_n1(n: int) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def get_stage_a_plan(n: int, sign: int) -> dict[str, Any]:
+def get_stage_a_plan(n: int, sign: int, ct: int | None = None) -> dict[str, Any]:
     """Tables for the staged large-N path (see kernels/large.py).
 
     ``f1``: the n1 x n1 column-DFT matrix (+ Karatsuba sum/diff variants);
@@ -581,7 +596,10 @@ def get_stage_a_plan(n: int, sign: int) -> dict[str, Any]:
     n1 = _stage_a_n1(n)
     n2 = n // n1
     f1r, f1i, f1s, f1d = dft_matrix_ext(n1, sign)
-    ct = stage_a_col_tile(n1, n2)
+    if ct is None:
+        ct = stage_a_col_tile(n1, n2)
+    elif not 1 <= ct <= n2 or n2 % ct:
+        raise ValueError(f"ct={ct} must divide n2={n2}")
     # outer[k1, j] = W_n^(k1 * j * ct) = W_(n/ct)^(k1 * j): exact integer
     # angle reduction at the smaller denominator.
     two_r, two_i = twiddle_table(n1, n2 // ct, n // ct, sign)

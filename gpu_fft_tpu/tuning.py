@@ -101,6 +101,15 @@ class ChipTuning:
     # h-deep form MXU-pads 129 -> 256).  Structurally needs n/2 % 128 == 0
     # (n >= 256); measured 1.43x at (253, 256) on v5e (§25).
     irfft_direct_k128: bool
+    # FULL-range stage A (forward fft / complex ifft staged paths) takes
+    # wider column tiles once n2 is large: ct = stage_a_wide_ct when
+    # n2 >= stage_a_wide_ct_n2_min (fewer grid steps, same double-buffered
+    # DMA overlap; +3-4% at 2^20/2^22 — §26).  Half-range consumers (the
+    # staged real-output inverse, which skips mirror column tiles) keep
+    # the default ct: wider tiles coarsen the skip granularity and
+    # measure slower.
+    stage_a_wide_ct: int
+    stage_a_wide_ct_n2_min: int
     calibrated: bool  # True = measured on this chip; False = transferred
     note: str
 
@@ -170,6 +179,13 @@ _V5E = ChipTuning(
     # K=128 + Nyquist-broadcast direct irfft: 1.98 vs 2.83 us at
     # (B, n) = (253, 256) — the istft hot shape (§25).
     irfft_direct_k128=True,
+    # L4 ct sweep (scripts/ablate_2e20_levers.py, §26): fft 2^20
+    # 54.20 -> 51.98 us and 2^22 267.96 -> 260.25 us at ct=2048; ties at
+    # 2^17/2^18 (n2 <= 2048), where 512 stays; irfft (half-range) best at
+    # 512 everywhere (ct=2048 computes 75% of the mirror columns instead
+    # of 56% at 2^20).
+    stage_a_wide_ct=2048,
+    stage_a_wide_ct_n2_min=8192,
     calibrated=True,
     note="measured on v5e 2026-08 (docs/ABLATION.md §3, §7, §9, §10, §11, §19, §23)",
 )

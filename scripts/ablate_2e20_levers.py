@@ -177,7 +177,7 @@ def main() -> None:
         import jax as _jax
 
         def stage_a_manual(x):
-            x3 = x.reshape(n1, n2)
+            x3 = x.reshape(n1, n2)  # noqa: output reshaped back below
             f1r_d = jnp.asarray(f1r)
             f1i_d = jnp.asarray(f1i)
 
@@ -200,7 +200,7 @@ def main() -> None:
                 ],
                 out_shape=[jax.ShapeDtypeStruct((n1, n2), jnp.float32)] * 2,
             )(x3, jnp.asarray(twr), jnp.asarray(twi), f1r_d, f1i_d)
-            return yr
+            return yr.reshape(1, N)  # shape-stable chain carry
 
         # Compare stage-A ALONE: manual emit_pipeline vs shipped grid form.
         from gpu_fft_tpu.kernels.fused import stage_a as stage_a_grid
@@ -208,7 +208,7 @@ def main() -> None:
         def stage_a_shipped(x):
             x3 = x.reshape(1, n1, n2)
             yr, yi = stage_a_grid(x3, None, n1, n2, plan, ct)
-            return yr.reshape(n1, n2)
+            return yr.reshape(1, N)  # shape-stable chain carry
 
         xa = x0.reshape(1, N)
         a = np.asarray(jax.jit(stage_a_shipped)(xa))
@@ -225,6 +225,52 @@ def main() -> None:
     except Exception as e:
         results["rows"]["L3_stageA_emit_pipeline"] = {"error": str(e)[:300]}
         print(f"L3 ERROR: {str(e)[:200]}", flush=True)
+    out.write_text(json.dumps(results, indent=1))
+
+    # ── L4: ct rule sweep across staged sizes (set the new tuning rule) ────
+    # L1 found ct=2048 wins 13% at 2^20; before changing the RULE, measure
+    # the ct grid across the staged-size range, forward AND the staged
+    # real-output inverse (both ride stage A).
+    from gpu_fft_tpu.ops.transform import irfft_device
+
+    orig_ct2 = plan_mod.stage_a_col_tile
+    for nn in (1 << 17, 1 << 18, 1 << 20, 1 << 22):
+        xs = jnp.asarray(rng.standard_normal((1, nn)).astype(np.float32))
+        ss = np.float32(1.0 / np.sqrt(nn))
+
+        def ffts(x, _n=nn, _s=ss):
+            yr, _ = large_mod.transform_any(x, None, _n, -1)
+            return yr * _s
+
+        h = nn // 2 + 1
+
+        def irffts(x, _n=nn, _h=h, _s=ss):
+            z = x[..., :_h]
+            return irfft_device(z, z * np.float32(0.5)) * _s
+
+        for ct in (512, 1024, 2048):
+            key = f"L4_fft_n{nn}_ct{ct}"
+            key2 = f"L4_irfft_n{nn}_ct{ct}"
+            if key in results["rows"] and key2 in results["rows"]:
+                continue
+            plan_mod.stage_a_col_tile = lambda a, b_, _ct=ct: min(_ct, b_)
+            clear_plans()
+            for kk, stepf in ((key, ffts), (key2, irffts)):
+                if kk in results["rows"]:
+                    continue
+                try:
+                    ts = [
+                        chained_step_stats(stepf, xs, k1=20, k2=220, reps=2).median_s
+                        for _ in range(2)
+                    ]
+                    results["rows"][kk] = {"us": min(ts) * 1e6}
+                    print(f"{kk}: {min(ts)*1e6:8.2f} us", flush=True)
+                except Exception as e:
+                    results["rows"][kk] = {"error": str(e)[:200]}
+                    print(f"{kk}: ERROR {str(e)[:120]}", flush=True)
+                out.write_text(json.dumps(results, indent=1))
+    plan_mod.stage_a_col_tile = orig_ct2
+    clear_plans()
     out.write_text(json.dumps(results, indent=1))
     print(f"wrote {out}")
 
