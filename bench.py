@@ -402,6 +402,17 @@ def main() -> None:
     # ── Mosaic smoke: compile-and-run every Pallas kernel kind on TPU ───────
     details["mosaic_smoke"] = mosaic_smoke() if platform != "cpu" else {"skipped": "cpu platform"}
 
+    # ── On-hardware suite record (round-5 verdict item 3) ───────────────────
+    # scripts/run_tpu_suite.py runs the reference-model test files on the
+    # real chip (the reference's tests-run-on-real-GPU model, SURVEY §4)
+    # and stores the result; merged here so the round artifact carries it.
+    try:
+        with open("bench-results/tpu_suite.json") as f:
+            details["tpu_suite"] = json.load(f)
+            details["tpu_suite"].pop("tail", None)
+    except Exception:
+        details["tpu_suite"] = {"missing": "run scripts/run_tpu_suite.py on hardware"}
+
     # ── Calibration gate + north-star verdict (round-3 verdict item 6) ──────
     # %SoL is only certifiable when the FULL instrument (EFF_PASSES,
     # bandwidths, launch floor) was measured on THIS chip generation;

@@ -128,13 +128,17 @@ def main() -> None:
                 "melem_per_s": melem,
             }
             # Kernel count feeds the measured launch-floor wall so small-N
-            # rows name their true bound (bench.py does the same).
+            # rows name their true bound (bench.py does the same); Mosaic
+            # custom calls are charged the measured pallas dispatch floor.
             try:
-                nk = roofline.compiled_stats(step, x0)["n_kernels"]
+                cs = roofline.compiled_stats(step, x0)
+                nk, np_ = cs["n_kernels"], cs.get("n_pallas")
             except Exception:
-                nk = None
+                nk = np_ = None
             entry.update(
-                roofline.roofline_row(b, n, kind, st.median_s, chip=chip, n_kernels=nk)
+                roofline.roofline_row(
+                    b, n, kind, st.median_s, chip=chip, n_kernels=nk, n_pallas=np_
+                )
             )
             results["entries"].append(entry)
             print(
