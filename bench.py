@@ -124,12 +124,14 @@ def main() -> None:
                 cs = roofline.compiled_stats(step, x0)
                 nk = cs["n_kernels"]
                 np_ = cs.get("n_pallas")
+                pops = cs.get("pallas_operands")
                 row["hlo_fp"] = cs["fingerprint"]
             except Exception:
-                nk = np_ = None
+                nk = np_ = pops = None
             row.update(
                 roofline.roofline_row(
-                    b, n, kind, s.median_s, chip=chip, n_kernels=nk, n_pallas=np_
+                    b, n, kind, s.median_s, chip=chip, n_kernels=nk,
+                    n_pallas=np_, pallas_operands=pops,
                 )
             )
             details["configs"][name] = row

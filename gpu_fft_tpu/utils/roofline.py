@@ -67,21 +67,27 @@ class ChipSpec:
     launch_base_us: float | None = None
     launch_per_kernel_us: float | None = None
     # Per-Mosaic-kernel (pallas_call custom-call) dispatch floor, measured
-    # as the chained per-call time of a minimal (8,128) copy pallas_call
-    # (scripts/calibrate_latency.py pallas probes; v5e 2026-08:
-    # 0.390 us/call vs 0.370 us for the same-shape fusion — the dispatch
-    # itself is nearly free; what costs extra in real Pallas kernels is
-    # per-operand DMA issue and serial in-kernel dots, charged
-    # separately).  Charged instead of the fusion rate for each custom
-    # call so 1-kernel Pallas rows read against a measured floor.
+    # by the chained pallas probes (scripts/calibrate_latency.py + the
+    # §24 operand probe, v5e 2026-08): a minimal 1-operand copy
+    # pallas_call costs 0.384 us/call (vs 0.370 for the same-shape
+    # fusion — dispatch itself is nearly free), the SECOND operand adds
+    # +0.45 us (operand DMA issue serializes with kernel start), each
+    # further operand ~+0.098 us.  t_pallas(ops) = pallas_call_us for
+    # ops <= 1, else pallas_two_operand_us +
+    # pallas_per_extra_operand_us * (ops - 2); charged instead of the
+    # fusion rate for each custom call, so Pallas rows read against
+    # their measured dispatch+DMA-issue floor (in-kernel dot
+    # serialization remains uncharged — the wall stays a lower bound).
     pallas_call_us: float | None = None
+    pallas_two_operand_us: float | None = None
+    pallas_per_extra_operand_us: float | None = None
 
 
 CHIPS = {
     # v5e: hbm/onchip/vpu/launch measured in this repo
     # (scripts/calibrate_matmul.py, scripts/calibrate_latency.py + the
     # bandwidth probes, 2026-08); bf16 peak is the published spec.
-    "v5e": ChipSpec("v5e", 620.0, 197.0, 4.0, 4700.0, 32.0, 0.35, 0.078, 0.390),
+    "v5e": ChipSpec("v5e", 620.0, 197.0, 4.0, 4700.0, 32.0, 0.35, 0.078, 0.384, 0.836, 0.098),
     # Other generations: published specs; on-chip numbers transferred from
     # v5e by HBM ratio (UNCALIBRATED — re-run scripts/calibrate_matmul.py
     # + scripts/calibrate_latency.py on hardware).  The launch floor is
@@ -159,10 +165,20 @@ def compiled_stats(step, x0) -> dict:
 
     txt = jax.jit(step).lower(x0).compile().as_text()
     fusions = len(re.findall(r"^\s*(?:ROOT )?%?fusion", txt, re.M))
-    pallas = txt.count('custom_call_target="tpu_custom_call"')
+    # Per-custom-call operand counts: the §24 probe showed operand DMA
+    # issue serializes with kernel start (~+0.45 us for the second
+    # operand, ~+0.098 us each after), so the latency wall needs the
+    # count, not just the call.
+    pallas_ops = [
+        len(re.findall(r"%[\w.-]+", m.group(1)))
+        for m in re.finditer(
+            r"custom-call\(([^)]*)\)[^\n]*tpu_custom_call", txt
+        )
+    ]
     return {
-        "n_kernels": fusions + pallas,
-        "n_pallas": pallas,
+        "n_kernels": fusions + len(pallas_ops),
+        "n_pallas": len(pallas_ops),
+        "pallas_operands": pallas_ops,
         "fingerprint": hashlib.sha256(txt.encode()).hexdigest()[:16],
     }
 
@@ -525,6 +541,7 @@ def roofline_row(
     precision_passes: int | None = None,
     n_kernels: int | None = None,
     n_pallas: int | None = None,
+    pallas_operands: list | None = None,
 ) -> dict:
     """Calibrated %-of-speed-of-light accounting for a measured config.
 
@@ -565,10 +582,24 @@ def roofline_row(
     ):
         t_lat_us = chip.launch_base_us + chip.launch_per_kernel_us * n_kernels
         if n_pallas and chip.pallas_call_us is not None:
-            # Each Mosaic custom call pays the measured pallas dispatch
-            # floor instead of the (much cheaper) fusion rate it was
-            # already charged in the fit above.
-            t_lat_us += max(0.0, chip.pallas_call_us - chip.launch_per_kernel_us) * n_pallas
+            # Each Mosaic custom call pays the measured pallas
+            # dispatch + operand-DMA-issue floor (§24 probe:
+            # t_pallas(ops) = 0.384 / 0.836 + 0.098*(ops-2)) instead of
+            # the (much cheaper) fusion rate it was already charged in
+            # the fit above.
+            ops_list = pallas_operands or [1] * n_pallas
+
+            def t_pallas(ops: int) -> float:
+                if ops <= 1 or chip.pallas_two_operand_us is None:
+                    return chip.pallas_call_us
+                return chip.pallas_two_operand_us + (
+                    chip.pallas_per_extra_operand_us or 0.0
+                ) * max(0, ops - 2)
+
+            t_lat_us += sum(
+                max(0.0, t_pallas(ops) - chip.launch_per_kernel_us)
+                for ops in ops_list
+            )
         walls["latency"] = t_lat_us * 1e-6
     bound = max(walls, key=walls.get)
     sol = walls[bound]
@@ -585,6 +616,10 @@ def roofline_row(
     }
     if n_kernels is not None:
         row["n_kernels"] = n_kernels
+        if n_pallas is not None:
+            row["n_pallas"] = n_pallas
+        if pallas_operands:
+            row["pallas_operands"] = list(pallas_operands)
         if "latency" in walls:
             row["t_latency_us"] = walls["latency"] * 1e6
     return row

@@ -133,11 +133,13 @@ def main() -> None:
             try:
                 cs = roofline.compiled_stats(step, x0)
                 nk, np_ = cs["n_kernels"], cs.get("n_pallas")
+                pops = cs.get("pallas_operands")
             except Exception:
-                nk = np_ = None
+                nk = np_ = pops = None
             entry.update(
                 roofline.roofline_row(
-                    b, n, kind, st.median_s, chip=chip, n_kernels=nk, n_pallas=np_
+                    b, n, kind, st.median_s, chip=chip, n_kernels=nk,
+                    n_pallas=np_, pallas_operands=pops,
                 )
             )
             results["entries"].append(entry)
