@@ -501,6 +501,30 @@ def irfft_direct_half_jnp(xr, xi, plan: dict):
     return _dot(xr, plan["cr"]) + _dot(xi, plan["ci"])
 
 
+def rfft_direct_packed_jnp(x, plan: dict):
+    """One-dot direct real forward from the packed table
+    (``plan.get_rfft_direct_packed_plan``): returns the PACKED (B, n)
+    product — columns [0, h) = Re, [h, n) = Im[1..h-1] — plus the split
+    one-sided pair.  PSD-type consumers should reduce the packed form
+    directly (``rfft_packed_psd_jnp``) and skip the unpack concat."""
+    out = _dot(x, plan["t"])
+    h = plan["h"]
+    b = x.shape[0]
+    zero = jnp.zeros((b, 1), out.dtype)
+    fr = out[:, :h]
+    fi = jnp.concatenate([zero, out[:, h:], zero], axis=-1)
+    return out, fr, fi
+
+
+def rfft_packed_psd_jnp(x, plan: dict):
+    """One-sided |X|^2 straight from the packed one-dot forward: re² from
+    columns [0, h), im² folded in from columns [h, n) — no unpack pass."""
+    out = _dot(x, plan["t"])
+    h = plan["h"]
+    sq = out * out
+    return sq[:, :h].at[:, 1 : h - 1].add(sq[:, h:])
+
+
 def irfft_direct_half_k128_jnp(xr, xi, plan: dict):
     """Lane-exact direct half inverse: K = n/2 dots + Nyquist broadcast.
 

@@ -432,6 +432,38 @@ def get_irfft_direct_plan(n: int, scale: float | None = None) -> dict:
 
 
 @functools.lru_cache(maxsize=None)
+def get_rfft_direct_packed_plan(n: int, scale: float | None = None) -> dict:
+    """ONE-dot direct real forward (round-5 §27 follow-on, gate closed
+    pending measurement): pack the one-sided cos table and the INTERIOR
+    sin columns into a single (n, n) table
+
+        T = [ C (n, h) | S[:, 1:h-1] (n, h-2) ],   h = n/2 + 1
+
+    so ``out = x @ T`` yields columns [0, h) = Re X[0..h) and columns
+    [h, n) = Im X[1..h-1) — the sin columns at k = 0 and n/2 are exactly
+    zero and carry no information (real input ⇒ Im X[0] = Im X[n/2] = 0).
+    Replaces the 2-dot direct form (each padded to the full lane grid)
+    with ONE unpadded (n, n) dot; consumers that reduce re² + im²
+    (welch/psd/spectrogram) can consume the packed layout without any
+    unpack pass.
+    """
+    if n & (n - 1) or n < 8:
+        raise ValueError(f"packed rfft plans require power-of-two n >= 8, got {n}")
+    if n > DIRECT_MAX:
+        raise ValueError(f"n={n} exceeds DIRECT_MAX={DIRECT_MAX}")
+    h = n // 2 + 1
+    s = 1.0 if scale is None else float(scale)
+    red = np.mod(
+        np.outer(np.arange(n, dtype=np.int64), np.arange(h, dtype=np.int64)), n
+    ).astype(np.float64)
+    ang = (2.0 * np.pi / n) * red
+    c = (np.cos(ang) * s).astype(np.float32)  # (n, h)
+    sn = (-np.sin(ang) * s).astype(np.float32)
+    t = np.concatenate([c, sn[:, 1 : h - 1]], axis=1)  # (n, n)
+    return {"n": n, "h": h, "t": t}
+
+
+@functools.lru_cache(maxsize=None)
 def get_irfft_direct_k128_plan(n: int, scale: float | None = None) -> dict:
     """Lane-exact variant of :func:`get_irfft_direct_plan` (round 5, §25).
 

@@ -273,3 +273,37 @@ class TestDirectK128Variant:
             irfft_direct_half_k128_jnp(xr, xi, get_irfft_direct_k128_plan(n, scale=1.0 / n))
         )
         assert np.abs(y - x).max() < _bound(n)
+
+
+class TestRfftDirectPacked:
+    """One-dot packed direct real forward (round 5, docs/ABLATION.md §28):
+    [C | S-interior] in one (n, n) table; PSD reduces the packed product
+    without an unpack pass."""
+
+    @pytest.mark.parametrize("n", [256, 512])
+    def test_matches_numpy(self, n):
+        from gpu_fft_tpu.kernels.fused_jnp import rfft_direct_packed_jnp
+        from gpu_fft_tpu.plan import get_rfft_direct_packed_plan
+
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal((4, n)).astype(np.float32)
+        _, fr, fi = rfft_direct_packed_jnp(
+            jnp.asarray(x), get_rfft_direct_packed_plan(n)
+        )
+        ref = np.fft.rfft(x.astype(np.float64))
+        s = np.abs(ref).max()
+        assert np.abs(np.asarray(fr) - ref.real).max() / s < 1e-6
+        assert np.abs(np.asarray(fi) - ref.imag).max() / s < 1e-6
+
+    def test_packed_psd(self):
+        from gpu_fft_tpu.kernels.fused_jnp import rfft_packed_psd_jnp
+        from gpu_fft_tpu.plan import get_rfft_direct_packed_plan
+
+        n = 256
+        rng = np.random.default_rng(6)
+        x = rng.standard_normal((7, n)).astype(np.float32)
+        psd = np.asarray(
+            rfft_packed_psd_jnp(jnp.asarray(x), get_rfft_direct_packed_plan(n))
+        )
+        ref = np.abs(np.fft.rfft(x.astype(np.float64))) ** 2
+        assert np.abs(psd - ref).max() / ref.max() < 1e-5
